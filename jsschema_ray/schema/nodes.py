@@ -40,7 +40,11 @@ KNOWN_FORMATS = frozenset(
 
 
 class _TriState:
-    """Sentinel for additionalItems/additionalProperties tri-state."""
+    """Sentinel for additionalItems/additionalProperties tri-state.
+
+    Pickle-stable: nodes cross process boundaries into Ray workers, so the
+    sentinels must keep ``is`` identity after unpickling (``__reduce__``
+    resolves back to the module-level singleton)."""
 
     __slots__ = ("name",)
 
@@ -49,6 +53,13 @@ class _TriState:
 
     def __repr__(self) -> str:
         return f"<{self.name}>"
+
+    def __reduce__(self):
+        return (_tristate_by_name, (self.name,))
+
+
+def _tristate_by_name(name: str) -> "_TriState":
+    return ALLOW if name == "ALLOW" else FORBID
 
 
 #: keyword absent -> additional items/properties allowed (marshal.go:590-626)

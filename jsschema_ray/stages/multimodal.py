@@ -1,0 +1,185 @@
+"""Multimodal (image payload) stages: decode check, feature extraction,
+resize — actor-pool `map_batches` over the opaque ``bytes`` binary column
+with typed metadata columns (BASELINE input_hint; driver instruction:
+image libs are absent from this container, so the LOSSY codecs are
+STUBBED while the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is real and tested).
+
+Codec support matrix:
+  * png  — REAL: pure-Python codec (sources/png.py); the decode invariant
+    is self-contained: decode must succeed AND re-encode must be
+    byte-identical (lossless round-trip ≙ PSNR = inf ≥ 40 dB);
+  * jpeg/webp — STUB: `on_unsupported` picks "skip" (decode_ok=null) or
+    "fail"; a deterministic-fake mode ("fake") decodes to a seeded noise
+    image so downstream feature plumbing can be driven in tests.
+
+Batch sizing: payload rows are wide — callers should use a SMALL
+batch_size (default 1024) so batch × concurrency fits the worker heap;
+`num_cpus=1` per actor, CPU-bound decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from jsschema_ray.sources.png import decode_png, encode_png
+
+
+class DecodeImages:
+    """Appends decode_ok(bool), roundtrip_ok(bool), dec_w, dec_h (int32).
+
+    null payload -> decode_ok = False (payload presence is enforced HERE,
+    not in the row-local stage, which never reads bytes — see
+    pipelines/validate_pipeline._schema_for_rowlocal)."""
+
+    def __init__(self, column: str = "bytes", fmt_column: str = "fmt",
+                 on_unsupported: str = "skip"):
+        assert on_unsupported in ("skip", "fail", "fake")
+        self.column = column
+        self.fmt_column = fmt_column
+        self.on_unsupported = on_unsupported
+
+    def _decode_one(self, payload: Optional[bytes], fmt: Optional[str]):
+        """-> (decode_ok, roundtrip_ok, w, h) with None for not-applicable."""
+        if payload is None:
+            return False, False, None, None
+        if fmt == "png" or (fmt is None and payload[:4] == b"\x89PNG"):
+            try:
+                img = decode_png(payload)
+            except ValueError:
+                return False, False, None, None
+            ok_rt = encode_png(img) == payload
+            return True, ok_rt, img.shape[1], img.shape[0]
+        # lossy codecs: stubbed (no image libs in this container)
+        if self.on_unsupported == "fail":
+            return False, False, None, None
+        if self.on_unsupported == "fake":
+            rng = np.random.default_rng(len(payload))
+            img = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+            return True, True, 8, 8
+        return None, None, None, None  # skip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.column).to_pylist()
+        fmts = (
+            batch.column(self.fmt_column).to_pylist()
+            if self.fmt_column in batch.column_names
+            else [None] * len(payloads)
+        )
+        oks, rts, ws, hs = [], [], [], []
+        for p, f in zip(payloads, fmts):
+            ok, rt, w, h = self._decode_one(p, f)
+            oks.append(ok)
+            rts.append(rt)
+            ws.append(w)
+            hs.append(h)
+        return (
+            batch.append_column("decode_ok", pa.array(oks, type=pa.bool_()))
+            .append_column("roundtrip_ok", pa.array(rts, type=pa.bool_()))
+            .append_column("dec_w", pa.array(ws, type=pa.int32()))
+            .append_column("dec_h", pa.array(hs, type=pa.int32()))
+        )
+
+
+class ImageFeatures:
+    """Per-image channel statistics (mean/std RGB) — the feature-extract
+    plumbing pattern; real for PNG, null for stubbed codecs."""
+
+    def __init__(self, column: str = "bytes", fmt_column: str = "fmt"):
+        self.dec = DecodeImages(column, fmt_column, on_unsupported="skip")
+        self.column = column
+        self.fmt_column = fmt_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.column).to_pylist()
+        fmts = (
+            batch.column(self.fmt_column).to_pylist()
+            if self.fmt_column in batch.column_names
+            else [None] * len(payloads)
+        )
+        means, stds = [], []
+        for p, f in zip(payloads, fmts):
+            if p is not None and (f == "png" or (f is None and p[:4] == b"\x89PNG")):
+                try:
+                    img = decode_png(p).astype(np.float32)
+                    means.append([float(x) for x in img.mean(axis=(0, 1))])
+                    stds.append([float(x) for x in img.std(axis=(0, 1))])
+                    continue
+                except ValueError:
+                    pass
+            means.append(None)
+            stds.append(None)
+        f32l = pa.list_(pa.float32(), 3)
+        return batch.append_column(
+            "rgb_mean", pa.array(means, type=f32l)
+        ).append_column("rgb_std", pa.array(stds, type=f32l))
+
+
+class ResizeImages:
+    """Nearest-neighbor resize to (size × size), re-encoded as PNG — real
+    for PNG payloads (pure numpy indexing), null for stubbed codecs."""
+
+    def __init__(self, size: int, column: str = "bytes",
+                 fmt_column: str = "fmt", out_column: str = "bytes_resized"):
+        self.size = size
+        self.column = column
+        self.fmt_column = fmt_column
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.column).to_pylist()
+        out = []
+        for p in payloads:
+            if p is not None and p[:4] == b"\x89PNG":
+                try:
+                    img = decode_png(p)
+                    h, w = img.shape[:2]
+                    yi = (np.arange(self.size) * h // self.size)
+                    xi = (np.arange(self.size) * w // self.size)
+                    out.append(encode_png(img[yi][:, xi]))
+                    continue
+                except ValueError:
+                    pass
+            out.append(None)
+        return batch.append_column(self.out_column, pa.array(out, type=pa.binary()))
+
+
+def decode_violations(ds, key_column: str = "image_id",
+                      column: str = "bytes", fmt_column: str = "fmt",
+                      batch_size: int = 1024, concurrency: Any = (1, 8)):
+    """Rows failing the decode invariant (decode error, round-trip
+    mismatch, or missing payload) as (key, reason). Actor pool, small
+    batches — the CPU-heavy stage off the row-local hot path."""
+
+    class Check(DecodeImages):
+        def __init__(self):
+            super().__init__(column, fmt_column, on_unsupported="skip")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dec = super().__call__(batch)
+            keys, reasons = [], []
+            for k, ok, rt in zip(
+                batch.column(key_column).to_pylist(),
+                dec.column("decode_ok").to_pylist(),
+                dec.column("roundtrip_ok").to_pylist(),
+            ):
+                if ok is False:
+                    keys.append(str(k))
+                    reasons.append("decode_failed")
+                elif ok and rt is False:
+                    keys.append(str(k))
+                    reasons.append("roundtrip_mismatch")
+            return pa.table(
+                {
+                    "key": pa.array(keys, type=pa.string()),
+                    "reason": pa.array(reasons, type=pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        Check, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

@@ -1,0 +1,247 @@
+"""Column-statistics stage: count / nulls / min / max / mean / distinct
+(HyperLogLog) / quantiles (t-digest) per column, optionally per partition.
+
+Scale pattern (SURVEY.md §2.C, §4): a `map_batches` stage emits ONE tiny
+partial row per (partition, column) per batch — counts + serialized
+sketches, never raw values — then a small `groupby(["partition","column"])
+.map_groups` merges sketches (both are associative monoids), and the driver
+folds the per-partition rows. Raw data is never shuffled; the shuffle
+payload is O(batches × columns × sketch_bytes).
+
+The stage is a callable class: spec parsing and sketch parameters are
+actor-state set up once in ``__init__`` (the distributed analogue of the
+reference's compile-once mutex, validator/validator.go:41-53).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jsschema_ray.state.hll import HyperLogLog, hash64
+from jsschema_ray.state.tdigest import TDigest
+
+#: derived-column transforms available to specs (names, not lambdas, so the
+#: spec stays serializable); caption_len for the drift constraint
+TRANSFORMS = {
+    "utf8_length": lambda arr: pc.utf8_length(arr),
+    "binary_length": lambda arr: pc.binary_length(arr),
+}
+
+
+@dataclass
+class StatsSpec:
+    columns: list[str] = field(default_factory=list)        # basic stats
+    distinct: list[str] = field(default_factory=list)       # + HLL
+    quantiles: list[str] = field(default_factory=list)      # + t-digest
+    derived: dict[str, tuple[str, str]] = field(default_factory=dict)
+    partition_col: Optional[str] = None
+    hll_p: int = 12
+    compression: float = 200.0
+
+    @classmethod
+    def from_schema_extras(cls, extras: dict[str, Any]) -> "StatsSpec":
+        x = extras.get("x-stats", {})
+        d = extras.get("x-drift", {})
+        spec = cls(
+            columns=list(x.get("columns", [])),
+            distinct=list(x.get("distinct", [])),
+            quantiles=sorted(set(x.get("quantiles", [])) | set(d.get("columns", []))),
+        )
+        for name in list(spec.columns) + list(spec.quantiles):
+            if name.endswith("_len") and name not in spec.derived:
+                spec.derived[name] = (name[:-4], "utf8_length")
+        return spec
+
+    def all_columns(self) -> list[str]:
+        return sorted(set(self.columns) | set(self.distinct) | set(self.quantiles))
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("partition", pa.string()),
+        ("column", pa.string()),
+        ("n", pa.int64()),
+        ("nulls", pa.int64()),
+        ("vmin", pa.float64()),
+        ("vmax", pa.float64()),
+        ("vsum", pa.float64()),
+        ("smin", pa.string()),
+        ("smax", pa.string()),
+        ("hll", pa.binary()),
+        ("tdigest", pa.binary()),
+    ]
+)
+
+
+class StatsAccumulator:
+    """map_batches stage -> per-batch partial sketch rows."""
+
+    def __init__(self, spec: StatsSpec):
+        self.spec = spec
+
+    def _resolve(self, batch: pa.Table, name: str) -> Optional[pa.Array]:
+        if name in self.spec.derived:
+            src, tname = self.spec.derived[name]
+            if src not in batch.column_names:
+                return None
+            return TRANSFORMS[tname](batch.column(src).combine_chunks())
+        if name not in batch.column_names:
+            return None
+        return batch.column(name).combine_chunks()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        parts: dict[str, np.ndarray] = {"": np.arange(batch.num_rows)}
+        if spec.partition_col and spec.partition_col in batch.column_names:
+            keys = batch.column(spec.partition_col).to_pandas()
+            parts = {
+                str(k): idx.to_numpy()
+                for k, idx in keys.groupby(keys, sort=False).groups.items()
+            }
+        rows: list[dict[str, Any]] = []
+        for pkey, idx in parts.items():
+            sub = batch if len(parts) == 1 else batch.take(pa.array(idx))
+            for name in spec.all_columns():
+                arr = self._resolve(sub, name)
+                if arr is None:
+                    continue
+                rows.append(self._column_partial(pkey, name, arr))
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+    def _column_partial(self, pkey: str, name: str, arr: pa.Array) -> dict:
+        spec = self.spec
+        n_total = len(arr)
+        nulls = arr.null_count
+        row: dict[str, Any] = {
+            "partition": pkey, "column": name, "n": n_total - nulls,
+            "nulls": nulls, "vmin": None, "vmax": None, "vsum": None,
+            "smin": None, "smax": None, "hll": None, "tdigest": None,
+        }
+        dtype = arr.type
+        numeric = (pa.types.is_integer(dtype) or pa.types.is_floating(dtype))
+        if numeric and row["n"]:
+            mm = pc.min_max(arr)
+            row["vmin"] = float(mm["min"].as_py())
+            row["vmax"] = float(mm["max"].as_py())
+            row["vsum"] = float(pc.sum(arr).as_py())
+        elif (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)) and row["n"]:
+            mm = pc.min_max(arr)
+            row["smin"] = mm["min"].as_py()
+            row["smax"] = mm["max"].as_py()
+        if name in spec.distinct and row["n"]:
+            h = HyperLogLog(spec.hll_p)
+            h.add_hashes(hash64(arr.drop_null()))
+            row["hll"] = h.to_bytes()
+        if name in spec.quantiles and numeric and row["n"]:
+            t = TDigest(spec.compression)
+            t.add(arr.drop_null().to_numpy(zero_copy_only=False))
+            row["tdigest"] = t.to_bytes()
+        return row
+
+
+@dataclass
+class ColumnStats:
+    partition: str
+    column: str
+    count: int = 0
+    nulls: int = 0
+    min: Optional[float] = None
+    max: Optional[float] = None
+    sum: Optional[float] = None
+    smin: Optional[str] = None
+    smax: Optional[str] = None
+    hll: Optional[HyperLogLog] = None
+    digest: Optional[TDigest] = None
+
+    @property
+    def mean(self) -> Optional[float]:
+        return None if not self.count or self.sum is None else self.sum / self.count
+
+    @property
+    def distinct(self) -> Optional[int]:
+        return None if self.hll is None else int(round(self.hll.estimate()))
+
+    def quantile(self, q: float) -> Optional[float]:
+        return None if self.digest is None else self.digest.quantile(q)
+
+    def absorb(self, row: dict) -> None:
+        self.count += row["n"]
+        self.nulls += row["nulls"]
+        for k, pick in (("vmin", min), ("vmax", max)):
+            v = row[k]
+            if v is not None:
+                cur = self.min if k == "vmin" else self.max
+                new = v if cur is None else pick(cur, v)
+                if k == "vmin":
+                    self.min = new
+                else:
+                    self.max = new
+        if row["vsum"] is not None:
+            self.sum = (self.sum or 0.0) + row["vsum"]
+        for k, pick in (("smin", min), ("smax", max)):
+            v = row[k]
+            if v is not None:
+                cur = getattr(self, k)
+                setattr(self, k, v if cur is None else pick(cur, v))
+        if row["hll"] is not None:
+            h = HyperLogLog.from_bytes(row["hll"])
+            self.hll = h if self.hll is None else self.hll.merge(h)
+        if row["tdigest"] is not None:
+            t = TDigest.from_bytes(row["tdigest"])
+            self.digest = t if self.digest is None else self.digest.merge(t)
+
+
+def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: fold one (partition, column) group of partial rows
+    into a single partial row (sketches merged)."""
+    cs = ColumnStats(g["partition"].iloc[0], g["column"].iloc[0])
+    for row in g.to_dict("records"):
+        cs.absorb(row)
+    return pd.DataFrame(
+        [
+            {
+                "partition": cs.partition, "column": cs.column, "n": cs.count,
+                "nulls": cs.nulls, "vmin": cs.min, "vmax": cs.max,
+                "vsum": cs.sum, "smin": cs.smin, "smax": cs.smax,
+                "hll": cs.hll.to_bytes() if cs.hll else None,
+                "tdigest": cs.digest.to_bytes() if cs.digest else None,
+            }
+        ]
+    )
+
+
+def stats_partials(ds, spec: StatsSpec, batch_size: int = 65536,
+                   concurrency: Optional[int] = None):
+    """Dataset of merged partial rows: one per (partition, column)."""
+    kwargs: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size,
+                                  zero_copy_batch=True)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        partials = ds.map_batches(
+            StatsAccumulator, fn_constructor_kwargs={"spec": spec}, **kwargs
+        )
+    else:
+        partials = ds.map_batches(StatsAccumulator(spec), **kwargs)
+    return partials.groupby(["partition", "column"]).map_groups(
+        _merge_group, batch_format="pandas"
+    )
+
+
+def collect_stats(ds, spec: StatsSpec, batch_size: int = 65536,
+                  concurrency: Optional[int] = None
+                  ) -> dict[tuple[str, str], ColumnStats]:
+    """Driver-side fold of the merged partials (tiny: one row per
+    partition×column)."""
+    out: dict[tuple[str, str], ColumnStats] = {}
+    for row in stats_partials(ds, spec, batch_size, concurrency).take_all():
+        key = (row["partition"], row["column"])
+        cs = out.setdefault(key, ColumnStats(*key))
+        cs.absorb(row)
+    return out

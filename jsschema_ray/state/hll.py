@@ -1,0 +1,82 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007, public
+algorithm), vectorized with numpy + pandas 64-bit hashing.
+
+Mergeable (elementwise register max), so per-block partials from an actor
+pool combine associatively — the scalable substitute for an exact
+COUNT(DISTINCT) shuffle at 10^12 rows (SURVEY.md §2.C column statistics).
+Default p=14 -> 16 KiB of registers, ~0.81% standard error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash64(values) -> np.ndarray:
+    """Vectorized 64-bit hash of a column (numpy array / pyarrow array /
+    pandas Series) -> uint64. pandas' hash_array is deterministic across
+    processes (fixed default hash_key)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    if isinstance(values, pd.Series):
+        values = values.to_numpy()
+    if values.dtype.kind in "US":  # numpy unicode/bytes -> object for pandas
+        values = values.astype(object)
+    return pd.util.hash_array(values, categorize=False).astype(np.uint64)
+
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # sentinel bit caps rho at (64-p)+1 when the low bits are all zero
+        rem = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        rho = (64 - self._floorlog2(rem)).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    @staticmethod
+    def _floorlog2(x: np.ndarray) -> np.ndarray:
+        # exact floor(log2) for uint64: float64 mantissa can't hold 64 bits,
+        # so split into 32-bit halves first
+        hi = (x >> np.uint64(32)).astype(np.uint32)
+        lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hif = np.floor(np.log2(np.where(hi == 0, 1, hi).astype(np.float64)))
+        lof = np.floor(np.log2(np.where(lo == 0, 1, lo).astype(np.float64)))
+        return np.where(hi != 0, 32 + hif, lof).astype(np.int64)
+
+    def add(self, values) -> None:
+        self.add_hashes(hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        regs = self.registers.astype(np.float64)
+        e = alpha * m * m / np.sum(np.exp2(-regs))
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting, small range
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())

@@ -1,0 +1,84 @@
+"""Decode invariant + multimodal plumbing (FIXTURES.md decode_invariant):
+corrupted payloads are flagged, clean PNGs round-trip byte-equal, lossy
+codecs stay stubbed without breaking the pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsschema_ray.sources.synth import synth_image_table
+from jsschema_ray.stages.multimodal import (
+    DecodeImages,
+    ImageFeatures,
+    ResizeImages,
+    decode_violations,
+)
+
+
+def test_decode_images_batch():
+    table, manifest = synth_image_table(1000, seed=42, violation_frac=0.05)
+    out = DecodeImages()(table)
+    ids = table.column("image_id").to_pylist()
+    ok = dict(zip(ids, out.column("decode_ok").to_pylist()))
+    rt = dict(zip(ids, out.column("roundtrip_ok").to_pylist()))
+    fmts = dict(zip(ids, table.column("fmt").to_pylist()))
+    for bad in manifest["bad_bytes"]:
+        if fmts[bad] == "png":
+            assert ok[bad] is False
+    for i, f in fmts.items():
+        if f == "png" and i not in manifest["bad_bytes"]:
+            assert ok[i] is True and rt[i] is True, i
+        if f in ("jpeg", "webp"):
+            assert ok[i] is None  # stubbed -> skipped
+    # decoded dims come back (synth pool is 16x16)
+    ws = [w for w in out.column("dec_w").to_pylist() if w is not None]
+    assert set(ws) == {16}
+
+
+def test_decode_fail_and_fake_modes():
+    table, _ = synth_image_table(200, seed=42)
+    strict = DecodeImages(on_unsupported="fail")(table)
+    fake = DecodeImages(on_unsupported="fake")(table)
+    fmts = table.column("fmt").to_pylist()
+    for f, s_ok, f_ok in zip(fmts, strict.column("decode_ok").to_pylist(),
+                             fake.column("decode_ok").to_pylist()):
+        if f in ("jpeg", "webp"):
+            assert s_ok is False and f_ok is True
+
+
+def test_image_features_and_resize():
+    table, _ = synth_image_table(100, seed=42)
+    feats = ImageFeatures()(table)
+    means = feats.column("rgb_mean").to_pylist()
+    fmts = table.column("fmt").to_pylist()
+    png_means = [m for m, f in zip(means, fmts) if f == "png"]
+    assert png_means and all(len(m) == 3 for m in png_means)
+    # uniform-noise pool -> channel means near 127.5
+    assert abs(np.mean([m[0] for m in png_means]) - 127.5) < 15
+
+    resized = ResizeImages(8)(table)
+    from jsschema_ray.sources.png import decode_png
+
+    for p, f in zip(resized.column("bytes_resized").to_pylist(), fmts):
+        if f == "png" and p is not None:
+            assert decode_png(p).shape == (8, 8, 3)
+            break
+    else:
+        pytest.fail("no resized png found")
+
+
+def test_decode_violations_on_ray(ray_session):
+    import ray.data as rd
+
+    table, manifest = synth_image_table(3000, seed=42, violation_frac=0.05)
+    ds = rd.from_arrow(table).repartition(4)
+    vio = decode_violations(ds, batch_size=256).take_all()
+    flagged = {r["key"] for r in vio}
+    fmts = dict(zip(table.column("image_id").to_pylist(),
+                    table.column("fmt").to_pylist()))
+    expected = {i for i in manifest["bad_bytes"] if fmts[i] == "png"}
+    assert expected <= flagged
+    # nothing clean is flagged
+    clean_png = {i for i, f in fmts.items()
+                 if f == "png" and i not in manifest["bad_bytes"]}
+    assert not (flagged & clean_png)

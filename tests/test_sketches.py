@@ -1,0 +1,95 @@
+"""Sketch accuracy + merge associativity (HyperLogLog, t-digest)."""
+
+import numpy as np
+import pytest
+
+from jsschema_ray.state import HyperLogLog, TDigest
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    for true_n in (100, 10_000, 500_000):
+        h = HyperLogLog(p=14)
+        # exactly true_n distinct values, each appearing 1-2 times
+        vals = np.concatenate([np.arange(true_n), rng.integers(0, true_n, true_n)])
+        h.add(vals.astype(np.int64))
+        est = h.estimate()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+    # merge == union
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.add(np.arange(0, 60_000, dtype=np.int64))
+    b.add(np.arange(40_000, 100_000, dtype=np.int64))
+    est = a.merge(b).estimate()
+    assert abs(est - 100_000) / 100_000 < 0.05
+
+    # serialization round-trip preserves estimate
+    c = HyperLogLog.from_bytes(a.to_bytes())
+    assert c.estimate() == a.estimate()
+
+    # string values hash deterministically
+    s1, s2 = HyperLogLog(), HyperLogLog()
+    strs = np.array([f"doc-{i}" for i in range(5000)], dtype=object)
+    s1.add(strs)
+    s2.add(strs)
+    assert s1.estimate() == s2.estimate()
+    assert abs(s1.estimate() - 5000) / 5000 < 0.05
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(2)
+    vals = rng.normal(100, 15, size=200_000)
+    t = TDigest()
+    for chunk in np.array_split(vals, 37):  # incremental adds
+        t.add(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        got = t.quantile(q)
+        want = np.quantile(vals, q)
+        assert abs(got - want) < 0.8, (q, got, want)
+    assert t.quantile(0.0) == vals.min()
+    assert t.quantile(1.0) == vals.max()
+    assert abs(t.count - len(vals)) < 1e-6
+
+
+def test_tdigest_merge_matches_whole():
+    rng = np.random.default_rng(3)
+    vals = rng.exponential(10, size=100_000)
+    whole = TDigest()
+    whole.add(vals)
+    parts = [TDigest() for _ in range(8)]
+    for i, chunk in enumerate(np.array_split(vals, 8)):
+        parts[i].add(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert abs(merged.quantile(q) - whole.quantile(q)) < max(
+            0.05 * whole.quantile(q), 0.1
+        )
+
+    rt = TDigest.from_bytes(merged.to_bytes())
+    assert rt.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_tdigest_ks():
+    rng = np.random.default_rng(4)
+    a, b, c = TDigest(), TDigest(), TDigest()
+    a.add(rng.normal(0, 1, 50_000))
+    b.add(rng.normal(0, 1, 50_000))
+    c.add(rng.normal(1.0, 1, 50_000))  # shifted by 1 sigma -> KS ~ 0.38
+    assert a.ks_distance(b) < 0.03
+    assert abs(a.ks_distance(c) - 0.38) < 0.05
+    assert a.ks_distance(a) == 0.0
+
+
+def test_tdigest_edge_cases():
+    t = TDigest()
+    assert np.isnan(t.quantile(0.5))
+    t.add(np.array([5.0]))
+    assert t.quantile(0.5) == 5.0
+    t2 = TDigest()
+    t2.add(np.array([np.nan, np.nan]))
+    assert t2.count == 0
+    t3 = TDigest()
+    t3.add(np.full(1000, 7.0))
+    assert t3.quantile(0.5) == 7.0

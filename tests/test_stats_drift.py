@@ -1,0 +1,95 @@
+"""Stats actor-pool stage + drift constraint over Ray Datasets, checked
+against exact pandas/numpy computations on the same data."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsschema_ray.sources.synth import synth_image_table
+from jsschema_ray.stages.drift import DriftProfile, build_profile, drift_check
+from jsschema_ray.stages.stats import StatsAccumulator, StatsSpec, collect_stats
+
+
+def test_stats_accumulator_single_batch():
+    table, _ = synth_image_table(2000, seed=42, with_bytes=False)
+    spec = StatsSpec(
+        columns=["w", "h", "fmt", "caption"],
+        distinct=["image_id", "fmt"],
+        quantiles=["w"],
+        derived={"caption_len": ("caption", "utf8_length")},
+    )
+    spec.columns.append("caption_len")
+    out = StatsAccumulator(spec)(table).to_pylist()
+    by_col = {r["column"]: r for r in out}
+    w = table.column("w").to_numpy()
+    assert by_col["w"]["vmin"] == w.min() and by_col["w"]["vmax"] == w.max()
+    assert by_col["w"]["vsum"] == float(w.sum())
+    assert by_col["fmt"]["hll"] is not None and by_col["w"]["tdigest"] is not None
+    assert by_col["fmt"]["smin"] is not None  # string min/max
+    cap_nulls = table.column("caption").null_count
+    assert by_col["caption"]["nulls"] == cap_nulls
+    assert by_col["caption_len"]["n"] == 2000 - cap_nulls
+
+
+def test_collect_stats_on_ray(ray_session):
+    import ray.data as rd
+
+    table, _ = synth_image_table(20_000, seed=42, with_bytes=False)
+    ds = rd.from_arrow(table).repartition(8)
+    spec = StatsSpec(
+        columns=["w", "h"], distinct=["image_id", "fmt", "phash"],
+        quantiles=["w", "h"],
+    )
+    stats = collect_stats(ds, spec, batch_size=2048)
+    w = table.column("w").to_numpy()
+    cs = stats[("", "w")]
+    assert cs.count == 20_000 and cs.min == w.min() and cs.max == w.max()
+    assert abs(cs.mean - w.mean()) < 1e-9
+    med = cs.quantile(0.5)
+    assert abs(med - np.median(w)) < 0.02 * np.median(w)
+
+    n_ids = len(set(table.column("image_id").to_pylist()))
+    est = stats[("", "image_id")].distinct
+    assert abs(est - n_ids) / n_ids < 0.05
+    assert stats[("", "fmt")].distinct in (3, 4)  # png/jpeg/webp (+"gif" rows)
+
+    n_ph = len(set(table.column("phash").to_pylist()))
+    est_ph = stats[("", "phash")].distinct
+    assert abs(est_ph - n_ph) / n_ph < 0.05  # Zipf-skewed but HLL holds
+
+
+def test_drift_detects_shift(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    clean_w = rng.normal(800, 100, 30_000).astype(np.int32)
+    ref = pa.table({"w": clean_w, "caption": ["a caption ok"] * 30_000})
+    profile = build_profile(rd.from_arrow(ref), ["w", "caption_len"],
+                            batch_size=4096)
+
+    # partitions: p0/p1 match the profile, p2 is shifted
+    w = np.concatenate(
+        [
+            rng.normal(800, 100, 10_000),
+            rng.normal(800, 100, 10_000),
+            rng.normal(1100, 100, 10_000),  # drifted
+        ]
+    ).astype(np.int32)
+    part = np.repeat(["p0", "p1", "p2"], 10_000)
+    test = pa.table(
+        {"w": w, "caption": ["a caption ok"] * 30_000, "part": part}
+    )
+    verdicts = drift_check(
+        rd.from_arrow(test).repartition(6), profile, ["w", "caption_len"],
+        partition_col="part", ks_threshold=0.15, batch_size=4096,
+    ).to_pylist()
+    byp = {(r["partition"], r["column"]): r for r in verdicts}
+    assert byp[("p0", "w")]["passed"] and byp[("p1", "w")]["passed"]
+    assert not byp[("p2", "w")]["passed"]
+    assert byp[("p2", "w")]["ks"] > 0.5
+    for p in ("p0", "p1", "p2"):
+        assert byp[(p, "caption_len")]["passed"]  # identical captions
+
+    # profile serialization round-trip
+    p2 = DriftProfile.from_json(profile.to_json())
+    assert p2.digests["w"].quantile(0.5) == profile.digests["w"].quantile(0.5)

@@ -1,44 +1,622 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the jsschema_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline over the sf0.001
+testdata; ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (identical column
+names and ordering semantics — aggregates rounded to 4 decimals on BOTH
+sides so float association order cannot flip the value hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import: nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+# --------------------------------------------------------------------------
+# constraint schemas used by the queries
+# --------------------------------------------------------------------------
+
+LINEITEM_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "required": ["l_orderkey", "l_quantity"],
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 1, "maximum": 30},
+        "l_discount": {"type": "number", "maximum": 0.05},
+        "l_extendedprice": {"type": "number", "minimum": 1000},
+    },
+}
+
+CUSTOMER_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "properties": {
+        "c_name": {"type": "string", "pattern": "^Customer#[0-9]{9}$"},
+        "c_mktsegment": {
+            "enum": ["MACHINERY", "FURNITURE", "BUILDING", "AUTOMOBILE"]
+        },
+        "c_acctbal": {"minimum": 0},
+    },
+}
+
+DOCUMENTS_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "required": ["doc_id", "text"],
+    "properties": {
+        "n_chars": {"type": "integer", "minimum": 100, "maximum": 400},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+    },
+}
+
+EVENTS_PROPS_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _violating_rows(ds, schema: dict, keep: list[str]):
+    """Rows failing the row-local DAG, projected to ``keep`` (matches a SQL
+    WHERE NOT(...) on clean, null-free columns)."""
+    from jsschema_ray.stages.validate import ValidateBatch
+
+    stage = ValidateBatch(schema, mode="annotate")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = stage(batch)
+        bad = pc.invert(out.column("valid"))
+        return out.filter(bad).select(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# image-table queries (synthesized input_hint table; rows-only checks)
+# --------------------------------------------------------------------------
+
+_SF_ROWS = {"sf0.001": 5_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _image_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_ROWS.get(name, 20_000)
+    out = f"/tmp/jsschema_ray_cache/img_{n}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from jsschema_ray.sources.synth import write_image_dataset
+
+        write_image_dataset(out, n, shards=8, violation_frac=0.02)
+        open(marker, "w").write("ok")
+    return out
+
+
+def q_image_validate(sf_dir: str):
+    from jsschema_ray.pipelines.image_schema import IMAGE_SCHEMA
+    from jsschema_ray.stages.validate import violations
+
+    schema = {k: v for k, v in IMAGE_SCHEMA.items() if not k.startswith("x-")}
+    schema["required"] = [r for r in schema["required"] if r != "bytes"]
+    ds = rd.read_parquet(
+        _image_dir(sf_dir),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+    return violations(ds, schema, key_column="image_id").sort(
+        ["key", "path", "keyword"]
+    )
+
+
+def q_image_stats(sf_dir: str):
+    from jsschema_ray.stages.stats import StatsSpec, collect_stats
+
+    ds = rd.read_parquet(_image_dir(sf_dir),
+                         columns=["image_id", "w", "h", "fmt", "phash"])
+    spec = StatsSpec(columns=["w", "h"], distinct=["image_id", "fmt", "phash"],
+                     quantiles=["w", "h"])
+    stats = collect_stats(ds, spec)
+    rows = []
+    for (_, col), cs in sorted(stats.items()):
+        rows.append(
+            {
+                "column": col, "n": cs.count, "nulls": cs.nulls,
+                "vmin": cs.min, "vmax": cs.max,
+                "distinct_est": cs.distinct,
+                "p50": None if cs.digest is None else round(cs.quantile(0.5), 2),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def q_image_unique_phash(sf_dir: str):
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
+    return duplicate_keys(ds, "phash").sort(
+        ["dup_count", "phash"], descending=[True, False]
+    ).limit(50)
+
+
+def q_image_decode(sf_dir: str):
+    from jsschema_ray.stages.multimodal import decode_violations
+
+    ds = rd.read_parquet(_image_dir(sf_dir),
+                         columns=["image_id", "bytes", "fmt"])
+    return decode_violations(ds, batch_size=1024).sort(["key"])
+
+
+def q_image_drift(sf_dir: str):
+    import ray
+
+    from jsschema_ray.stages.drift import build_profile, drift_check
+
+    img = _image_dir(sf_dir)
+    profile = build_profile(
+        rd.read_parquet(img, columns=["w", "h", "caption"]),
+        ["w", "h", "caption_len"],
+    )
+    files = sorted(
+        os.path.join(img, f) for f in os.listdir(img) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["w", "h", "caption"],
+                         include_paths=True)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [os.path.basename(p).split(".")[0]
+                 for p in batch.column("path").to_pylist()]
+        return batch.drop_columns(["path"]).append_column(
+            "_partition", pa.array(parts, type=pa.string())
+        )
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    return drift_check(ds, profile, ["w", "h", "caption_len"],
+                       partition_col="_partition", ks_threshold=0.15)
+
+
+# --------------------------------------------------------------------------
+# SQL-oracled queries over the testdata tables
+# --------------------------------------------------------------------------
+
+def q_range_violations(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_extendedprice"])
+    return _violating_rows(
+        ds, LINEITEM_SCHEMA,
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+         "l_extendedprice"],
+    )
+
+
+def q_pattern_enum_violations(sf_dir: str):
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    return _violating_rows(
+        ds, CUSTOMER_SCHEMA, ["c_custkey", "c_name", "c_mktsegment"]
+    )
+
+
+def q_document_violations(sf_dir: str):
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source", "n_chars"])
+    return _violating_rows(ds, DOCUMENTS_SCHEMA, ["doc_id", "lang", "n_chars"])
+
+
+def q_column_stats(sf_dir: str):
+    from jsschema_ray.stages.stats import StatsSpec, collect_stats
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    stats = collect_stats(ds, StatsSpec(columns=["l_quantity",
+                                                 "l_extendedprice"]))
+    q = stats[("", "l_quantity")]
+    p = stats[("", "l_extendedprice")]
+    # integer-scaled sums: exact under any summation order, so the value
+    # hash cannot hit a float rounding boundary between engines
+    return pa.table(
+        {
+            "n_rows": pa.array([q.count], type=pa.int64()),
+            "qty_min": pa.array([q.min]),
+            "qty_max": pa.array([q.max]),
+            "qty_sum": pa.array([int(round(q.sum))], type=pa.int64()),
+            "price_min": pa.array([p.min]),
+            "price_max": pa.array([p.max]),
+            "price_sum_cents": pa.array([int(round(p.sum * 100))],
+                                        type=pa.int64()),
+        }
+    )
+
+
+def q_group_stats(sf_dir: str):
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    # integer-scale the measures per batch -> sums are exact in any order
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(pc.round(batch.column("l_quantity")),
+                               pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_extendedprice"),
+                                         pa.scalar(100.0))), pa.int64()),
+                "disc_x100": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_discount"),
+                                         pa.scalar(100.0))), pa.int64()),
+            }
+        )
+
+    out = grouped_sums(
+        ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "qty", "sum_base_price_cents": "price_cents",
+         "sum_disc_x100": "disc_x100"},
+        count_alias="count_order",
+    )
+    return out.sort(["l_returnflag", "l_linestatus"]).select_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents",
+         "sum_disc_x100", "count_order"]
+    )
+
+
+def q_duplicate_keys(sf_dir: str):
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return duplicate_keys(ds, "l_orderkey").sort(["l_orderkey"])
+
+
+def q_top_duplicates(sf_dir: str):
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return duplicate_keys(ds, "l_orderkey").sort(
+        ["dup_count", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_referential_orphans(sf_dir: str):
+    from jsschema_ray.stages.referential import referential_violations
+
+    events = _read(sf_dir, "events", ["event_id", "user_id"])
+    ref = _read(sf_dir, "customer", ["c_custkey"]).filter(
+        expr="c_custkey < 100"
+    )
+    return referential_violations(
+        events, "user_id", ref, ref_column="c_custkey",
+        keep_columns=["event_id", "user_id"],
+    ).sort(["event_id"])
+
+
+def q_exact_dedup(sf_dir: str):
+    from jsschema_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents")
+    return exact_dedup(ds, "text", "doc_id").sort(["doc_id"])
+
+
+def q_token_counts(sf_dir: str):
+    from jsschema_ray.stages.text import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = TextStats("text")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return stage(batch).select(["doc_id", "n_chars", "n_tokens"])
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(["doc_id"])
+
+
+def q_json_extract(sf_dir: str):
+    """Dynamic-JSON path: parse events.props per row (actor-pool stage),
+    aggregate k by event_type."""
+    import json as _json
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = np.array(
+            [_json.loads(p)["k"] for p in batch.column("props").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "k": pa.array(ks, type=pa.int64())}
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    out = grouped_sums(parsed, ["event_type"], {"sum_k": "k"},
+                       count_alias="n_events")
+    return out.sort(["event_type"])
+
+
+def q_json_validate(sf_dir: str):
+    """events whose props JSON fails the draft-04 schema (k > 50)."""
+    from jsschema_ray.stages.validate import JsonColumnValidator
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = JsonColumnValidator(EVENTS_PROPS_SCHEMA, "props")(batch)
+        bad = pc.invert(out.column("json_valid"))
+        return out.filter(bad).select(["event_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=8192).sort(["event_id"])
+
+
+# --------------------------------------------------------------------------
+# training-data operators (rows-only checks: sketches / LSH / heuristics)
+# --------------------------------------------------------------------------
+
+def q_minhash_dedup(sf_dir: str):
+    from jsschema_ray.stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = minhash_dedup(ds, "text", "doc_id", threshold=0.7, num_perm=64,
+                        bands=16)
+    rows = [
+        {"cluster_min": min(c), "size": len(c), "members": c}
+        for c in res["clusters"]
+    ]
+    schema = pa.schema([("cluster_min", pa.int64()), ("size", pa.int64()),
+                        ("members", pa.list_(pa.int64()))])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def q_simhash(sf_dir: str):
+    from jsschema_ray.stages.dedup import SimHash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        SimHash, fn_constructor_kwargs={"column": "text"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).select_columns(["doc_id", "simhash"]).sort(["doc_id"])
+
+
+def q_fingerprint(sf_dir: str):
+    from jsschema_ray.stages.text import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint(ds).select_columns(
+        ["doc_id", "fp_winnow", "fp_content"]
+    ).sort(["doc_id"])
+
+
+def q_lang_id(sf_dir: str):
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tagged = lang_id(ds)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang_pred": batch.column("lang_pred"),
+             "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+
+    return grouped_sums(
+        tagged.map_batches(ones, batch_format="pyarrow"), ["lang_pred"],
+        {"n_docs": "one"}, count_alias=None,
+    ).sort(["lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    from jsschema_ray.stages.text import text_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = text_stats(ds)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality_score": pc.round(batch.column("quality_score"),
+                                          ndigits=4),
+                "stopword_ratio": pc.round(batch.column("stopword_ratio"),
+                                           ndigits=4),
+            }
+        )
+
+    return out.map_batches(fn, batch_format="pyarrow").sort(["doc_id"])
+
+
+def q_knn_brute(sf_dir: str):
+    from jsschema_ray.stages.similarity import knn_brute
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = sorted(ds.limit(3).take_all(), key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float32)
+    return knn_brute(ds, Q, k=5).select(["query_id", "rank", "key"])
+
+
+def q_knn_ivf(sf_dir: str):
+    from jsschema_ray.stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = sorted(ds.limit(3).take_all(), key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float32)
+    return knn_ivf(ds, Q, k=5, n_centroids=32, n_probe=8).select(
+        ["query_id", "rank", "key"]
+    )
+
+
+def q_embedding_dedup(sf_dir: str):
+    from jsschema_ray.stages.dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = embedding_dedup(ds, threshold=0.95, n_planes=8)
+    rows = [
+        {"cluster_min": min(c), "size": len(c), "members": c}
+        for c in res["clusters"]
+    ]
+    schema = pa.schema([("cluster_min", pa.int64()), ("size", pa.int64()),
+                        ("members", pa.list_(pa.int64()))])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
+
+def entry():
+    """Flagship: full validation over sf0.001 lineitem (row-local DAG +
+    uniqueness + referential + stats happen in queries; here the violations
+    Dataset is the returned artifact)."""
+    sf = "/root/testdata/sf0.001"
+    return q_range_violations(sf)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # row-local draft-04 keyword validation
+        "range_violations": q_range_violations,
+        "pattern_enum_violations": q_pattern_enum_violations,
+        "document_violations": q_document_violations,
+        # stats / aggregation
+        "column_stats": q_column_stats,
+        "group_stats": q_group_stats,
+        # global constraints
+        "duplicate_keys": q_duplicate_keys,
+        "top_duplicates": q_top_duplicates,
+        "referential_orphans": q_referential_orphans,
+        # dynamic JSON payloads
+        "json_extract": q_json_extract,
+        "json_validate": q_json_validate,
+        # dedup / text / similarity (training-data ops)
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "knn_brute": q_knn_brute,
+        "knn_ivf": q_knn_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        # image input_hint table (synthesized; rows-only)
+        "image_validate": q_image_validate,
+        "image_stats": q_image_stats,
+        "image_unique_phash": q_image_unique_phash,
+        "image_decode": q_image_decode,
+        "image_drift": q_image_drift,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "range_violations": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                   l_extendedprice
+            FROM lineitem
+            WHERE NOT (l_quantity BETWEEN 1 AND 30
+                       AND l_discount <= 0.05
+                       AND l_extendedprice >= 1000)
+        """,
+        "pattern_enum_violations": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT (regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                       AND c_mktsegment IN ('MACHINERY','FURNITURE',
+                                            'BUILDING','AUTOMOBILE')
+                       AND c_acctbal >= 0)
+        """,
+        "document_violations": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE NOT (n_chars BETWEEN 100 AND 400
+                       AND lang IN ('en','de','fr','es')
+                       AND regexp_matches(source, '^src[0-9]+$'))
+        """,
+        "column_stats": """
+            SELECT COUNT(*) AS n_rows,
+                   MIN(l_quantity) AS qty_min,
+                   MAX(l_quantity) AS qty_max,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS qty_sum,
+                   MIN(l_extendedprice) AS price_min,
+                   MAX(l_extendedprice) AS price_max,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_sum_cents
+            FROM lineitem
+        """,
+        "group_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS sum_disc_x100,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "duplicate_keys": """
+            SELECT l_orderkey, COUNT(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+            ORDER BY l_orderkey
+        """,
+        "top_duplicates": """
+            SELECT l_orderkey, COUNT(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+            ORDER BY dup_count DESC, l_orderkey LIMIT 10
+        """,
+        "referential_orphans": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+            ORDER BY event_id
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "json_validate": """
+            SELECT event_id FROM events
+            WHERE NOT (CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       BETWEEN 0 AND 50)
+            ORDER BY event_id
+        """,
+        "exact_dedup": """
+            SELECT d.* FROM documents d
+            JOIN (SELECT text, MIN(doc_id) AS keep FROM documents
+                  GROUP BY text) g
+              ON d.text = g.text AND d.doc_id = g.keep
+            ORDER BY d.doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   LENGTH(regexp_replace(TRIM(text), '\\S+', 'x', 'g'))
+                     - LENGTH(REPLACE(
+                         regexp_replace(TRIM(text), '\\S+', 'x', 'g'),
+                         'x', '')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+    }

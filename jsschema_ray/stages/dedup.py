@@ -1,0 +1,519 @@
+"""Deduplication operators for training-data pipelines (driver-mandated
+first-class components): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (all avoid shuffling full documents):
+  * exact:   vectorized content-hash per batch -> (hash,key) pre-agg ->
+             groupby(hash) keeps min key -> broadcast the LOSER key set and
+             anti-filter the original stream (rows never shuffle);
+  * minhash: per-batch shingle->signature (numpy), explode to
+             (band, band_hash, key) rows -> groupby bands -> candidate
+             pairs -> exact-Jaccard verification on candidate keys only ->
+             union-find on the (small) verified pair set;
+  * simhash: per-batch 64-bit simhash -> band on 16-bit chunks (Hamming
+             <= 3 guarantees a matching chunk) -> verify Hamming distance;
+  * embedding: random-hyperplane LSH buckets -> within-bucket pairwise
+             cosine -> threshold pairs -> union-find.
+
+Union-find runs on the driver over the VERIFIED PAIR set only — candidate
+pairs, not rows; the docstring of each op states that assumption (per the
+driver instruction to document partitioning assumptions).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Min
+
+from jsschema_ray.state.hll import hash64
+
+_MERSENNE = (1 << 61) - 1
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def add_content_hash(ds, column: str, out_column: str = "content_hash",
+                     batch_size: int = 8192):
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).to_pandas().fillna("").to_numpy(dtype=object)
+        h = (hash64(s) >> np.uint64(1)).astype(np.int64)
+        return batch.append_column(out_column, pa.array(h, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
+    """Keep exactly one row (the min ``key_column``) per distinct ``column``
+    value. Survivor selection shuffles only (hash, key) pairs; full rows are
+    filtered in place against the broadcast loser-key set."""
+    hashed = add_content_hash(ds, column, batch_size=batch_size)
+    pairs = hashed.select_columns(["content_hash", key_column])
+
+    # loser keys = every key of a duplicated hash group except the min;
+    # only duplicate GROUPS shuffle/collect — bounded by duplicate volume,
+    # not corpus size (assumes key_column values are globally unique)
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"loser": pd.Series([], dtype=g[key_column].dtype)})
+        ks = g[key_column].sort_values()
+        return pd.DataFrame({"loser": ks.iloc[1:]})
+
+    loser_keys = {
+        r["loser"]
+        for r in pairs.groupby("content_hash").map_groups(
+            losers, batch_format="pandas"
+        ).take_all()
+    }
+    loser_ref = ray.put(loser_keys)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        bad = ray.get(loser_ref)
+        mask = pa.array([k not in bad for k in batch.column(key_column).to_pylist()])
+        return batch.filter(mask).drop_columns(["content_hash"])
+
+    return hashed.map_batches(keep_only, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
+def exact_duplicate_groups(ds, column: str, key_column: str,
+                           batch_size: int = 8192):
+    """(content_hash, n_rows, keys) per duplicated content value."""
+    hashed = add_content_hash(ds, column, batch_size=batch_size)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"content_hash": pd.Series([], dtype="int64"),
+                 "n_rows": pd.Series([], dtype="int64"),
+                 "keys": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {
+                "content_hash": [g["content_hash"].iloc[0]],
+                "n_rows": [len(g)],
+                "keys": [sorted(g[key_column].tolist())],
+            }
+        )
+
+    return hashed.select_columns(["content_hash", key_column]).groupby(
+        "content_hash"
+    ).map_groups(per_group, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# shingles + minhash
+# --------------------------------------------------------------------------
+
+def _word_shingles(text: str, k: int) -> np.ndarray:
+    words = re.findall(r"\w+", text.lower())
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(hash64(np.array(grams, dtype=object)))
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+                 ) -> np.ndarray:
+    """num_perm minimums of (a*h+b) mod M — vectorized (perm × shingles)."""
+    h = (shingle_hashes % np.uint64(_MERSENNE)).astype(np.uint64)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+class MinHashSignatures:
+    """Appends a minhash signature (fixed-size list<uint64 as int64>) per
+    document; perm parameters seeded once per actor."""
+
+    def __init__(self, column: str = "text", num_perm: int = 128,
+                 shingle_k: int = 3, seed: int = 7):
+        self.column = column
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.column).to_pylist()
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _word_shingles(t or "", self.k)
+            sigs[i] = (_minhash_sig(sh, self.a, self.b)).astype(np.int64)
+        return batch.append_column(
+            "minhash", pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), type=pa.int64()), self.num_perm
+            )
+        )
+
+
+def minhash_candidates(ds, column: str = "text", key_column: str = "doc_id",
+                       num_perm: int = 128, bands: int = 16,
+                       shingle_k: int = 3, batch_size: int = 4096,
+                       concurrency: Any = (1, 8)):
+    """LSH banding: (band_id, band_hash, key) rows -> groupby -> candidate
+    key groups (>=2 members). Returns a Dataset of
+    (band_id, band_hash, keys:list)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigged = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"column": column, "num_perm": num_perm,
+                               "shingle_k": shingle_k},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch.column("minhash").combine_chunks()
+        flat = sig.values.to_numpy(zero_copy_only=False).reshape(
+            len(batch), num_perm
+        )
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+        band_ids, band_hashes, out_keys = [], [], []
+        for bidx in range(bands):
+            chunk = flat[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+            bh = pd.util.hash_pandas_object(
+                pd.DataFrame(chunk), index=False
+            ).to_numpy()
+            band_ids.append(np.full(len(batch), bidx, dtype=np.int32))
+            band_hashes.append((bh >> np.uint64(1)).astype(np.int64))
+            out_keys.append(keys)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(band_ids), type=pa.int32()),
+                "band_hash": pa.array(np.concatenate(band_hashes), type=pa.int64()),
+                key_column: pa.array(np.concatenate(out_keys)),
+            }
+        )
+
+    exploded = sigged.select_columns(["minhash", key_column]).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def collect_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"band_id": pd.Series([], dtype="int32"),
+                                 "band_hash": pd.Series([], dtype="int64"),
+                                 "keys": pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {
+                "band_id": [g["band_id"].iloc[0]],
+                "band_hash": [g["band_hash"].iloc[0]],
+                "keys": [sorted(set(g[key_column].tolist()))],
+            }
+        )
+
+    return exploded.groupby(["band_id", "band_hash"]).map_groups(
+        collect_group, batch_format="pandas"
+    )
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != self.parent.setdefault(p, p):
+            self.parent[x] = self.parent[p]
+            x, p = p, self.parent[p]
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def minhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
+                  threshold: float = 0.8, num_perm: int = 128,
+                  bands: int = 16, shingle_k: int = 3,
+                  batch_size: int = 4096) -> dict[str, Any]:
+    """Near-dup clusters: LSH candidates -> exact n-gram Jaccard
+    verification on candidate documents only -> union-find.
+
+    Partitioning assumption (documented per driver instruction): the
+    CANDIDATE set (keys sharing an LSH bucket) fits the driver — true when
+    near-dup rate ≪ corpus size; at 10^12 scale the banding groupby runs
+    distributed and only verified pairs come back. Returns
+    {clusters: [[keys...]], drop_keys: [...], n_candidates: int}."""
+    cand = minhash_candidates(ds, column, key_column, num_perm, bands,
+                              shingle_k, batch_size)
+    groups = [r["keys"] for r in cand.take_all()]
+    cand_keys = sorted({k for g in groups for k in g})
+    if not cand_keys:
+        return {"clusters": [], "drop_keys": [], "n_candidates": 0}
+
+    # pull candidate documents only (broadcast filter, no shuffle)
+    keyset_ref = ray.put(set(cand_keys))
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        ks = set(ray.get(keyset_ref))
+        mask = pa.array([k in ks for k in batch.column(key_column).to_pylist()])
+        return batch.filter(mask)
+
+    docs = {
+        r[key_column]: _word_shingles(r[column] or "", shingle_k)
+        for r in ds.select_columns([key_column, column]).map_batches(
+            only_cands, batch_format="pyarrow", batch_size=batch_size
+        ).take_all()
+    }
+    uf = _UnionFind()
+    verified = 0
+    seen_pairs: set = set()
+    for g in groups:
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                pair = (g[i], g[j])
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                if jaccard(docs[g[i]], docs[g[j]]) >= threshold:
+                    uf.union(g[i], g[j])
+                    verified += 1
+    clusters: dict = {}
+    for k in cand_keys:
+        clusters.setdefault(uf.find(k), []).append(k)
+    clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
+    drop = sorted(k for r, m in clusters.items() for k in m if k != min(m))
+    return {
+        "clusters": sorted(clusters.values()),
+        "drop_keys": drop,
+        "n_candidates": len(seen_pairs),
+        "n_verified_pairs": verified,
+    }
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+class SimHash:
+    """64-bit SimHash (Charikar 2002) per document over word hashes;
+    appended as int64."""
+
+    def __init__(self, column: str = "text", out_column: str = "simhash"):
+        self.column = column
+        self.out_column = out_column
+        self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _one(self, text: str) -> int:
+        words = re.findall(r"\w+", (text or "").lower())
+        if not words:
+            return 0
+        h = hash64(np.array(words, dtype=object))
+        bits = ((h[:, None] & self.bit_cols[None, :]) != 0).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            sh |= self.bit_cols[i]
+        return int(sh >> np.uint64(1))  # keep in int64 range
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self._one(t) for t in batch.column(self.column).to_pylist()]
+        return batch.append_column(
+            self.out_column, pa.array(np.array(vals, dtype=np.int64))
+        )
+
+
+def simhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
+                  max_hamming: int = 3, batch_size: int = 4096,
+                  concurrency: Any = (1, 8)) -> dict[str, Any]:
+    """Near-dup via SimHash banding: Hamming distance <= 3 over a 63-bit
+    hash guarantees at least one identical 16-bit chunk (pigeonhole) ->
+    groupby chunk -> verify exact Hamming. Candidate set assumed
+    driver-small (same contract as minhash_dedup)."""
+    sh = ds.map_batches(
+        SimHash, fn_constructor_kwargs={"column": column},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    ).select_columns([key_column, "simhash"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bids, chunks, oks = [], [], []
+        for c in range(4):
+            chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            bids.append(np.full(len(h), c, dtype=np.int32))
+            chunks.append(chunk.astype(np.int64))
+            oks.append(keys)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bids), type=pa.int32()),
+                "chunk": pa.array(np.concatenate(chunks), type=pa.int64()),
+                key_column: pa.array(np.concatenate(oks)),
+                "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
+            }
+        )
+
+    exploded = sh.map_batches(explode, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def collect_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"pairs": pd.Series([], dtype="string")})
+        ks = g[key_column].tolist()
+        hs = g["simhash"].tolist()
+        pairs = []
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                if ks[i] == ks[j]:
+                    continue
+                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if d <= max_hamming:
+                    pairs.append(sorted((ks[i], ks[j])))
+        return pd.DataFrame({"pairs": [_json.dumps(pairs)]} if pairs else
+                            {"pairs": pd.Series([], dtype="string")})
+
+    uf = _UnionFind()
+    n_pairs = 0
+    for r in exploded.groupby(["band_id", "chunk"]).map_groups(
+        collect_group, batch_format="pandas"
+    ).take_all():
+        for a, b in _json.loads(r["pairs"]):
+            uf.union(a, b)
+            n_pairs += 1
+    clusters: dict = {}
+    for k in list(uf.parent):
+        clusters.setdefault(uf.find(k), []).append(k)
+    clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
+    drop = sorted(k for m in clusters.values() for k in m if k != min(m))
+    return {"clusters": sorted(clusters.values()), "drop_keys": drop,
+            "n_pairs": n_pairs}
+
+
+# --------------------------------------------------------------------------
+# n-gram jaccard (exact, small-corpus / verification operator)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_matrix(ds, column: str = "text", key_column: str = "doc_id",
+                         shingle_k: int = 3, threshold: float = 0.5,
+                         batch_size: int = 4096) -> pa.Table:
+    """All pairs with exact word-k-gram Jaccard >= threshold. Quadratic in
+    corpus size by construction — an exact verification/audit operator for
+    small corpora or candidate sets, not the 10^12-row path (that's
+    minhash_dedup)."""
+    rows = ds.select_columns([key_column, column]).take_all()
+    keys = [r[key_column] for r in rows]
+    shingles = [_word_shingles(r[column] or "", shingle_k) for r in rows]
+    out = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            sim = jaccard(shingles[i], shingles[j])
+            if sim >= threshold:
+                out.append({"key_a": keys[i], "key_b": keys[j],
+                            "jaccard": round(sim, 6)})
+    return pa.Table.from_pylist(
+        out, schema=pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
+                               ("jaccard", pa.float64())])
+    ) if out else pa.table({"key_a": pa.array([], type=pa.int64()),
+                            "key_b": pa.array([], type=pa.int64()),
+                            "jaccard": pa.array([], type=pa.float64())})
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def list_col_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, d) float32 matrix (zero-copy flatten).
+    Also accepts Ray's ArrowTensorArray extension columns (from_pandas with
+    ndarray cells produces those)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):  # e.g. ray ArrowTensorArray
+        out = col.to_numpy(zero_copy_only=False)
+        if out.dtype == object:
+            out = np.stack(out)
+        return out
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    d = int(off[1] - off[0])
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return vals[off[0]:off[-1]].reshape(len(col), d)
+
+
+def embedding_dedup(ds, emb_column: str = "embedding",
+                    key_column: str = "vec_id", threshold: float = 0.95,
+                    n_planes: int = 12, seed: int = 11,
+                    batch_size: int = 4096) -> dict[str, Any]:
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (seeded,
+    broadcast planes) -> within-bucket exact pairwise cosine -> union-find.
+    Bucket population assumed worker-small (2^n_planes buckets spread the
+    corpus; raise n_planes for bigger corpora)."""
+    rng = np.random.default_rng(seed)
+    sample = ds.take(1)
+    d = len(sample[0][emb_column])
+    planes = rng.normal(size=(d, n_planes)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        X = list_col_to_matrix(batch.column(emb_column))
+        P = ray.get(planes_ref)
+        signs = (X @ P) > 0
+        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                key_column: batch.column(key_column),
+                "bucket": pa.array(bucket),
+                emb_column: batch.column(emb_column),
+            }
+        )
+
+    bucketed = ds.select_columns([key_column, emb_column]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"pairs": pd.Series([], dtype="string")})
+        X = np.stack(g[emb_column].to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = X @ X.T
+        ks = g[key_column].tolist()
+        iu, ju = np.triu_indices(len(ks), k=1)
+        hits = np.flatnonzero(S[iu, ju] >= threshold)
+        pairs = [sorted((ks[iu[h]], ks[ju[h]])) for h in hits]
+        return pd.DataFrame({"pairs": [_json.dumps(pairs)]} if pairs else
+                            {"pairs": pd.Series([], dtype="string")})
+
+    uf = _UnionFind()
+    n = 0
+    for r in bucketed.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    ).take_all():
+        for a, b in _json.loads(r["pairs"]):
+            uf.union(a, b)
+            n += 1
+    clusters: dict = {}
+    for k in list(uf.parent):
+        clusters.setdefault(uf.find(k), []).append(k)
+    clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
+    drop = sorted(k for m in clusters.values() for k in m if k != min(m))
+    return {"clusters": sorted(clusters.values()), "drop_keys": drop,
+            "n_pairs": n}

@@ -1,0 +1,168 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column
+(list<float>) — driver-mandated first-class component.
+
+Two paths:
+  * knn_brute — exact cosine top-k: the query matrix is broadcast once
+    (`ray.put`), each batch does ONE numpy matmul against it and emits its
+    per-batch top-k rows; the driver folds the tiny (batches × q × k)
+    partial top-k lists. Rows never shuffle; wall-time is the scan.
+  * knn_ivf — the scale path: k-means centroids trained on a seeded sample
+    (driver-side numpy Lloyd iterations), every batch assigns rows to their
+    nearest centroid and keeps only rows whose centroid is among the
+    queries' n_probe nearest — the scan prunes to ~n_probe/n_centroids of
+    the data, at standard IVF recall cost.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from jsschema_ray.stages.dedup import list_col_to_matrix
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _fold_topk(partials: list[dict], k: int, n_queries: int) -> pa.Table:
+    """Merge per-batch top-k candidate rows into global top-k per query."""
+    heaps: list[list] = [[] for _ in range(n_queries)]
+    for p in partials:
+        for qid, key, score in zip(p["query_id"], p["key"], p["score"]):
+            h = heaps[qid]
+            if len(h) < k:
+                heapq.heappush(h, (score, key))
+            elif score > h[0][0]:
+                heapq.heapreplace(h, (score, key))
+    rows = []
+    for qid, h in enumerate(heaps):
+        for rank, (score, key) in enumerate(sorted(h, key=lambda t: (-t[0], t[1]))):
+            rows.append({"query_id": qid, "rank": rank, "key": key,
+                         "score": round(float(score), 6)})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                                ("key", pa.int64()), ("score", pa.float64())])
+    )
+
+
+def knn_brute(ds, queries: np.ndarray, k: int = 10,
+              emb_column: str = "embedding", key_column: str = "vec_id",
+              batch_size: int = 8192) -> pa.Table:
+    """Exact cosine top-k of each query row against the dataset ->
+    (query_id, rank, key, score)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(Q)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        X = _normalize(list_col_to_matrix(batch.column(emb_column)))
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+        S = Qm @ X.T  # (q, n)
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        qids = np.repeat(np.arange(len(Qm)), kk)
+        flat = idx.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "key": pa.array(keys[flat]),
+                "score": pa.array(
+                    S[np.arange(len(Qm)).repeat(kk), flat].astype(np.float64)
+                ),
+            }
+        )
+
+    partials = ds.select_columns([key_column, emb_column]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    # regroup driver-side fold input
+    grouped = {"query_id": [], "key": [], "score": []}
+    for r in partials:
+        grouped["query_id"].append(r["query_id"])
+        grouped["key"].append(r["key"])
+        grouped["score"].append(r["score"])
+    return _fold_topk([grouped], k, len(Q))
+
+
+def train_centroids(ds, n_centroids: int, emb_column: str = "embedding",
+                    sample_rows: int = 20_000, iters: int = 10,
+                    seed: int = 5) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side sample (IVF coarse quantizer).
+    Sample size is fixed, independent of corpus size."""
+    frac_rows = ds.limit(sample_rows).take_all()
+    X = _normalize(
+        np.array([r[emb_column] for r in frac_rows], dtype=np.float32)
+    )
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 64,
+            n_probe: int = 8, emb_column: str = "embedding",
+            key_column: str = "vec_id", batch_size: int = 8192,
+            centroids: Optional[np.ndarray] = None) -> pa.Table:
+    """IVF-pruned cosine top-k: scan only rows whose nearest centroid is in
+    a query's n_probe probe list (approximate; recall rises with
+    n_probe/n_centroids)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    C = centroids if centroids is not None else train_centroids(
+        ds, n_centroids, emb_column
+    )
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    probed_union = np.unique(probe.reshape(-1))
+    q_ref = ray.put((Q, C, probe, probed_union))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        Qm, Cm, probe_m, keep_cents = ray.get(q_ref)
+        X = _normalize(list_col_to_matrix(batch.column(emb_column)))
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+        assign = np.argmax(X @ Cm.T, axis=1)
+        keep = np.isin(assign, keep_cents)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        X, keys, assign = X[keep], keys[keep], assign[keep]
+        S = Qm @ X.T
+        out_q, out_k, out_s = [], [], []
+        kk = min(k, S.shape[1])
+        for qid in range(len(Qm)):
+            mask = np.isin(assign, probe_m[qid])
+            if not mask.any():
+                continue
+            scores = np.where(mask, S[qid], -np.inf)
+            idx = np.argpartition(-scores, min(kk, mask.sum()) - 1)[:kk]
+            idx = idx[np.isfinite(scores[idx])]
+            out_q.extend([qid] * len(idx))
+            out_k.extend(keys[idx].tolist())
+            out_s.extend(scores[idx].astype(np.float64).tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, type=pa.int64()),
+             "key": pa.array(out_k, type=pa.int64()),
+             "score": pa.array(out_s, type=pa.float64())}
+        )
+
+    partials = ds.select_columns([key_column, emb_column]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    grouped = {"query_id": [], "key": [], "score": []}
+    for r in partials:
+        grouped["query_id"].append(r["query_id"])
+        grouped["key"].append(r["key"])
+        grouped["score"].append(r["score"])
+    return _fold_topk([grouped], k, len(Q))

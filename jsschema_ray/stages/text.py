@@ -1,0 +1,196 @@
+"""Text-analysis operators for training-data pipelines (driver-mandated
+first-class components): token counting, quality scoring, language ID,
+document fingerprinting. All vectorized `map_batches` bodies (pandas str /
+numpy kernels); regexes and stopword tables are compiled once per actor in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from jsschema_ray.state.hll import hash64
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols (the common
+# GPT-2-style pretoken split, public pattern family)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language identifier (public wordlists, top function words)
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "was", "for", "on", "are", "with", "as", "at", "be", "this"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu",
+           "mit", "den", "auf", "für", "im", "es", "sich", "von"},
+    "fr": {"le", "la", "les", "de", "et", "est", "un", "une", "que", "pas",
+           "pour", "dans", "qui", "sur", "avec", "au", "ce", "il"},
+    "es": {"el", "la", "los", "de", "que", "y", "es", "en", "un", "una",
+           "por", "con", "no", "para", "se", "su", "al", "lo"},
+}
+
+
+class TextStats:
+    """Appends n_chars, n_tokens (whitespace), n_tokens_bpe, punct_ratio,
+    stopword_ratio, upper_ratio, quality_score to each row."""
+
+    def __init__(self, column: str = "text"):
+        self.column = column
+        self.bpe = re.compile(_BPE_RE)
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = _LANG_PROFILES["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.column).to_pandas().fillna("")
+        n_chars = s.str.len()
+        n_tokens = s.str.split().str.len().fillna(0)
+        n_bpe = s.str.count(_BPE_RE)
+        n_punct = s.str.count(r"[^\w\s]")
+        n_upper = s.str.count(r"[A-Z]")
+        toks = s.str.lower().str.split()
+        stop_ratio = toks.map(
+            lambda ws: sum(w in self.stop for w in ws) / len(ws) if ws else 0.0
+        )
+        punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
+        upper_ratio = (n_upper / n_chars.clip(lower=1)).astype(float)
+        # simple composite quality heuristic: reasonable length, some
+        # stopwords, not punctuation-heavy, not shouting
+        length_score = np.clip(n_tokens / 20.0, 0, 1)
+        quality = (
+            0.4 * length_score
+            + 0.3 * np.clip(stop_ratio * 5, 0, 1)
+            + 0.2 * (1 - np.clip(punct_ratio * 4, 0, 1))
+            + 0.1 * (1 - np.clip(upper_ratio * 4, 0, 1))
+        )
+        out = batch
+        for name, vals, typ in (  # overwrite same-named existing columns
+            ("n_chars", n_chars, pa.int64()),
+            ("n_tokens", n_tokens, pa.int64()),
+            ("n_tokens_bpe", n_bpe, pa.int64()),
+            ("punct_ratio", punct_ratio, pa.float64()),
+            ("stopword_ratio", stop_ratio, pa.float64()),
+            ("upper_ratio", upper_ratio, pa.float64()),
+            ("quality_score", quality, pa.float64()),
+        ):
+            arr = pa.array(
+                np.asarray(vals, dtype="float64" if typ == pa.float64() else "int64"),
+                type=typ,
+            )
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
+
+
+class LangId:
+    """Stopword-profile language identifier (en/de/fr/es + 'und' for
+    undetermined). Deterministic heuristic: argmax of per-language stopword
+    hit-rate; 'und' when no profile scores above ``min_score``."""
+
+    def __init__(self, column: str = "text", out_column: str = "lang_pred",
+                 min_score: float = 0.02):
+        self.column = column
+        self.out_column = out_column
+        self.min_score = min_score
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.column).to_pandas().fillna("")
+        toks = s.str.lower().str.findall(r"[a-zà-ÿ]+")
+        langs = []
+        for ws in toks:
+            if not ws:
+                langs.append("und")
+                continue
+            n = len(ws)
+            best_lang, best = "und", self.min_score
+            for lang, prof in self.profiles.items():
+                score = sum(w in prof for w in ws) / n
+                if score > best:
+                    best_lang, best = lang, score
+            langs.append(best_lang)
+        return batch.append_column(
+            self.out_column, pa.array(langs, type=pa.string())
+        )
+
+
+class Fingerprint:
+    """Document fingerprinting via winnowing over rolling character k-gram
+    hashes (Schleimer et al. 2003, public): fingerprint = min hash of each
+    sliding window, reduced to one int64 per document (min-sketch) plus the
+    full content hash. Robust to small local edits in a way a plain content
+    hash is not."""
+
+    def __init__(self, column: str = "text", k: int = 8, window: int = 16,
+                 out_prefix: str = "fp"):
+        self.column = column
+        self.k = k
+        self.window = window
+        self.out_prefix = out_prefix
+
+    def _doc_fp(self, text: str) -> int:
+        if len(text) < self.k:
+            return int(hash64(np.array([text], dtype=object))[0] >> np.uint64(1))
+        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(b) - self.k + 1
+        if n <= 0:
+            return int(hash64(np.array([text], dtype=object))[0] >> np.uint64(1))
+        # polynomial rolling hash of all k-grams, vectorized via cumulative
+        # powers: h_i = sum_j b[i+j] * P^(k-1-j) mod 2^64
+        P = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):  # mod-2^64 arithmetic is intended
+            powers = np.empty(self.k, dtype=np.uint64)
+            powers[0] = 1
+            for j in range(1, self.k):
+                powers[j] = powers[j - 1] * P
+            win = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(
+                np.uint64
+            )
+            grams = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        # winnowing: min per sliding window of hashes; document sketch = min
+        w = min(self.window, len(grams))
+        mins = np.lib.stride_tricks.sliding_window_view(grams, w).min(axis=1)
+        return int(np.uint64(mins.min()) >> np.uint64(1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.column).to_pylist()
+        fps = np.array(
+            [0 if t is None else self._doc_fp(t) for t in texts], dtype=np.int64
+        )
+        content = (
+            hash64(np.array(["" if t is None else t for t in texts], dtype=object))
+            >> np.uint64(1)
+        ).astype(np.int64)
+        return batch.append_column(
+            f"{self.out_prefix}_winnow", pa.array(fps, type=pa.int64())
+        ).append_column(
+            f"{self.out_prefix}_content", pa.array(content, type=pa.int64())
+        )
+
+
+def text_stats(ds, column: str = "text", batch_size: int = 8192, **kw):
+    return ds.map_batches(TextStats(column), batch_format="pyarrow",
+                          batch_size=batch_size, **kw)
+
+
+def lang_id(ds, column: str = "text", batch_size: int = 8192,
+            concurrency: Any = (1, 8), **kw):
+    return ds.map_batches(
+        LangId, fn_constructor_kwargs={"column": column},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kw,
+    )
+
+
+def fingerprint(ds, column: str = "text", batch_size: int = 4096,
+                concurrency: Any = (1, 8), **kw):
+    return ds.map_batches(
+        Fingerprint, fn_constructor_kwargs={"column": column},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kw,
+    )

@@ -1,0 +1,193 @@
+"""Training-data operators over the driver testdata tables: text analysis,
+dedup suite, similarity search — cross-checked against exact pandas/numpy."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet"), pq.read_table(
+        f"{SF}/documents.parquet"
+    ).to_pandas()
+
+
+def test_text_stats(docs):
+    from jsschema_ray.stages.text import text_stats
+
+    ds, pdf = docs
+    out = text_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    assert (out["n_chars"] == pdf["text"].str.len()).all()
+    assert (out["n_tokens"] == pdf["text"].str.split().str.len()).all()
+    assert out["quality_score"].between(0, 1).all()
+    assert (out["n_tokens_bpe"] >= out["n_tokens"]).all()
+
+
+def test_lang_id_heuristic(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.text import lang_id
+
+    t = pa.table(
+        {
+            "id": [0, 1, 2, 3, 4],
+            "text": [
+                "the cat is on the mat and it is warm",
+                "der Hund ist nicht in der Stadt und ich bin hier",
+                "le chat est dans la maison et il est content",
+                "el perro es grande y la casa es de madera",
+                "zzzz qqqq xxxx",
+            ],
+        }
+    )
+    out = lang_id(rd.from_arrow(t)).to_pandas().sort_values("id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_stability(docs):
+    from jsschema_ray.stages.text import fingerprint
+
+    ds, pdf = docs
+    out = fingerprint(ds.limit(50)).to_pandas().sort_values("doc_id")
+    out2 = fingerprint(ds.limit(50)).to_pandas().sort_values("doc_id")
+    assert (out["fp_winnow"].to_numpy() == out2["fp_winnow"].to_numpy()).all()
+    # identical texts -> identical fingerprints; distinct texts mostly differ
+    assert out["fp_content"].nunique() == len(out)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import exact_dedup, exact_duplicate_groups
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # duplicate some rows with new ids
+    dup = pdf.head(20).copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000
+    both = pd.concat([pdf, dup], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(4)
+
+    kept = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert len(kept) == len(pdf)  # dups removed
+    assert set(kept["doc_id"]) == set(pdf["doc_id"])  # min key survives
+
+    groups = exact_duplicate_groups(ds, "text", "doc_id").take_all()
+    assert len(groups) == 20
+    assert all(g["n_rows"] == 2 for g in groups)
+    assert all(g["keys"][1] - g["keys"][0] == 10_000 for g in groups)
+
+
+def test_minhash_dedup_finds_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import minhash_dedup
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(150)
+    # near-dups: copy rows with one word changed
+    near = pdf.head(10).copy()
+    near["doc_id"] = near["doc_id"] + 50_000
+    near["text"] = near["text"].str.replace(" ", " ", regex=False) + " extra"
+    both = pd.concat([pdf, near], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(4)
+
+    res = minhash_dedup(ds, "text", "doc_id", threshold=0.7, num_perm=64,
+                        bands=16, batch_size=64)
+    cluster_map = {min(c): c for c in res["clusters"]}
+    for i in range(10):
+        assert i in cluster_map and (i + 50_000) in cluster_map[i], res["clusters"]
+    assert set(res["drop_keys"]) >= {i + 50_000 for i in range(10)}
+
+
+def test_simhash_dedup(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import simhash_dedup
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(100)
+    twin = pdf.head(5).copy()
+    twin["doc_id"] = twin["doc_id"] + 90_000  # identical text, new id
+    both = pd.concat([pdf, twin], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(3)
+    res = simhash_dedup(ds, "text", "doc_id", max_hamming=3, batch_size=64)
+    cluster_map = {min(c): c for c in res["clusters"]}
+    for i in range(5):
+        assert i in cluster_map and (i + 90_000) in cluster_map[i]
+
+
+def test_ngram_jaccard_matrix(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import ngram_jaccard_matrix
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon eta",   # 1 word differs
+                "totally different words here now then",
+            ],
+        }
+    )
+    out = ngram_jaccard_matrix(rd.from_arrow(t), threshold=0.3).to_pylist()
+    assert len(out) == 1 and {out[0]["key_a"], out[0]["key_b"]} == {1, 2}
+    assert 0.3 <= out[0]["jaccard"] < 1.0
+
+
+def test_embedding_dedup_and_knn(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import embedding_dedup
+    from jsschema_ray.stages.similarity import knn_brute, knn_ivf
+
+    pdf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+
+    # plant 3 exact near-dup pairs
+    clones = pdf.head(3).copy()
+    clones["vec_id"] = clones["vec_id"] + 70_000
+    both = pd.concat([pdf, clones], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(4)
+    res = embedding_dedup(ds, threshold=0.999, n_planes=6, batch_size=128)
+    cluster_map = {min(c): c for c in res["clusters"]}
+    for i in range(3):
+        assert i in cluster_map and (i + 70_000) in cluster_map[i]
+
+    # knn vs exact numpy
+    ds0 = rd.from_pandas(pdf).repartition(4)
+    Q = X[:5]
+    got = knn_brute(ds0, Q, k=5, batch_size=128).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Xn.T
+    for qid in range(5):
+        want = set(np.argsort(-S[qid])[:5])
+        have = set(got.loc[got["query_id"] == qid, "key"])
+        assert have == {int(pdf["vec_id"].iloc[i]) for i in want}
+        # rank 0 is the query itself (it's in the corpus)
+        top = got[(got["query_id"] == qid) & (got["rank"] == 0)].iloc[0]
+        assert top["key"] == int(pdf["vec_id"].iloc[qid])
+        assert top["score"] > 0.999
+
+    # IVF with generous probing ~ exact on small data
+    ivf = knn_ivf(ds0, Q, k=5, n_centroids=16, n_probe=16, batch_size=128
+                  ).to_pandas()
+    for qid in range(5):
+        brute_top = set(got.loc[got["query_id"] == qid, "key"])
+        ivf_top = set(ivf.loc[ivf["query_id"] == qid, "key"])
+        assert ivf_top == brute_top  # n_probe == n_centroids -> exhaustive
+
+    # IVF with real pruning still finds the self-match
+    ivf2 = knn_ivf(ds0, Q, k=3, n_centroids=16, n_probe=4, batch_size=128
+                   ).to_pandas()
+    for qid in range(5):
+        top = ivf2[(ivf2["query_id"] == qid) & (ivf2["rank"] == 0)]
+        assert len(top) == 1 and top.iloc[0]["score"] > 0.999

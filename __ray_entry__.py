@@ -97,12 +97,18 @@ _SF_ROWS = {"sf0.001": 5_000, "sf0.01": 20_000, "sf0.1": 200_000}
 def _image_dir(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     n = _SF_ROWS.get(name, 20_000)
-    out = f"/tmp/jsschema_ray_cache/img_{n}"
+    return _image_dir_rows(n)
+
+
+def _image_dir_rows(n: int) -> str:
+    out = f"/tmp/jsschema_ray_cache/imgv2_{n}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         from jsschema_ray.sources.synth import write_image_dataset
 
-        write_image_dataset(out, n, shards=8, violation_frac=0.02)
+        # 64 shards: read-task granularity >= 2x cores so every downstream
+        # map stage can use the full machine
+        write_image_dataset(out, n, shards=64, violation_frac=0.02)
         open(marker, "w").write("ok")
     return out
 

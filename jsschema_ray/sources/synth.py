@@ -159,10 +159,13 @@ def write_image_dataset(
     shards: int = 8,
     violation_frac: float = 0.02,
     with_bytes: bool = True,
+    row_group_size: int = 8192,
 ) -> dict[str, list[str]]:
-    """Write a sharded parquet image dataset + merged manifest. One file per
-    shard so Ray reads get natural block parallelism; deterministic across
-    calls (same seed/shape -> byte-identical rows)."""
+    """Write a sharded parquet image dataset + merged manifest. Shard count
+    and small row groups set the read-task granularity: Ray schedules one
+    read task per file/row-group cluster, so shards ≥ 2× cores keeps every
+    core busy in downstream map stages. Deterministic across calls (same
+    seed/shape -> byte-identical rows)."""
     os.makedirs(out_dir, exist_ok=True)
     per = n_rows // shards
     merged: dict[str, list[str]] = {f: [] for f in VIOLATION_FAMILIES}
@@ -172,7 +175,8 @@ def write_image_dataset(
             n, seed=seed, violation_frac=violation_frac,
             with_bytes=with_bytes, row_offset=s * per,
         )
-        pq.write_table(t, os.path.join(out_dir, f"part-{s:05d}.parquet"))
+        pq.write_table(t, os.path.join(out_dir, f"part-{s:05d}.parquet"),
+                       row_group_size=row_group_size)
         for k, v in m.items():
             merged[k].extend(v)
     return {k: sorted(set(v)) for k, v in merged.items()}

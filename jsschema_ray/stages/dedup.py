@@ -59,23 +59,39 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
     value. Survivor selection shuffles only (hash, key) pairs; full rows are
     filtered in place against the broadcast loser-key set."""
     hashed = add_content_hash(ds, column, batch_size=batch_size)
-    pairs = hashed.select_columns(["content_hash", key_column])
 
-    # loser keys = every key of a duplicated hash group except the min;
-    # only duplicate GROUPS shuffle/collect — bounded by duplicate volume,
-    # not corpus size (assumes key_column values are globally unique)
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"loser": pd.Series([], dtype=g[key_column].dtype)})
-        ks = g[key_column].sort_values()
-        return pd.DataFrame({"loser": ks.iloc[1:]})
+    # duplicated hashes only (value_counts pre-agg -> tiny groupby; never a
+    # per-group map_groups — that is pathological at 10^5+ groups); the
+    # collected set is bounded by duplicate volume, not corpus size
+    # (assumes key_column values are globally unique)
+    from jsschema_ray.stages.uniqueness import duplicate_keys
 
-    loser_keys = {
-        r["loser"]
-        for r in pairs.groupby("content_hash").map_groups(
-            losers, batch_format="pandas"
-        ).take_all()
+    dup_hashes = {
+        r["content_hash"]
+        for r in duplicate_keys(hashed, "content_hash",
+                                batch_size=batch_size).take_all()
     }
+    loser_keys: set = set()
+    if dup_hashes:
+        dup_ref = ray.put(dup_hashes)
+
+        def in_dups(batch: pa.Table) -> pa.Table:
+            dh = ray.get(dup_ref)
+            mask = pa.array(
+                [h in dh for h in batch.column("content_hash").to_pylist()]
+            )
+            return batch.select(["content_hash", key_column]).filter(mask)
+
+        dup_pairs = hashed.map_batches(
+            in_dups, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        loser_keys = set(
+            dup_pairs.sort_values(key_column)
+            .groupby("content_hash")[key_column]
+            .apply(lambda s: list(s.iloc[1:]))
+            .explode()
+            .dropna()
+        )
     loser_ref = ray.put(loser_keys)
 
     def keep_only(batch: pa.Table) -> pa.Table:
@@ -89,27 +105,39 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
 
 def exact_duplicate_groups(ds, column: str, key_column: str,
                            batch_size: int = 8192):
-    """(content_hash, n_rows, keys) per duplicated content value."""
+    """(content_hash, n_rows, keys) per duplicated content value — dup
+    hashes found by count pre-agg, members gathered with a broadcast filter
+    (no per-group map_groups)."""
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
     hashed = add_content_hash(ds, column, batch_size=batch_size)
+    dup_hashes = {
+        r["content_hash"]
+        for r in duplicate_keys(hashed, "content_hash",
+                                batch_size=batch_size).take_all()
+    }
+    schema = pa.schema([("content_hash", pa.int64()), ("n_rows", pa.int64()),
+                        ("keys", pa.list_(pa.int64()))])
+    if not dup_hashes:
+        return pa.Table.from_pylist([], schema=schema)
+    dup_ref = ray.put(dup_hashes)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"content_hash": pd.Series([], dtype="int64"),
-                 "n_rows": pd.Series([], dtype="int64"),
-                 "keys": pd.Series([], dtype=object)}
-            )
-        return pd.DataFrame(
-            {
-                "content_hash": [g["content_hash"].iloc[0]],
-                "n_rows": [len(g)],
-                "keys": [sorted(g[key_column].tolist())],
-            }
+    def in_dups(batch: pa.Table) -> pa.Table:
+        dh = ray.get(dup_ref)
+        mask = pa.array(
+            [h in dh for h in batch.column("content_hash").to_pylist()]
         )
+        return batch.select(["content_hash", key_column]).filter(mask)
 
-    return hashed.select_columns(["content_hash", key_column]).groupby(
-        "content_hash"
-    ).map_groups(per_group, batch_format="pandas")
+    members = hashed.map_batches(
+        in_dups, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    rows = [
+        {"content_hash": int(h), "n_rows": len(g),
+         "keys": sorted(g[key_column].tolist())}
+        for h, g in members.groupby("content_hash")
+    ]
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -168,9 +196,10 @@ def minhash_candidates(ds, column: str = "text", key_column: str = "doc_id",
                        num_perm: int = 128, bands: int = 16,
                        shingle_k: int = 3, batch_size: int = 4096,
                        concurrency: Any = (1, 8)):
-    """LSH banding: (band_id, band_hash, key) rows -> groupby -> candidate
-    key groups (>=2 members). Returns a Dataset of
-    (band_id, band_hash, keys:list)."""
+    """LSH banding: (band_id, band_hash, key) rows -> bucket counts ->
+    candidate key groups (>=2 members), returned as a list of key lists
+    (driver-small by the near-dup-rate assumption documented in
+    minhash_dedup)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigged = ds.map_batches(
@@ -186,43 +215,58 @@ def minhash_candidates(ds, column: str = "text", key_column: str = "doc_id",
             len(batch), num_perm
         )
         keys = batch.column(key_column).to_numpy(zero_copy_only=False)
-        band_ids, band_hashes, out_keys = [], [], []
+        bucket_keys, out_keys = [], []
         for bidx in range(bands):
             chunk = flat[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
             bh = pd.util.hash_pandas_object(
                 pd.DataFrame(chunk), index=False
             ).to_numpy()
-            band_ids.append(np.full(len(batch), bidx, dtype=np.int32))
-            band_hashes.append((bh >> np.uint64(1)).astype(np.int64))
+            # fold band index into the bucket key: one int64 per (band, sig)
+            bk = ((bh * np.uint64(131) + np.uint64(bidx))
+                  >> np.uint64(1)).astype(np.int64)
+            bucket_keys.append(bk)
             out_keys.append(keys)
         return pa.table(
             {
-                "band_id": pa.array(np.concatenate(band_ids), type=pa.int32()),
-                "band_hash": pa.array(np.concatenate(band_hashes), type=pa.int64()),
+                "bucket_key": pa.array(np.concatenate(bucket_keys),
+                                       type=pa.int64()),
                 key_column: pa.array(np.concatenate(out_keys)),
             }
         )
 
     exploded = sigged.select_columns(["minhash", key_column]).map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size
-    )
+    ).materialize()  # consumed twice below; (bands × n) small rows
 
-    def collect_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"band_id": pd.Series([], dtype="int32"),
-                                 "band_hash": pd.Series([], dtype="int64"),
-                                 "keys": pd.Series([], dtype=object)})
-        return pd.DataFrame(
-            {
-                "band_id": [g["band_id"].iloc[0]],
-                "band_hash": [g["band_hash"].iloc[0]],
-                "keys": [sorted(set(g[key_column].tolist()))],
-            }
+    # buckets with >= 2 members via the bucketed count reduce
+    # (stages/uniqueness.py — never a per-key Ray aggregate), then
+    # broadcast-filter the exploded rows and group on the driver
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
+    dup_buckets = {
+        r["bucket_key"]
+        for r in duplicate_keys(exploded, "bucket_key",
+                                batch_size=batch_size).take_all()
+    }
+    if not dup_buckets:
+        return []
+    bucket_ref = ray.put(dup_buckets)
+
+    def in_buckets(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bucket_ref)
+        mask = pa.array(
+            [b in bs for b in batch.column("bucket_key").to_pylist()]
         )
+        return batch.filter(mask)
 
-    return exploded.groupby(["band_id", "band_hash"]).map_groups(
-        collect_group, batch_format="pandas"
-    )
+    members = exploded.map_batches(
+        in_buckets, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    return [
+        sorted(set(g[key_column].tolist()))
+        for _, g in members.groupby("bucket_key")
+        if g[key_column].nunique() > 1
+    ]
 
 
 class _UnionFind:
@@ -260,9 +304,8 @@ def minhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
     near-dup rate ≪ corpus size; at 10^12 scale the banding groupby runs
     distributed and only verified pairs come back. Returns
     {clusters: [[keys...]], drop_keys: [...], n_candidates: int}."""
-    cand = minhash_candidates(ds, column, key_column, num_perm, bands,
-                              shingle_k, batch_size)
-    groups = [r["keys"] for r in cand.take_all()]
+    groups = minhash_candidates(ds, column, key_column, num_perm, bands,
+                                shingle_k, batch_size)
     cand_keys = sorted({k for g in groups for k in g})
     if not cand_keys:
         return {"clusters": [], "drop_keys": [], "n_candidates": 0}
@@ -354,48 +397,59 @@ def simhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column).to_numpy(zero_copy_only=False)
         h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bids, chunks, oks = [], [], []
+        bks, oks = [], []
         for c in range(4):
             chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            bids.append(np.full(len(h), c, dtype=np.int32))
-            chunks.append(chunk.astype(np.int64))
+            # exact composite bucket key: band_id << 16 | chunk
+            bks.append(((np.uint64(c) << np.uint64(16)) | chunk).astype(np.int64))
             oks.append(keys)
         return pa.table(
             {
-                "band_id": pa.array(np.concatenate(bids), type=pa.int32()),
-                "chunk": pa.array(np.concatenate(chunks), type=pa.int64()),
+                "bucket_key": pa.array(np.concatenate(bks), type=pa.int64()),
                 key_column: pa.array(np.concatenate(oks)),
                 "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
             }
         )
 
     exploded = sh.map_batches(explode, batch_format="pyarrow",
-                              batch_size=batch_size)
+                              batch_size=batch_size).materialize()
 
-    def collect_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"pairs": pd.Series([], dtype="string")})
-        ks = g[key_column].tolist()
-        hs = g["simhash"].tolist()
-        pairs = []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                if ks[i] == ks[j]:
-                    continue
-                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if d <= max_hamming:
-                    pairs.append(sorted((ks[i], ks[j])))
-        return pd.DataFrame({"pairs": [_json.dumps(pairs)]} if pairs else
-                            {"pairs": pd.Series([], dtype="string")})
+    # duplicated buckets via the bucketed count reduce, then
+    # broadcast-filter members and verify Hamming on the driver
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
+    dup_buckets = {
+        r["bucket_key"]
+        for r in duplicate_keys(exploded.select_columns(["bucket_key"]),
+                                "bucket_key", batch_size=batch_size).take_all()
+    }
 
     uf = _UnionFind()
     n_pairs = 0
-    for r in exploded.groupby(["band_id", "chunk"]).map_groups(
-        collect_group, batch_format="pandas"
-    ).take_all():
-        for a, b in _json.loads(r["pairs"]):
-            uf.union(a, b)
-            n_pairs += 1
+    if dup_buckets:
+        bucket_ref = ray.put(dup_buckets)
+
+        def in_buckets(batch: pa.Table) -> pa.Table:
+            bs = ray.get(bucket_ref)
+            mask = pa.array(
+                [b in bs for b in batch.column("bucket_key").to_pylist()]
+            )
+            return batch.filter(mask)
+
+        members = exploded.map_batches(
+            in_buckets, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        for _, g in members.groupby("bucket_key"):
+            ks = g[key_column].tolist()
+            hs = g["simhash"].tolist()
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    if ks[i] == ks[j]:
+                        continue
+                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                    if d <= max_hamming:
+                        uf.union(ks[i], ks[j])
+                        n_pairs += 1
     clusters: dict = {}
     for k in list(uf.parent):
         clusters.setdefault(uf.find(k), []).append(k)

@@ -149,10 +149,12 @@ class ResizeImages:
 
 def decode_violations(ds, key_column: str = "image_id",
                       column: str = "bytes", fmt_column: str = "fmt",
-                      batch_size: int = 1024, concurrency: Any = (1, 8)):
+                      batch_size: int = 1024, concurrency: Any = None):
     """Rows failing the decode invariant (decode error, round-trip
-    mismatch, or missing payload) as (key, reason). Actor pool, small
-    batches — the CPU-heavy stage off the row-local hot path."""
+    mismatch, or missing payload) as (key, reason). Stateless tasks by
+    default (no per-actor state to amortize, and tasks scale elastically to
+    every core — an actor pool here caps the CPU-heavy decode at pool
+    size); small batches keep payload memory bounded."""
 
     class Check(DecodeImages):
         def __init__(self):
@@ -179,7 +181,9 @@ def decode_violations(ds, key_column: str = "image_id",
                 }
             )
 
-    return ds.map_batches(
-        Check, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
-    )
+    kwargs: dict = dict(batch_format="pyarrow", batch_size=batch_size,
+                        num_cpus=1)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        return ds.map_batches(Check, **kwargs)
+    return ds.map_batches(Check(), **kwargs)

@@ -46,7 +46,10 @@ class TDigest:
         self.weights = np.concatenate([self.weights, other.weights])
         self._min = min(self._min, other._min)
         self._max = max(self._max, other._max)
-        self._compress()
+        # lazy compress: folding thousands of partials compresses once per
+        # threshold crossing, not once per merge (queries compress first)
+        if len(self.means) > 8 * self.compression:
+            self._compress()
         return self
 
     def _compress(self) -> None:

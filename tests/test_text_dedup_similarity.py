@@ -79,7 +79,7 @@ def test_exact_dedup(ray_session):
     assert len(kept) == len(pdf)  # dups removed
     assert set(kept["doc_id"]) == set(pdf["doc_id"])  # min key survives
 
-    groups = exact_duplicate_groups(ds, "text", "doc_id").take_all()
+    groups = exact_duplicate_groups(ds, "text", "doc_id").to_pylist()
     assert len(groups) == 20
     assert all(g["n_rows"] == 2 for g in groups)
     assert all(g["keys"][1] - g["keys"][0] == 10_000 for g in groups)

@@ -67,6 +67,17 @@ EVENTS_PROPS_SCHEMA: dict[str, Any] = {
     "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
 }
 
+# combinator coverage: allOf / oneOf / not / multipleOf (reference
+# test/allof*.json, oneof*.json, not*.json semantics on table columns)
+COMBINATOR_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "properties": {
+        "l_quantity": {"allOf": [{"multipleOf": 5}, {"maximum": 45}]},
+        "l_linenumber": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
+        "l_tax": {"not": {"minimum": 0.05}},
+    },
+}
+
 
 def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -221,6 +232,49 @@ def q_document_violations(sf_dir: str):
     ds = _read(sf_dir, "documents",
                ["doc_id", "text", "lang", "source", "n_chars"])
     return _violating_rows(ds, DOCUMENTS_SCHEMA, ["doc_id", "lang", "n_chars"])
+
+
+def q_combinator_violations(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_tax"])
+    return _violating_rows(
+        ds, COMBINATOR_SCHEMA,
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_tax"],
+    )
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table
+    (stream-shaped workload per ray_guide: event time bucketed by
+    floor(epoch/3600); no late-data semantics needed — SURVEY.md §2.D)."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").combine_chunks().cast(pa.int64())
+        window = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        vx = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "window": window,
+                "event_type": batch.column("event_type"),
+                "vx": vx,
+            }
+        )
+
+    out = grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["window", "event_type"],
+        {"sum_value_x100": "vx"},
+        count_alias="n_events",
+    )
+    return out.sort(["window", "event_type"]).select_columns(
+        ["window", "event_type", "sum_value_x100", "n_events"]
+    )
 
 
 def q_column_stats(sf_dir: str):
@@ -501,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_violations": q_range_violations,
         "pattern_enum_violations": q_pattern_enum_violations,
         "document_violations": q_document_violations,
+        "combinator_violations": q_combinator_violations,
+        "window_events": q_window_events,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -555,6 +611,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (n_chars BETWEEN 100 AND 400
                        AND lang IN ('en','de','fr','es')
                        AND regexp_matches(source, '^src[0-9]+$'))
+        """,
+        "combinator_violations": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+            FROM lineitem
+            WHERE NOT (
+                (MOD(l_quantity, 5) = 0 AND l_quantity <= 45)
+                AND ((MOD(l_linenumber, 2) = 0) <> (MOD(l_linenumber, 3) = 0))
+                AND NOT (l_tax >= 0.05)
+            )
+        """,
+        "window_events": """
+            SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window,
+                   event_type,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_x100,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "column_stats": """
             SELECT COUNT(*) AS n_rows,

@@ -26,11 +26,106 @@ import pyarrow as pa
 import ray.data as rd
 
 from jsschema_ray.pipelines.manifest import CheckpointManifest, partition_id_for
-from jsschema_ray.stages.drift import DriftProfile, build_profile, drift_check
+from jsschema_ray.schema.registry import (
+    ConstraintContext,
+    get_handler,
+    register_constraint,
+)
+from jsschema_ray.stages.drift import DriftProfile, drift_check
 from jsschema_ray.stages.referential import referential_check
 from jsschema_ray.stages.stats import StatsSpec, collect_stats
 from jsschema_ray.stages.uniqueness import top_duplicates, uniqueness_report
 from jsschema_ray.stages.validate import ValidateBatch
+
+
+# -- built-in x-* global constraint handlers --------------------------------
+
+@register_constraint("x-uniqueness")
+def _handle_uniqueness(specs: list[dict], ctx: ConstraintContext):
+    full = ctx.dataset()
+    out = []
+    for spec in specs:
+        rep = uniqueness_report(full, spec["column"],
+                                batch_size=ctx.batch_size)
+        rep["report_only"] = bool(spec.get("report_only", False))
+        if rep["dup_keys"]:
+            rep["top_duplicates"] = top_duplicates(
+                full, spec["column"], k=10, batch_size=ctx.batch_size
+            ).take_all()
+        out.append(rep)
+    return out
+
+
+@register_constraint("x-referential")
+def _handle_referential(specs: list[dict], ctx: ConstraintContext):
+    full = ctx.dataset()
+    return [
+        referential_check(full, spec["column"], spec["ref_values"],
+                          batch_size=ctx.batch_size)
+        for spec in specs
+    ]
+
+
+@register_constraint("x-stats")
+def _handle_stats(_value, ctx: ConstraintContext):
+    extras = {k: v for k, v in ctx.schema.items() if k.startswith("x-")}
+    spec = StatsSpec.from_schema_extras(extras)
+    stats = collect_stats(ctx.dataset(), spec, batch_size=ctx.batch_size)
+    out: dict[str, Any] = {}
+    for (_, col), cs in sorted(stats.items()):
+        entry: dict[str, Any] = {
+            "count": cs.count, "nulls": cs.nulls,
+            "min": cs.min if cs.min is not None else cs.smin,
+            "max": cs.max if cs.max is not None else cs.smax,
+            "mean": cs.mean,
+        }
+        if cs.distinct is not None:
+            entry["distinct_est"] = cs.distinct
+        if cs.digest is not None:
+            entry["quantiles"] = {
+                str(q): cs.quantile(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)
+            }
+        out[col] = entry
+    return out
+
+
+@register_constraint("x-drift")
+def _handle_drift(value: dict, ctx: ConstraintContext):
+    profile = getattr(ctx.pipeline, "drift_profile", None)
+    if profile is None:
+        return None  # no reference profile supplied -> skip
+    verdicts = drift_check(
+        ctx.dataset(with_partition=True),
+        profile,
+        value.get("columns", []),
+        partition_col="_partition",
+        ks_threshold=value.get("ks_threshold", 0.15),
+        batch_size=ctx.batch_size,
+    )
+    return verdicts.to_pylist()
+
+
+@register_constraint("x-decode")
+def _handle_decode(value: dict, ctx: ConstraintContext):
+    """Decode invariant over the payload column (read here and only here —
+    the row-local stage never touches bytes)."""
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.stages.multimodal import decode_violations
+
+    col = value.get("column", "bytes")
+    fmt_col = value.get("fmt_column", "fmt")
+    key_col = getattr(ctx.pipeline, "key_column", "image_id")
+    available = {f.name for f in pq.read_schema(ctx.input_files[0])}
+    if col not in available:
+        return {"skipped": f"payload column {col!r} not in input"}
+    ds = rd.read_parquet(ctx.input_files, columns=[key_col, col, fmt_col])
+    vio = decode_violations(ds, key_column=key_col, column=col,
+                            fmt_column=fmt_col, batch_size=1024).take_all()
+    return {
+        "n_violations": len(vio),
+        "sample": vio[:10],
+    }
 
 
 class ValidationPipeline:
@@ -82,31 +177,29 @@ class ValidationPipeline:
             self._run_rowlocal(todo)
         report["partitions"] = self.manifest.committed()
 
-        extras = {k: v for k, v in self.schema.items() if k.startswith("x-")}
-        full = self._read(files)  # global constraints span ALL partitions
-        if "x-uniqueness" in extras:
-            report["uniqueness"] = self._run_uniqueness(full, extras["x-uniqueness"])
-        if "x-referential" in extras:
-            report["referential"] = [
-                referential_check(
-                    full, spec["column"], spec["ref_values"],
-                    batch_size=self.batch_size,
-                )
-                for spec in extras["x-referential"]
-            ]
-        if "x-stats" in extras:
-            report["stats"] = self._run_stats(full, extras)
-        if "x-drift" in extras and self.drift_profile is not None:
-            d = extras["x-drift"]
-            verdicts = drift_check(
-                self._read(files, with_partition=True),
-                self.drift_profile,
-                d.get("columns", []),
-                partition_col="_partition",
-                ks_threshold=d.get("ks_threshold", 0.15),
-                batch_size=self.batch_size,
-            )
-            report["drift"] = verdicts.to_pylist()
+        # global constraints: every x-* keyword dispatches through the
+        # extension registry (schema/registry.py — the formalized Extras
+        # hook, reference interface.go:133); built-ins registered below,
+        # user extensions are first-class peers
+        ctx = ConstraintContext(
+            schema=self.schema,
+            input_files=files,
+            batch_size=self.batch_size,
+            dataset_factory=lambda wp=False: self._read(files,
+                                                        with_partition=wp),
+            output_dir=self.output_dir,
+        )
+        ctx.pipeline = self  # built-ins need drift_profile / key_column
+        for kw, value in self.schema.items():
+            if not kw.startswith("x-"):
+                continue
+            handler = get_handler(kw)
+            if handler is None:
+                report.setdefault("unhandled_extensions", []).append(kw)
+                continue
+            result = handler(value, ctx)
+            if result is not None:
+                report[kw[2:].replace("-", "_")] = result
 
         report["valid"] = (
             all(
@@ -122,6 +215,7 @@ class ValidationPipeline:
                 r["n_violations"] == 0 for r in report.get("referential", [])
             )
             and all(v["passed"] for v in report.get("drift", []))
+            and report.get("decode", {}).get("n_violations", 0) == 0
         )
         self.manifest.write_job_report(report)
         return report
@@ -222,35 +316,3 @@ class ValidationPipeline:
                 verdict=(n_vio == 0),
             )
 
-    def _run_uniqueness(self, full, specs: list[dict]) -> list[dict]:
-        out = []
-        for spec in specs:
-            rep = uniqueness_report(full, spec["column"],
-                                    batch_size=self.batch_size)
-            rep["report_only"] = bool(spec.get("report_only", False))
-            if rep["dup_keys"]:
-                rep["top_duplicates"] = top_duplicates(
-                    full, spec["column"], k=10, batch_size=self.batch_size
-                ).take_all()
-            out.append(rep)
-        return out
-
-    def _run_stats(self, full, extras: dict) -> dict[str, Any]:
-        spec = StatsSpec.from_schema_extras(extras)
-        stats = collect_stats(full, spec, batch_size=self.batch_size)
-        out = {}
-        for (_, col), cs in sorted(stats.items()):
-            entry: dict[str, Any] = {
-                "count": cs.count, "nulls": cs.nulls,
-                "min": cs.min if cs.min is not None else cs.smin,
-                "max": cs.max if cs.max is not None else cs.smax,
-                "mean": cs.mean,
-            }
-            if cs.distinct is not None:
-                entry["distinct_est"] = cs.distinct
-            if cs.digest is not None:
-                entry["quantiles"] = {
-                    str(q): cs.quantile(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)
-                }
-            out[col] = entry
-        return out

@@ -1,0 +1,46 @@
+"""Table sources: parquet (primary) with optional Lance support.
+
+The BASELINE input_hint names a Lance image+caption table; this container
+has no ``lance``/``pylance`` package, so the Lance path is gated behind an
+import-try (driver instruction: stub/gate anything not baked in). The
+engine is source-agnostic: every stage consumes a ``ray.data.Dataset`` of
+Arrow blocks, so swapping the reader is the only change needed on a
+cluster with Lance available (``ray.data.read_lance`` ships with Ray).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import ray.data as rd
+
+
+def read_table(path: str, columns: Optional[list[str]] = None,
+               **kwargs) -> "rd.Dataset":
+    """Read a dataset directory/file as a ray Dataset.
+
+    - ``*.lance`` dataset dir -> ray.data.read_lance (column projection
+      pushed down) when the lance package is importable, else a clear error;
+    - otherwise parquet file(s)/dir -> ray.data.read_parquet with column
+      pruning at the read (SURVEY.md 'prune at the read').
+    """
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Lance dataset requested but the 'lance' package is not "
+                "installed in this environment; convert to parquet or run "
+                "where pylance is available (ray.data.read_lance)"
+            ) from e
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def input_shards(path: str) -> list[str]:
+    """Deterministic shard listing for partition-granular checkpointing."""
+    if os.path.isfile(path):
+        return [path]
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))

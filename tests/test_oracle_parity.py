@@ -66,9 +66,9 @@ def test_every_oracle_has_query():
 @pytest.mark.parametrize(
     "name",
     ["range_violations", "pattern_enum_violations", "document_violations",
-     "column_stats", "group_stats", "duplicate_keys", "top_duplicates",
-     "referential_orphans", "json_extract", "json_validate", "exact_dedup",
-     "token_counts"],
+     "combinator_violations", "window_events", "column_stats", "group_stats",
+     "duplicate_keys", "top_duplicates", "referential_orphans",
+     "json_extract", "json_validate", "exact_dedup", "token_counts"],
 )
 def test_oracle_parity(name, con, contract):
     got = _canon(_to_pandas(contract.queries()[name](SF)))

@@ -277,6 +277,60 @@ def q_window_events(sf_dir: str):
     )
 
 
+def q_join_orders_customers(sf_dir: str):
+    """Partitioned hash join (both sides 'large'): orders ⋈ customer on
+    custkey via bucket co-shuffle + per-bucket merge (stages/join.py)."""
+    from jsschema_ray.stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, key="o_custkey",
+                       right_key="c_custkey", num_buckets=32)
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "c_mktsegment"]
+    ).sort(["o_orderkey"])
+
+
+def q_broadcast_join_nation(sf_dir: str):
+    """Broadcast join against a dimension table (supplier ⋈ nation)."""
+    from jsschema_ray.stages.join import broadcast_join
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = broadcast_join(supplier, nation, key="s_nationkey",
+                            small_key="n_nationkey")
+    return joined.select_columns(["s_suppkey", "s_name", "n_name"]).sort(
+        ["s_suppkey"]
+    )
+
+
+def q_apply_defaults(sf_dir: str):
+    """Schema-default fill (draft-04 'default' given runtime meaning):
+    deterministically null out lang on doc_id % 7 == 0, then apply the
+    schema default — SQL-equivalent to a CASE/COALESCE."""
+    from jsschema_ray.stages.transform import apply_defaults
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def poke_nulls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        # null where doc_id % 7 == 0
+        mod = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, pa.scalar(7)),
+                                         pa.scalar(7))),
+            pa.scalar(0),
+        )
+        lang = pc.if_else(mod, pa.scalar(None, pa.string()),
+                          batch.column("lang").combine_chunks())
+        return pa.table({"doc_id": ids, "lang": lang})
+
+    nulled = ds.map_batches(poke_nulls, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    schema = {"type": "object",
+              "properties": {"lang": {"type": "string", "default": "und"}}}
+    return apply_defaults(nulled, schema).sort(["doc_id"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -557,6 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "document_violations": q_document_violations,
         "combinator_violations": q_combinator_violations,
         "window_events": q_window_events,
+        # joins + schema-default transform
+        "join_orders_customers": q_join_orders_customers,
+        "broadcast_join_nation": q_broadcast_join_nation,
+        "apply_defaults": q_apply_defaults,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -611,6 +669,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (n_chars BETWEEN 100 AND 400
                        AND lang IN ('en','de','fr','es')
                        AND regexp_matches(source, '^src[0-9]+$'))
+        """,
+        "join_orders_customers": """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "broadcast_join_nation": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey
+        """,
+        "apply_defaults": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'und' ELSE lang END AS lang
+            FROM documents ORDER BY doc_id
         """,
         "combinator_violations": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_tax

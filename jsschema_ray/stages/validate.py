@@ -90,7 +90,7 @@ class ValidateBatch:
         return self._violations(batch, collector)
 
     def _violations(self, batch: pa.Table, collector: list) -> pa.Table:
-        keys, cols, paths, kws, observed = [], [], [], [], []
+        keys, cols, paths, kws, observed, expected = [], [], [], [], [], []
         key_arr = (
             batch.column(self.key_column).combine_chunks()
             if self.key_column and self.key_column in batch.column_names
@@ -112,12 +112,14 @@ class ValidateBatch:
             kvals = (
                 key_arr.take(take).to_pylist() if key_arr is not None else idx
             )
+            exp = expected_text(self.dag, path, kw) if len(idx) else ""
             for k, v in zip(kvals, vals):
                 keys.append(str(k))
                 cols.append(col)
                 paths.append(path)
                 kws.append(kw)
                 observed.append(_obs(v))
+                expected.append(exp)
         return pa.table(
             {
                 "key": pa.array(keys, type=pa.string()),
@@ -125,8 +127,116 @@ class ValidateBatch:
                 "path": pa.array(paths, type=pa.string()),
                 "keyword": pa.array(kws, type=pa.string()),
                 "observed": pa.array(observed, type=pa.string()),
+                "expected": pa.array(expected, type=pa.string()),
             }
         )
+
+
+def _node_at(dag, path: str):
+    """Resolve a collector schema-path back to its ConstraintNode (tolerant:
+    returns None on any segment it cannot follow)."""
+    node = dag.deref()
+    if not path.startswith("#"):
+        return None
+    segs = [s for s in path[1:].split("/") if s]
+    i = 0
+    while i < len(segs):
+        seg = segs[i]
+        try:
+            if seg == "properties":
+                node = node.properties[segs[i + 1]].deref()
+                i += 2
+            elif seg == "patternProperties":
+                pat = segs[i + 1].rsplit(":", 1)[0]
+                node = node.pattern_properties[pat].deref()
+                i += 2
+            elif seg in ("allOf", "anyOf", "oneOf"):
+                node = getattr(
+                    node, {"allOf": "all_of", "anyOf": "any_of",
+                           "oneOf": "one_of"}[seg]
+                )[int(segs[i + 1])].deref()
+                i += 2
+            elif seg == "items":
+                if i + 1 < len(segs) and segs[i + 1].isdigit():
+                    node = node.items.schemas[int(segs[i + 1])].deref()
+                    i += 2
+                else:
+                    node = node.items.schemas[0].deref()
+                    i += 1
+            elif seg == "additionalItems":
+                from jsschema_ray.schema.nodes import ConstraintNode
+
+                node = (node.additional_items.deref()
+                        if isinstance(node.additional_items, ConstraintNode)
+                        else node)
+                i += 1
+            elif seg == "dependencies":
+                sub = (node.dependencies.schemas or {}).get(segs[i + 1])
+                node = sub.deref() if sub is not None else node
+                i += 2
+            elif seg == "required":
+                i += 1
+            else:
+                return None
+        except (KeyError, IndexError, TypeError, AttributeError):
+            return None
+    return node
+
+
+def expected_text(dag, path: str, keyword: str) -> str:
+    """Human-readable 'expected' for a violation — the tabular analogue of
+    the reference's error strings (Validate returns a descriptive error,
+    validator/validator.go:57-63)."""
+    if path.endswith("/required") or path.endswith("#/required"):
+        return "value present (required)"
+    if "/dependencies/" in path and keyword != "schema":
+        dep_key = path.rsplit("/dependencies/", 1)[1].split("/")[0]
+        return f"'{keyword}' present when '{dep_key}' is present"
+    node = _node_at(dag, path)
+    if node is None:
+        return keyword
+    try:
+        if keyword == "minimum":
+            return f"> {node.minimum}" if node.exclusive_minimum else f">= {node.minimum}"
+        if keyword == "maximum":
+            return f"< {node.maximum}" if node.exclusive_maximum else f"<= {node.maximum}"
+        if keyword == "minLength":
+            return f"length >= {node.min_length}"
+        if keyword == "maxLength":
+            return f"length <= {node.max_length}"
+        if keyword == "pattern":
+            return f"match /{node.pattern}/"
+        if keyword == "enum":
+            return f"one of {node.enum}"
+        if keyword == "type":
+            return "type " + "/".join(node.types or ())
+        if keyword == "multipleOf":
+            return f"multiple of {node.multiple_of}"
+        if keyword == "format":
+            return f"format {node.format}"
+        if keyword == "minItems":
+            return f">= {node.min_items} items"
+        if keyword == "maxItems":
+            return f"<= {node.max_items} items"
+        if keyword == "uniqueItems":
+            return "unique items"
+        if keyword == "additionalItems":
+            return f"<= {len(node.items.schemas)} items"
+        if keyword == "minProperties":
+            return f">= {node.min_properties} properties"
+        if keyword == "maxProperties":
+            return f"<= {node.max_properties} properties"
+        if keyword == "anyOf":
+            return "at least one sub-schema"
+        if keyword == "oneOf":
+            return "exactly one sub-schema"
+        if keyword == "not":
+            return "must not match sub-schema"
+        if keyword == "items":
+            return "all items match item schema"
+    except (AttributeError, TypeError):
+        pass
+    return keyword
 
 
 def _obs(v: Any) -> str:

@@ -59,7 +59,12 @@ def test_violation_rows_attribution():
     table, manifest = synth_image_table(2000, seed=42, violation_frac=0.05)
     stage = ValidateBatch(IMAGE_SCHEMA, mode="violations", key_column="image_id")
     vio = stage(table)
-    assert set(vio.column_names) == {"key", "column", "path", "keyword", "observed"}
+    assert set(vio.column_names) == {
+        "key", "column", "path", "keyword", "observed", "expected"
+    }
+    exp = {r["keyword"]: r["expected"] for r in vio.to_pylist()}
+    assert exp["minimum"] == ">= 16" and exp["enum"].startswith("one of")
+    assert exp["pattern"] == "match /^img-[0-9]{12}$/"
     by_col: dict = {}
     for row in vio.to_pylist():
         by_col.setdefault(row["column"], set()).add(row["key"])

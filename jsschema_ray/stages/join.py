@@ -66,16 +66,22 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         )
     all_cols = lcols + [c for c in rcols if c != key]
 
-    def _pa_schema(ds):
+    def _types(ds) -> dict:
         s = ds.schema()
-        return getattr(s, "base_schema", s)
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        out = dict(zip(s.names, s.types))
+        if all(isinstance(t, pa.DataType) for t in out.values()):
+            return out
+        # ray Schema may carry Python types (e.g. from_pandas datasets):
+        # infer exact Arrow types from a one-row sample instead
+        sample = pa.Table.from_pandas(ds.limit(1).to_pandas())
+        return {f.name: f.type for f in sample.schema}
 
-    ls, rs = _pa_schema(left), _pa_schema(right)
-    col_types = {}
-    for f in ls:
-        col_types[f.name] = f.type
-    for f in rs:
-        col_types[key if f.name == rk else f.name] = f.type
+    col_types = dict(_types(left))
+    for name, t in _types(right).items():
+        col_types[key if name == rk else name] = t
 
     def tag(side: int, colname: str):
         def fn(batch: pa.Table) -> pa.Table:

@@ -331,6 +331,19 @@ def q_apply_defaults(sf_dir: str):
     return apply_defaults(nulled, schema).sort(["doc_id"])
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based sessionization of the events log (30-min gap): per
+    (user, session) start/end counts — the session-window streaming op
+    (stages/windows.py), SQL-expressible via LAG + running SUM."""
+    from jsschema_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return session_windows(ds, key="user_id", ts="ts",
+                           gap_seconds=1800.0).sort(
+        ["user_id", "session_id"]
+    )
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -615,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": q_join_orders_customers,
         "broadcast_join_nation": q_broadcast_join_nation,
         "apply_defaults": q_apply_defaults,
+        "session_windows": q_session_windows,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -693,6 +707,30 @@ def oracle_sql() -> dict[str, str]:
                 AND ((MOD(l_linenumber, 2) = 0) <> (MOD(l_linenumber, 3) = 0))
                 AND NOT (l_tax >= 0.05)
             )
+        """,
+        "session_windows": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                            ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+                            AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   CAST(FLOOR(MIN(EPOCH(ts))) AS BIGINT) AS session_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_sum_x100
+            FROM sess
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "window_events": """
             SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window,

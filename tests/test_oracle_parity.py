@@ -67,7 +67,8 @@ def test_every_oracle_has_query():
     "name",
     ["range_violations", "pattern_enum_violations", "document_violations",
      "combinator_violations", "window_events", "join_orders_customers",
-     "broadcast_join_nation", "apply_defaults", "column_stats", "group_stats",
+     "broadcast_join_nation", "apply_defaults", "session_windows",
+     "column_stats", "group_stats",
      "duplicate_keys", "top_duplicates", "referential_orphans",
      "json_extract", "json_validate", "exact_dedup", "token_counts"],
 )

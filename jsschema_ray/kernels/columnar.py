@@ -26,10 +26,8 @@ semantics match by construction.
 
 from __future__ import annotations
 
-import math
 import numbers
-import re
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import numpy as np
 import pyarrow as pa

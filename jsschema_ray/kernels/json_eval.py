@@ -39,11 +39,7 @@ import numbers
 from typing import Any, Optional
 
 from jsschema_ray.kernels.formats import check_format
-from jsschema_ray.schema.nodes import (
-    ALLOW,
-    FORBID,
-    ConstraintNode,
-)
+from jsschema_ray.schema.nodes import FORBID, ConstraintNode
 
 
 class Violation:

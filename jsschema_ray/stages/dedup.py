@@ -24,15 +24,13 @@ from __future__ import annotations
 
 import json as _json
 import re
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Min
 
 from jsschema_ray.state.hll import hash64
 

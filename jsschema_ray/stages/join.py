@@ -52,10 +52,6 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
               right_key: Optional[str] = None):
     """Partitioned hash join of two Datasets on ``key``: bucket both sides,
     union, one shuffle, per-bucket pandas merge."""
-    import pyarrow.compute as pc
-
-    import ray.data as rd  # noqa: F401
-
     rk = right_key or key
     lcols = list(left.columns())
     rcols = [key if c == rk else c for c in right.columns()]

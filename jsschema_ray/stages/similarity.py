@@ -16,10 +16,9 @@ Two paths:
 from __future__ import annotations
 
 import heapq
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

@@ -15,7 +15,6 @@ reference's compile-once mutex, validator/validator.go:41-53).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Any, Optional
 

@@ -8,10 +8,9 @@ numpy kernels); regexes and stopword tables are compiled once per actor in
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from jsschema_ray.state.hll import hash64

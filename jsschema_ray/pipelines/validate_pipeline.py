@@ -153,14 +153,23 @@ class ValidationPipeline:
             raise FileNotFoundError(f"no parquet shards in {self.input_dir}")
         return files
 
+    def _payload_columns(self, files: list[str]) -> set[str]:
+        """Wide opaque payloads = binary-typed columns; they never enter the
+        P1 kernels (pruned at the read, SURVEY.md §7 hard part 4)."""
+        import pyarrow.parquet as pq
+
+        return {
+            f.name
+            for f in pq.read_schema(files[0])
+            if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+        }
+
     def _non_payload_columns(self, files: list[str]) -> list[str]:
         import pyarrow.parquet as pq
 
-        return [
-            f.name
-            for f in pq.read_schema(files[0])
-            if f.name != "bytes"  # the wide payload never enters P1 kernels
-        ]
+        payload = self._payload_columns(files)
+        return [f.name for f in pq.read_schema(files[0])
+                if f.name not in payload]
 
     # -- run ---------------------------------------------------------------
     def run(self, resume: bool = True) -> dict[str, Any]:
@@ -243,7 +252,7 @@ class ValidationPipeline:
         SURVEY.md §7 hard part 4), so its `required` check moves to the
         decode stage (stages/multimodal.py), which reads the bytes anyway."""
         schema = dict(self.schema)
-        payload_cols = {"bytes"}
+        payload_cols = self._payload_columns(self._input_files())
         if schema.get("required"):
             schema["required"] = [
                 r for r in schema["required"] if r not in payload_cols

@@ -574,7 +574,10 @@ def q_knn_brute(sf_dir: str):
     from jsschema_ray.stages.similarity import knn_brute
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_rows = sorted(ds.limit(3).take_all(), key=lambda r: r["vec_id"])
+    # deterministic query SET: filter by key, never limit() (streaming order
+    # is scheduler-dependent)
+    q_rows = sorted(ds.filter(expr="vec_id < 3").take_all(),
+                    key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float32)
     return knn_brute(ds, Q, k=5).select(["query_id", "rank", "key"])
 
@@ -583,7 +586,8 @@ def q_knn_ivf(sf_dir: str):
     from jsschema_ray.stages.similarity import knn_ivf
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_rows = sorted(ds.limit(3).take_all(), key=lambda r: r["vec_id"])
+    q_rows = sorted(ds.filter(expr="vec_id < 3").take_all(),
+                    key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float32)
     return knn_ivf(ds, Q, k=5, n_centroids=32, n_probe=8).select(
         ["query_id", "rank", "key"]

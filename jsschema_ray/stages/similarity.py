@@ -99,6 +99,9 @@ def train_centroids(ds, n_centroids: int, emb_column: str = "embedding",
     X = _normalize(
         np.array([r[emb_column] for r in frac_rows], dtype=np.float32)
     )
+    # take_all order is scheduler-dependent; sort rows by their own values
+    # so the trained centroids are deterministic for a given sample SET
+    X = X[np.lexsort(X.T[::-1])]
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):

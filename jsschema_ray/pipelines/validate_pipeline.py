@@ -145,12 +145,29 @@ class ValidationPipeline:
         self.batch_size = batch_size
         self.drift_profile = drift_profile
         self.manifest = CheckpointManifest(output_dir)
+        self._checked_files: list[str] = []
 
     # -- helpers -----------------------------------------------------------
     def _input_files(self) -> list[str]:
         files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"no parquet shards in {self.input_dir}")
+        if self._checked_files != files:
+            # homogeneity gate: one logical table per input dir (footer reads
+            # only); a mixed dir otherwise fails deep inside the read tasks
+            # with a confusing schema-mismatch dump
+            import pyarrow.parquet as pq
+
+            first = pq.read_schema(files[0])
+            for f in files[1:]:
+                s = pq.read_schema(f)
+                if s.names != first.names:
+                    raise ValueError(
+                        f"input shards are not one table: {files[0]} has "
+                        f"columns {first.names} but {f} has {s.names}; point "
+                        "--input at a directory of same-schema shards"
+                    )
+            self._checked_files = files
         return files
 
     def _payload_columns(self, files: list[str]) -> set[str]:

@@ -570,15 +570,24 @@ def q_quality(sf_dir: str):
     return out.map_batches(fn, batch_format="pyarrow").sort(["doc_id"])
 
 
+def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
+    """Deterministic ANN query set: the embeddings with vec_id < n, read
+    driver-side from the parquet footer+row-groups directly (no Ray stage,
+    no dependence on streaming row order)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    rows = df[df["vec_id"] < n]
+    return np.stack(rows["embedding"].to_numpy()).astype(np.float32)
+
+
 def q_knn_brute(sf_dir: str):
     from jsschema_ray.stages.similarity import knn_brute
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # deterministic query SET: filter by key, never limit() (streaming order
-    # is scheduler-dependent)
-    q_rows = sorted(ds.filter(expr="vec_id < 3").take_all(),
-                    key=lambda r: r["vec_id"])
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float32)
+    Q = _query_vectors(sf_dir, 3)
     return knn_brute(ds, Q, k=5).select(["query_id", "rank", "key"])
 
 
@@ -586,9 +595,7 @@ def q_knn_ivf(sf_dir: str):
     from jsschema_ray.stages.similarity import knn_ivf
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_rows = sorted(ds.filter(expr="vec_id < 3").take_all(),
-                    key=lambda r: r["vec_id"])
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float32)
+    Q = _query_vectors(sf_dir, 3)
     return knn_ivf(ds, Q, k=5, n_centroids=32, n_probe=8).select(
         ["query_id", "rank", "key"]
     )

@@ -219,6 +219,10 @@ def eval_array(node: ConstraintNode, arr: pa.Array, path: str = "#",
     if pa.types.is_struct(dtype):
         mask &= _eval_struct(node, arr, valid, path, collector)
 
+    # ---- object (map columns: runtime keys) --------------------------------
+    if pa.types.is_map(dtype):
+        mask &= _eval_map(node, arr, valid, path, collector)
+
     # ---- combinators -------------------------------------------------------
     if node.all_of is not None:
         for i, sub in enumerate(node.all_of):
@@ -555,6 +559,98 @@ def _eval_struct(node: ConstraintNode, arr: pa.StructArray, valid: Mask,
     # eval_object forces rows with parent_valid == False to pass
     fields = _Fields(names, arr.field, valid, len(arr))
     return eval_object(node, fields, path, collector)
+
+
+def _eval_map(node: ConstraintNode, arr: pa.MapArray, valid: Mask,
+              path: str, collector: Collector) -> Mask:
+    """Object keywords over pa.map_ columns — keys exist at RUNTIME (unlike
+    struct columns, whose keys are the compile-time field names): key-count
+    bounds via offsets, required/dependencies via per-row key membership,
+    properties/patternProperties/additionalProperties applied to values by
+    matching flat keys (uniformly typed values, so one sub-mask per rule)."""
+    n = len(arr)
+    mask = np.ones(n, dtype=bool)
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    rel = off - off[0]
+    counts = rel[1:] - rel[:-1]
+    # child arrays are full buffers with absolute offsets; slice to window
+    flat_keys = arr.keys.slice(off[0], off[-1] - off[0])
+    flat_vals = arr.items.slice(off[0], off[-1] - off[0])
+
+    if node.min_properties is not None:
+        em = np.where(valid, counts >= node.min_properties, True)
+        mask &= em
+        _collect(collector, path, "minProperties", em, valid)
+    if node.max_properties is not None:
+        em = np.where(valid, counts <= node.max_properties, True)
+        mask &= em
+        _collect(collector, path, "maxProperties", em, valid)
+
+    ks = np.asarray(flat_keys.to_pylist(), dtype=object)
+    par = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    def _present(name: str) -> Mask:
+        hit = np.zeros(n, dtype=bool)
+        sel = np.flatnonzero(ks == name)
+        hit[par[sel]] = True
+        return hit
+
+    if node.required:
+        for r in node.required:
+            em = np.where(valid, _present(r), True)
+            mask &= em
+            _collect(collector, f"{path}/required", r, em, valid)
+
+    if node.dependencies is not None:
+        for k, names in node.dependencies.names.items():
+            has_k = _present(k)
+            for dep in names:
+                em = np.where(valid, ~has_k | _present(dep), True)
+                mask &= em
+                _collect(collector, f"{path}/dependencies/{k}", dep, em, valid)
+
+    props = node.properties or {}
+    pprops = node.pattern_props_re() if node.pattern_properties else []
+    ap = node.additional_properties
+    if props or pprops or ap is not ALLOW:
+        matched_any = np.zeros(len(ks), dtype=bool)
+
+        def _apply(sel: np.ndarray, sub: ConstraintNode, sub_path: str):
+            nonlocal mask
+            if len(sel) == 0:
+                return
+            vmask = eval_array(sub, flat_vals.take(pa.array(sel)), sub_path,
+                               None)
+            bad_parents = np.unique(par[sel[~vmask]])
+            if len(bad_parents):
+                em = np.ones(n, dtype=bool)
+                em[bad_parents] = False
+                em = np.where(valid, em, True)
+                mask &= em
+                _collect(collector, sub_path, "value", em, valid)
+
+        for name, sub in props.items():
+            sel = np.flatnonzero(ks == name)
+            matched_any[sel] = True
+            _apply(sel, sub, f"{path}/properties/{name}")
+        for rx, sub in pprops:
+            hits = np.fromiter((bool(rx.search(k)) for k in ks), dtype=bool,
+                               count=len(ks))
+            sel = np.flatnonzero(hits)
+            matched_any[sel] = True
+            _apply(sel, sub, f"{path}/patternProperties/{rx.pattern}")
+        unmatched = np.flatnonzero(~matched_any)
+        if ap is FORBID and len(unmatched):
+            bad_parents = np.unique(par[unmatched])
+            em = np.ones(n, dtype=bool)
+            em[bad_parents] = False
+            em = np.where(valid, em, True)
+            mask &= em
+            _collect(collector, f"{path}/additionalProperties", "map-key", em,
+                     valid)
+        elif isinstance(ap, ConstraintNode):
+            _apply(unmatched, ap, f"{path}/additionalProperties")
+    return mask
 
 
 def eval_table(node: ConstraintNode, table: pa.Table,

@@ -71,6 +71,36 @@ def _cmd_validate(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def _cmd_profile(args: argparse.Namespace) -> int:
+    """Build a drift reference profile (per-column t-digests) from a clean
+    dataset and save it as JSON for later `validate --profile` runs."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import ray.data as rd
+
+        from jsschema_ray.stages.drift import build_profile
+
+        columns = [c.strip() for c in args.columns.split(",") if c.strip()]
+        src_cols = sorted({c[:-4] if c.endswith("_len") else c
+                           for c in columns})
+        ds = rd.read_parquet(args.input, columns=src_cols)
+        profile = build_profile(ds, columns)
+        with open(args.output, "w") as f:
+            f.write(profile.to_json())
+        print(json.dumps({"profile": args.output, "columns": columns}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="jsschema_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -88,6 +118,15 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=_cmd_validate)
+
+    pr = sub.add_parser("profile",
+                        help="build a drift reference profile from clean data")
+    pr.add_argument("--input", required=True, help="dir of parquet shards")
+    pr.add_argument("--columns", required=True,
+                    help="comma-separated (use col_len for string lengths)")
+    pr.add_argument("--output", required=True, help="profile JSON path")
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=_cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -210,3 +210,24 @@ def test_sliced_list_and_chunked_inputs():
     assert eval_array(dag, sliced).tolist() == [True, False, True]
     chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 2)])
     assert eval_array(dag, chunked).tolist() == [True, True, False, True]
+
+
+def test_table_level_object_keywords():
+    # dependencies / min-maxProperties with COLUMNS as the object's keys
+    table = pa.table(
+        {
+            "credit_card": pa.array([1.0, None, 2.0], type=pa.float64()),
+            "billing_address": pa.array(["a", None, None], type=pa.string()),
+            "name": pa.array(["x", "y", None], type=pa.string()),
+        }
+    )
+    dag = compile_schema(
+        {"type": "object",
+         "dependencies": {"credit_card": ["billing_address"]},
+         "minProperties": 1}
+    )
+    got = eval_table(dag, table)
+    # row0: cc+addr ok; row1: no cc (vacuous) and 0 present keys -> minProps
+    # fails? row1 has all nulls except name='y' -> 1 key present -> passes;
+    # row2: cc present, addr null -> dependency fails
+    assert got.tolist() == [True, True, False]

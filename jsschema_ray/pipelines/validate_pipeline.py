@@ -122,6 +122,7 @@ def _handle_decode(value: dict, ctx: ConstraintContext):
     ds = rd.read_parquet(ctx.input_files, columns=[key_col, col, fmt_col])
     vio = decode_violations(ds, key_column=key_col, column=col,
                             fmt_column=fmt_col, batch_size=1024).take_all()
+    vio.sort(key=lambda r: (r["key"], r["reason"]))  # arrival order varies
     return {
         "n_violations": len(vio),
         "sample": vio[:10],

@@ -176,9 +176,10 @@ def duplicate_keys_multi(ds, columns: list[str], batch_size: int = 65536,
 
 def top_duplicates(ds, column: str, k: int = 20, batch_size: int = 65536):
     """Top-k heaviest duplicate keys — the skew report feeding salting
-    decisions (SURVEY.md §2.D sorts/limits)."""
+    decisions (SURVEY.md §2.D sorts/limits). Key is the tie-breaker so the
+    selection is a total order (deterministic across runs)."""
     return duplicate_keys(ds, column, batch_size).sort(
-        "dup_count", descending=True
+        ["dup_count", column], descending=[True, False]
     ).limit(k)
 
 

@@ -122,3 +122,54 @@ def test_string_schemas_agree(schema, values):
 )
 def test_list_schemas_agree(schema, values):
     _check(schema, values, pa.list_(pa.int64()))
+
+
+struct_values = st.lists(
+    st.one_of(
+        st.none(),
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "a": st.one_of(st.none(), st.integers(-20, 20)),
+                "b": st.one_of(st.none(), st.text("xy", max_size=4)),
+                "c": st.one_of(st.none(), st.integers(-20, 20)),
+            },
+        ),
+    ),
+    max_size=25,
+)
+
+
+@given(
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "required": st.lists(st.sampled_from(["a", "b", "c"]),
+                                 max_size=2, unique=True),
+            "minProperties": st.integers(0, 3),
+            "maxProperties": st.integers(0, 3),
+            "dependencies": st.just({"a": ["b"]}),
+            "properties": st.just({"a": {"minimum": 0},
+                                   "b": {"maxLength": 2}}),
+            "additionalProperties": st.sampled_from(
+                [True, False, {"maximum": 5}]),
+        },
+    ),
+    struct_values,
+)
+def test_struct_schemas_agree(schema, values):
+    t = pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.int64())])
+    # normalize: missing dict keys become nulls (absent ≡ null)
+    rows = [None if v is None else
+            {"a": v.get("a"), "b": v.get("b"), "c": v.get("c")} for v in values]
+    arr = pa.array(rows, type=t)
+    dag = compile_schema(schema)
+    got = eval_array(dag, arr)
+    want = np.array([
+        True if v is None else evaluate(
+            dag, {k: x for k, x in v.items() if x is not None})
+        for v in arr.to_pylist()
+    ])
+    assert got.tolist() == want.tolist(), (
+        f"schema={schema} rows={arr.to_pylist()}"
+    )

@@ -503,12 +503,16 @@ def q_minhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     res = minhash_dedup(ds, "text", "doc_id", threshold=0.7, num_perm=64,
                         bands=16)
+    import json as _json
+
+    # members as JSON strings: flat column types survive any downstream
+    # value-hash / pandas conversion the driver applies
     rows = [
-        {"cluster_min": min(c), "size": len(c), "members": c}
+        {"cluster_min": min(c), "size": len(c), "members": _json.dumps(c)}
         for c in res["clusters"]
     ]
     schema = pa.schema([("cluster_min", pa.int64()), ("size", pa.int64()),
-                        ("members", pa.list_(pa.int64()))])
+                        ("members", pa.string())])
     return pa.Table.from_pylist(rows, schema=schema)
 
 
@@ -606,12 +610,16 @@ def q_embedding_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     res = embedding_dedup(ds, threshold=0.95, n_planes=8)
+    import json as _json
+
+    # members as JSON strings: flat column types survive any downstream
+    # value-hash / pandas conversion the driver applies
     rows = [
-        {"cluster_min": min(c), "size": len(c), "members": c}
+        {"cluster_min": min(c), "size": len(c), "members": _json.dumps(c)}
         for c in res["clusters"]
     ]
     schema = pa.schema([("cluster_min", pa.int64()), ("size", pa.int64()),
-                        ("members", pa.list_(pa.int64()))])
+                        ("members", pa.string())])
     return pa.Table.from_pylist(rows, schema=schema)
 
 

@@ -1,11 +1,12 @@
 """Driver contract for the jsschema_ray engine.
 
-``entry()`` runs the flagship validation pipeline over the sf0.001
-testdata; ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (identical column
-names and ordering semantics — aggregates rounded to 4 decimals on BOTH
-sides so float association order cannot flip the value hash).
+``entry()`` runs the flagship validation over the sf0.001 testdata;
+``queries()`` exposes one callable per implemented operator from SURVEY.md
+§2 + the training-data operators (31 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (18 — identical
+column names AND dtypes; computed aggregates use integer-scaled sums,
+exact under any summation order, so the value hash cannot hit a float
+rounding boundary between engines).
 
 Ray is initialised by the driver before import: nothing here calls
 ray.init()/ray.shutdown().

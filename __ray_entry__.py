@@ -84,6 +84,18 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _round_away(arr):
+    """pc.round with SQL ROUND semantics (half away from zero) — DuckDB's
+    ROUND is half-away while pyarrow defaults to half-to-even; every
+    engine-side x100 integer scaling must match the oracle's mode."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
+def _iround(x: float) -> int:
+    """Driver-side scalar round, half away from zero (matches _round_away)."""
+    return int(np.sign(x) * np.floor(abs(x) + 0.5))
+
+
 def _violating_rows(ds, schema: dict, keep: list[str]):
     """Rows failing the row-local DAG, projected to ``keep`` (matches a SQL
     WHERE NOT(...) on clean, null-free columns)."""
@@ -256,7 +268,7 @@ def q_window_events(sf_dir: str):
         us = batch.column("ts").combine_chunks().cast(pa.int64())
         window = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
         vx = pc.cast(
-            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))),
+            _round_away(pc.multiply(batch.column("value"), pa.scalar(100.0))),
             pa.int64(),
         )
         return pa.table(
@@ -360,10 +372,10 @@ def q_column_stats(sf_dir: str):
             "n_rows": pa.array([q.count], type=pa.int64()),
             "qty_min": pa.array([q.min]),
             "qty_max": pa.array([q.max]),
-            "qty_sum": pa.array([int(round(q.sum))], type=pa.int64()),
+            "qty_sum": pa.array([_iround(q.sum)], type=pa.int64()),
             "price_min": pa.array([p.min]),
             "price_max": pa.array([p.max]),
-            "price_sum_cents": pa.array([int(round(p.sum * 100))],
+            "price_sum_cents": pa.array([_iround(p.sum * 100)],
                                         type=pa.int64()),
         }
     )
@@ -382,14 +394,14 @@ def q_group_stats(sf_dir: str):
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "qty": pc.cast(pc.round(batch.column("l_quantity")),
+                "qty": pc.cast(_round_away(batch.column("l_quantity")),
                                pa.int64()),
                 "price_cents": pc.cast(
-                    pc.round(pc.multiply(batch.column("l_extendedprice"),
-                                         pa.scalar(100.0))), pa.int64()),
+                    _round_away(pc.multiply(batch.column("l_extendedprice"),
+                                            pa.scalar(100.0))), pa.int64()),
                 "disc_x100": pc.cast(
-                    pc.round(pc.multiply(batch.column("l_discount"),
-                                         pa.scalar(100.0))), pa.int64()),
+                    _round_away(pc.multiply(batch.column("l_discount"),
+                                            pa.scalar(100.0))), pa.int64()),
             }
         )
 

@@ -165,10 +165,16 @@ def eval_array(node: ConstraintNode, arr: pa.Array, path: str = "#",
             x = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         if node.multiple_of is not None:
             k = float(node.multiple_of)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                q = x / k
-                m = np.abs(q - np.round(q)) <= 1e-9
-            m = np.where(np.isnan(x), False, m)
+            if pa.types.is_integer(dtype) and k.is_integer():
+                # exact integer modulo (matches the row-wise evaluator's
+                # int path; float division is lossy above 2^53)
+                xi = arr.fill_null(0).to_numpy(zero_copy_only=False)
+                m = (xi % int(k)) == 0  # python-int divisor: no dtype promotion
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    q = x / k
+                    m = np.abs(q - np.round(q)) <= 1e-9
+                m = np.where(np.isnan(x), False, m)
             em = np.where(valid, m, True)
             mask &= em
             _collect(collector, path, "multipleOf", em, valid)

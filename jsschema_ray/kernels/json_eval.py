@@ -79,7 +79,12 @@ def _matches_type(v: Any, t: str) -> bool:
         return True
     if t == "integer" and tv == "number":
         # draft-04 integer is a value constraint (3.1415926 fails, 42 passes)
-        return float(v) == int(v)
+        if isinstance(v, int):
+            return True
+        try:
+            return v == int(v)
+        except (OverflowError, ValueError):  # inf / nan floats
+            return False
     return False
 
 
@@ -132,11 +137,23 @@ def evaluate(
 
     # numeric keywords apply only to numbers (booleans excluded)
     if tv == "number":
-        f = float(v)
+        try:
+            f = float(v)
+        except OverflowError:  # int beyond float range: compare as ±inf
+            f = float("inf") if v > 0 else float("-inf")
         if node.multiple_of is not None:
-            q = f / float(node.multiple_of)
-            if abs(q - round(q)) > 1e-9:
+            k = float(node.multiple_of)
+            if isinstance(v, int) and k.is_integer():
+                if v % int(k) != 0:
+                    fail("multipleOf", v, node.multiple_of)
+            elif f != f or f in (float("inf"), float("-inf")):
+                # non-finite projection (huge int vs fractional divisor):
+                # cannot verify divisibility — conservative violation
                 fail("multipleOf", v, node.multiple_of)
+            else:
+                q = f / k
+                if abs(q - round(q)) > 1e-9:
+                    fail("multipleOf", v, node.multiple_of)
         if node.minimum is not None:
             if f < node.minimum or (node.exclusive_minimum and f == node.minimum):
                 fail("minimum", v, node.minimum)

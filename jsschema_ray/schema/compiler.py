@@ -172,6 +172,12 @@ class _Compiler:
         # numeric (marshal.go:517-532, 560-575)
         if "multipleOf" in m:
             n.multiple_of = _need(m["multipleOf"], float, "multipleOf")
+            # draft-04 §5.1.1: "The value of multipleOf MUST be a number,
+            # strictly greater than 0" — rejecting here keeps the row-wise
+            # evaluator (ZeroDivisionError) and the columnar kernel from
+            # ever seeing a non-positive divisor
+            if n.multiple_of <= 0:
+                raise SchemaError("keyword 'multipleOf': must be > 0")
         if "minimum" in m:
             n.minimum = _need(m["minimum"], float, "minimum")
         if "maximum" in m:

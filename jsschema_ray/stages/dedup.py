@@ -29,6 +29,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -52,50 +53,62 @@ def add_content_hash(ds, column: str, out_column: str = "content_hash",
                           zero_copy_batch=True)
 
 
-def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
-    """Keep exactly one row (the min ``key_column``) per distinct ``column``
-    value. Survivor selection shuffles only (hash, key) pairs; full rows are
-    filtered in place against the broadcast loser-key set."""
-    hashed = add_content_hash(ds, column, batch_size=batch_size)
-
-    # duplicated hashes only (value_counts pre-agg -> tiny groupby; never a
-    # per-group map_groups — that is pathological at 10^5+ groups); the
-    # collected set is bounded by duplicate volume, not corpus size
-    # (assumes key_column values are globally unique)
+def _dup_hash_members(hashed, columns: list[str], key_column: str,
+                      batch_size: int) -> "pd.DataFrame | None":
+    """Rows whose content_hash is duplicated, projected to
+    [content_hash, *columns, key_column] and collected to the driver.
+    Bounded by duplicate volume, not corpus size. Vectorized `pc.is_in`
+    broadcast filter (never a per-row Python loop)."""
     from jsschema_ray.stages.uniqueness import duplicate_keys
 
-    dup_hashes = {
+    dup_hashes = [
         r["content_hash"]
         for r in duplicate_keys(hashed, "content_hash",
                                 batch_size=batch_size).take_all()
-    }
-    loser_keys: set = set()
-    if dup_hashes:
-        dup_ref = ray.put(dup_hashes)
+    ]
+    if not dup_hashes:
+        return None
+    dup_ref = ray.put(pa.array(dup_hashes, type=pa.int64()))
+    proj = ["content_hash", *columns, key_column]
 
-        def in_dups(batch: pa.Table) -> pa.Table:
-            dh = ray.get(dup_ref)
-            mask = pa.array(
-                [h in dh for h in batch.column("content_hash").to_pylist()]
-            )
-            return batch.select(["content_hash", key_column]).filter(mask)
+    def in_dups(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("content_hash").combine_chunks(),
+                     value_set=ray.get(dup_ref))
+        return batch.select(proj).filter(m)
 
-        dup_pairs = hashed.map_batches(
-            in_dups, batch_format="pyarrow", batch_size=batch_size
-        ).to_pandas()
-        loser_keys = set(
+    return hashed.map_batches(
+        in_dups, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+
+
+def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
+    """Keep exactly one row (the min ``key_column``) per distinct ``column``
+    value. Survivor selection shuffles only (hash, key) pairs; full rows are
+    filtered in place against the broadcast loser-key set. Content equality
+    is verified WITHIN each duplicated-hash group (grouping on the actual
+    ``column`` value), so a 63-bit hash collision between distinct contents
+    never drops a unique row — the verification set is the duplicated rows
+    only, which is driver-small by the dedup-rate assumption."""
+    hashed = add_content_hash(ds, column, batch_size=batch_size)
+    dup_pairs = _dup_hash_members(hashed, [column], key_column, batch_size)
+    loser_keys: list = []
+    if dup_pairs is not None:
+        loser_keys = sorted(
             dup_pairs.sort_values(key_column)
-            .groupby("content_hash")[key_column]
+            .groupby([column], sort=False)[key_column]
             .apply(lambda s: list(s.iloc[1:]))
             .explode()
             .dropna()
         )
-    loser_ref = ray.put(loser_keys)
+    loser_ref = ray.put(pa.array(loser_keys)) if loser_keys else None
 
     def keep_only(batch: pa.Table) -> pa.Table:
-        bad = ray.get(loser_ref)
-        mask = pa.array([k not in bad for k in batch.column(key_column).to_pylist()])
-        return batch.filter(mask).drop_columns(["content_hash"])
+        out = batch
+        if loser_ref is not None:
+            m = pc.is_in(batch.column(key_column).combine_chunks(),
+                         value_set=ray.get(loser_ref))
+            out = batch.filter(pc.invert(pc.fill_null(m, False)))
+        return out.drop_columns(["content_hash"])
 
     return hashed.map_batches(keep_only, batch_format="pyarrow",
                               batch_size=batch_size)
@@ -103,38 +116,23 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
 
 def exact_duplicate_groups(ds, column: str, key_column: str,
                            batch_size: int = 8192):
-    """(content_hash, n_rows, keys) per duplicated content value — dup
-    hashes found by count pre-agg, members gathered with a broadcast filter
-    (no per-group map_groups)."""
-    from jsschema_ray.stages.uniqueness import duplicate_keys
-
-    hashed = add_content_hash(ds, column, batch_size=batch_size)
-    dup_hashes = {
-        r["content_hash"]
-        for r in duplicate_keys(hashed, "content_hash",
-                                batch_size=batch_size).take_all()
-    }
+    """(content_hash, n_rows, keys) per duplicated content VALUE — dup
+    hashes found by count pre-agg, members gathered with a broadcast
+    `pc.is_in` filter (no per-group map_groups), then grouped by the actual
+    content so hash-colliding distinct contents land in separate groups."""
     schema = pa.schema([("content_hash", pa.int64()), ("n_rows", pa.int64()),
                         ("keys", pa.list_(pa.int64()))])
-    if not dup_hashes:
+    hashed = add_content_hash(ds, column, batch_size=batch_size)
+    members = _dup_hash_members(hashed, [column], key_column, batch_size)
+    if members is None:
         return pa.Table.from_pylist([], schema=schema)
-    dup_ref = ray.put(dup_hashes)
-
-    def in_dups(batch: pa.Table) -> pa.Table:
-        dh = ray.get(dup_ref)
-        mask = pa.array(
-            [h in dh for h in batch.column("content_hash").to_pylist()]
-        )
-        return batch.select(["content_hash", key_column]).filter(mask)
-
-    members = hashed.map_batches(
-        in_dups, batch_format="pyarrow", batch_size=batch_size
-    ).to_pandas()
     rows = [
-        {"content_hash": int(h), "n_rows": len(g),
+        {"content_hash": int(g["content_hash"].iloc[0]), "n_rows": len(g),
          "keys": sorted(g[key_column].tolist())}
-        for h, g in members.groupby("content_hash")
+        for _, g in members.groupby([column], sort=False)
+        if len(g) > 1  # hash collided but contents differ: not duplicates
     ]
+    rows.sort(key=lambda r: (r["content_hash"], r["keys"]))
     return pa.Table.from_pylist(rows, schema=schema)
 
 

@@ -32,17 +32,22 @@ def _normalize(X: np.ndarray) -> np.ndarray:
 
 def _fold_topk(partials: list[dict], k: int, n_queries: int) -> pa.Table:
     """Merge per-batch top-k candidate rows into global top-k per query."""
+    # heap entries are (score, -key): ties at the cut resolve by LOWEST key
+    # surviving, matching the final (-score, key) sort — the selection is a
+    # total order, independent of block arrival order
     heaps: list[list] = [[] for _ in range(n_queries)]
     for p in partials:
         for qid, key, score in zip(p["query_id"], p["key"], p["score"]):
             h = heaps[qid]
+            entry = (score, -key)
             if len(h) < k:
-                heapq.heappush(h, (score, key))
-            elif score > h[0][0]:
-                heapq.heapreplace(h, (score, key))
+                heapq.heappush(h, entry)
+            elif entry > h[0]:
+                heapq.heapreplace(h, entry)
     rows = []
     for qid, h in enumerate(heaps):
-        for rank, (score, key) in enumerate(sorted(h, key=lambda t: (-t[0], t[1]))):
+        ordered = sorted(((s, -nk) for s, nk in h), key=lambda t: (-t[0], t[1]))
+        for rank, (score, key) in enumerate(ordered):
             rows.append({"query_id": qid, "rank": rank, "key": key,
                          "score": round(float(score), 6)})
     return pa.Table.from_pylist(

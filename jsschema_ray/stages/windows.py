@@ -12,7 +12,16 @@ late-data semantics, stated assumption: one key's events fit a worker).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+
+
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero — matches SQL/DuckDB ROUND, unlike
+    numpy/pyarrow's default half-to-even. Engine-side integer scalings that
+    feed DuckDB-oracled comparisons must use this (a value whose x100
+    product lands exactly on .5 would otherwise diverge between engines)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
@@ -35,7 +44,7 @@ def session_windows(ds, key: str = "user_id", ts: str = "ts",
                  // 1_000_000_000).to_numpy()
         out["epoch"] = epoch
         if value is not None and value in g.columns:
-            out["vx"] = (g[value].to_numpy() * 100).round().astype("int64")
+            out["vx"] = round_half_away(g[value].to_numpy() * 100).astype("int64")
         agg = {"epoch": ("epoch", "min"), "n_events": ("epoch", "size")}
         if "vx" in out.columns:
             agg["value_sum_x100"] = ("vx", "sum")

@@ -304,6 +304,80 @@ def q_join_orders_customers(sf_dir: str):
     ).sort(["o_orderkey"])
 
 
+def _mod_filter(ds, col: str, k: int, want):
+    """Keep rows where col % k ∈ want (vectorized; pc has no modulo kernel,
+    so x - (x // k) * k on the positive integer keys)."""
+    want = set(want)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = batch.column(col).combine_chunks()
+        m = pc.subtract(c, pc.multiply(pc.divide(c, pa.scalar(k)),
+                                       pa.scalar(k)))
+        keep = pc.is_in(m, value_set=pa.array(sorted(want), type=pa.int64()))
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_left_join_customer_orders(sf_dir: str):
+    """LEFT join with guaranteed unmatched left rows (orders filtered to
+    custkey % 3 == 0): exercises the Arrow-native typed-null padding —
+    o_orderkey stays int64 across every bucket whether or not it matched
+    (stages/join.py per-bucket pa.Table.join)."""
+    from jsschema_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _mod_filter(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey", 3, [0],
+    )
+    joined = hash_join(cust, orders, key="c_custkey", right_key="o_custkey",
+                       how="left", num_buckets=32)
+    # within one c_custkey group o_orderkey is either all-null (no match —
+    # exactly one row) or all non-null, so null placement in the sort can
+    # never differ between engines
+    return joined.select_columns(["c_custkey", "o_orderkey"]).sort(
+        ["c_custkey", "o_orderkey"]
+    )
+
+
+def q_outer_join_orders_customers(sf_dir: str):
+    """FULL OUTER join with unmatched rows on BOTH sides (orders to
+    custkey%3==0, customers to custkey%2==0): the join key is coalesced
+    across sides like SQL USING semantics."""
+    from jsschema_ray.stages.join import hash_join
+
+    orders = _mod_filter(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey", 3, [0],
+    )
+    cust = _mod_filter(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "c_custkey", 2, [0],
+    )
+    joined = hash_join(orders, cust, key="o_custkey", right_key="c_custkey",
+                       how="outer", num_buckets=32)
+    return joined.select_columns(
+        ["o_custkey", "o_orderkey", "c_mktsegment"]
+    ).sort(["o_custkey", "o_orderkey"])
+
+
+def q_anti_join_customers(sf_dir: str):
+    """ANTI join: customers with NO order above the price cut (broadcast
+    the filtered order keys? no — both sides shuffled, how='anti')."""
+    from jsschema_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 150000"
+    ).select_columns(["o_custkey"])
+    joined = hash_join(cust, big, key="c_custkey", right_key="o_custkey",
+                       how="anti", num_buckets=32)
+    return joined.select_columns(["c_custkey", "c_mktsegment"]).sort(
+        ["c_custkey"]
+    )
+
+
 def q_broadcast_join_nation(sf_dir: str):
     """Broadcast join against a dimension table (supplier ⋈ nation)."""
     from jsschema_ray.stages.join import broadcast_join
@@ -659,6 +733,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins + schema-default transform
         "join_orders_customers": q_join_orders_customers,
         "broadcast_join_nation": q_broadcast_join_nation,
+        "left_join_customer_orders": q_left_join_customer_orders,
+        "outer_join_orders_customers": q_outer_join_orders_customers,
+        "anti_join_customers": q_anti_join_customers,
         "apply_defaults": q_apply_defaults,
         "session_windows": q_session_windows,
         # stats / aggregation
@@ -725,6 +802,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, n_name
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             ORDER BY s_suppkey
+        """,
+        "left_join_customer_orders": """
+            SELECT c_custkey, o_orderkey
+            FROM customer
+            LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                       WHERE o_custkey % 3 = 0) o
+              ON c_custkey = o.o_custkey
+            ORDER BY c_custkey, o_orderkey
+        """,
+        "outer_join_orders_customers": """
+            SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_orderkey, c.c_mktsegment
+            FROM (SELECT o_orderkey, o_custkey FROM orders
+                  WHERE o_custkey % 3 = 0) o
+            FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                             WHERE c_custkey % 2 = 0) c
+              ON o.o_custkey = c.c_custkey
+            ORDER BY 1, 2
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+            ORDER BY c_custkey
         """,
         "apply_defaults": """
             SELECT doc_id,

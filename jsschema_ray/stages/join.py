@@ -2,15 +2,24 @@
 
 Two strategies, chosen by ref-side size (ray_guide 'Joins and lookups'):
 
-* broadcast_join — the small side is collected once, `ray.put` once, and
-  merged into every batch with a vectorized pandas merge. No shuffle; the
-  right strategy for dimension tables (nation/region/customer-sized).
+* broadcast_join — the small side is collected once, `ray.put` once as an
+  Arrow table, and joined into every batch with `pa.Table.join` (Acero
+  hash join; zero pandas conversion). No shuffle; the right strategy for
+  dimension tables (nation/region/customer-sized). Per-batch joins can only
+  express 'inner' and 'left' semantics (a right/full-outer needs global
+  knowledge of unmatched dimension rows) — other modes raise.
 * hash_join — both sides large: add ``bucket = hash(key) % B`` to both,
   co-shuffle with ONE groupby over the union, and join matching buckets
-  pairwise inside map_groups (explicit partitioned hash join). Skewed keys
-  can be salted by raising B; B defaults to 64 and should be ~2× cluster
-  cores. Partitioning assumption: any single bucket's rows (both sides) fit
-  a worker's heap.
+  pairwise inside map_groups with `pa.Table.join` (explicit partitioned
+  hash join). Arrow keeps typed nulls through outer joins, so integer
+  columns stay integer across buckets (no pandas float64 promotion).
+  Supports inner / left / right / outer / semi / anti. Skewed keys can be
+  salted by raising B; B defaults to 64 and should be ~2× cluster cores.
+  Partitioning assumption: any single bucket's rows (both sides) fit a
+  worker's heap.
+
+SQL join semantics throughout: NULL keys never match (Acero's default),
+unlike a pandas merge which pairs NaN keys.
 """
 
 from __future__ import annotations
@@ -18,40 +27,67 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 
 from jsschema_ray.state.hll import hash64
 
+_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _to_arrow(obj) -> pa.Table:
+    import pandas as pd
+    import ray.data as rd
+
+    if isinstance(obj, rd.Dataset):
+        # small by contract: collect once on the driver
+        obj = obj.to_pandas()
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    return obj
+
 
 def broadcast_join(ds, small, key: str, how: str = "inner",
                    batch_size: int = 65536, small_key: Optional[str] = None):
     """Join a Dataset against a small pandas/arrow table (or small Dataset)
-    by broadcasting the small side."""
-    import ray.data as rd
-
-    if isinstance(small, rd.Dataset):
-        small = small.to_pandas()
-    elif isinstance(small, pa.Table):
-        small = small.to_pandas()
+    by broadcasting the small side. ``how`` ∈ {'inner', 'left', 'semi',
+    'anti'} — the modes a per-batch join can express exactly."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"broadcast_join supports how in ('inner','left','semi','anti'), "
+            f"got {how!r}; a right/full-outer needs the partitioned hash_join"
+        )
+    small = _to_arrow(small)
     if small_key and small_key != key:
-        small = small.rename(columns={small_key: key})
-    ref = ray.put(small)
+        small = small.rename_columns(
+            [key if c == small_key else c for c in small.column_names]
+        )
+    ref = ray.put(small.combine_chunks())
+    join_type = _JOIN_TYPE[how]
 
-    def fn(batch: pa.Table) -> pd.DataFrame:
-        sm = ray.get(ref)
-        return batch.to_pandas().merge(sm, on=key, how=how)
+    def fn(batch: pa.Table) -> pa.Table:
+        sm = ray.get(ref)  # zero-copy from the object store
+        return batch.join(sm, keys=key, join_type=join_type)
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
 
 
 def hash_join(left, right, key: str, num_buckets: int = 64,
               how: str = "inner", batch_size: int = 65536,
               right_key: Optional[str] = None):
     """Partitioned hash join of two Datasets on ``key``: bucket both sides,
-    union, one shuffle, per-bucket pandas merge."""
+    union, one shuffle, per-bucket `pa.Table.join`."""
+    if how not in _JOIN_TYPE:
+        raise ValueError(f"unknown join how={how!r}; one of {list(_JOIN_TYPE)}")
     rk = right_key or key
     lcols = list(left.columns())
     rcols = [key if c == rk else c for c in right.columns()]
@@ -60,7 +96,10 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         raise ValueError(
             f"non-key column names must be disjoint, overlapping: {overlap}"
         )
-    all_cols = lcols + [c for c in rcols if c != key]
+    if how in ("semi", "anti"):
+        all_cols = lcols
+    else:
+        all_cols = lcols + [c for c in rcols if c != key]
 
     def _types(ds) -> dict:
         s = ds.schema()
@@ -78,6 +117,7 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
     col_types = dict(_types(left))
     for name, t in _types(right).items():
         col_types[key if name == rk else name] = t
+    union_cols = lcols + [c for c in rcols if c != key]
 
     def tag(side: int, colname: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -89,12 +129,12 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
                     [key if c == colname else c for c in out.column_names]
                 )
             # pad to the combined schema (typed nulls) so union is clean
-            for c in all_cols:
+            for c in union_cols:
                 if c not in out.column_names:
                     out = out.append_column(
                         c, pa.nulls(len(out), type=col_types[c])
                     )
-            out = out.select(all_cols)
+            out = out.select(union_cols)
             return out.append_column(
                 "__bucket", pa.array(bucket)
             ).append_column(
@@ -109,26 +149,22 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
                           batch_size=batch_size)
     )
 
-    int_cols = [c for c, t in col_types.items()
-                if pa.types.is_integer(t) and c in all_cols]
+    join_type = _JOIN_TYPE[how]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, lcols]
-        r = g.loc[g["__side"] == 1, rcols]
-        if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame({c: pd.Series([], dtype=object)
-                                 for c in all_cols})
-        out = l.merge(r, on=key, how=how)[all_cols]
-        # the null-padded union promoted int columns to float64 in pandas;
-        # restore integer dtype wherever no nulls survived the join
-        for c in int_cols:
-            if out[c].dtype.kind == "f" and not out[c].isna().any():
-                out[c] = out[c].astype("int64")
-        for c in all_cols:  # unmatched outer-join cells: NaN -> proper null
-            if out[c].dtype == object:
-                out[c] = out[c].where(out[c].notna(), None)
-        return out
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        import pyarrow.compute as pc
+
+        l = g.filter(pc.equal(side, 0)).select(lcols)
+        r = g.filter(pc.equal(side, 1)).select(rcols)
+        # Acero hash join: typed nulls survive outer joins, so per-bucket
+        # output schemas are identical regardless of which side was empty
+        # (the round-1 pandas path could emit int64 in one bucket and
+        # float64 in another for how='left'/'outer')
+        out = l.join(r, keys=key, join_type=join_type,
+                     coalesce_keys=True)
+        return out.select(all_cols).combine_chunks()
 
     return tagged.groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )

@@ -77,3 +77,75 @@ def test_apply_defaults(ray_session):
     out = apply_defaults(rd.from_arrow(t), schema).to_pandas().sort_values("a")
     assert out["a"].tolist() == [0, 1, 3]
     assert set(out["b"]) == {"x", "unk"}
+
+
+def test_hash_join_outer_right_semi_anti(ray_session):
+    """ADVICE repro: full outer of {k:1} with {k:1},{k:2} must keep k=2
+    (the round-1 pandas path dropped right-only keys when a bucket's left
+    side was empty); plus right/semi/anti coverage and the cross-bucket
+    integer-dtype invariant for how='left'."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import hash_join
+
+    left = pd.DataFrame({"k": [1], "lv": [10]})
+    right = pd.DataFrame({"k": [1, 2], "rv": [100, 200]})
+    l, r = rd.from_pandas(left), rd.from_pandas(right)
+
+    outer = {row["k"]: row for row in
+             hash_join(l, r, key="k", how="outer", num_buckets=4).take_all()}
+    assert set(outer) == {1, 2}
+    assert outer[2]["lv"] is None and outer[2]["rv"] == 200
+
+    right_rows = {row["k"]: row for row in
+                  hash_join(l, r, key="k", how="right",
+                            num_buckets=4).take_all()}
+    assert set(right_rows) == {1, 2}
+
+    semi = hash_join(r, l, key="k", how="semi", num_buckets=4).take_all()
+    assert [(row["k"], row["rv"]) for row in semi] == [(1, 100)]
+
+    anti = hash_join(r, l, key="k", how="anti", num_buckets=4).take_all()
+    assert [(row["k"], row["rv"]) for row in anti] == [(2, 200)]
+
+
+def test_hash_join_left_int_dtype_consistent_across_buckets(ray_session):
+    """how='left' with matches in one bucket and misses in another: every
+    output block must carry the same (integer) type for the right payload."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import hash_join
+
+    left = pd.DataFrame({"k": list(range(16)), "lv": list(range(16))})
+    right = pd.DataFrame({"k": [0, 1, 2, 3], "rv": [5, 6, 7, 8]})
+    out = hash_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right), key="k", how="left",
+                    num_buckets=8)
+    import ray
+
+    tbl = pa.concat_tables(
+        ray.get(ref) for ref in out.to_arrow_refs()
+    )  # concat_tables raises if any bucket emitted a differing schema
+    assert pa.types.is_integer(tbl.schema.field("rv").type)
+    got = {r["k"]: r["rv"] for r in tbl.to_pylist()}
+    assert got[2] == 7 and got[10] is None
+
+
+def test_broadcast_join_modes(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import broadcast_join
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    dim = pd.DataFrame({"k": [1, 3], "name": ["x", "y"]})
+    left = {r["k"]: r for r in
+            broadcast_join(ds, dim, key="k", how="left").take_all()}
+    assert left[2]["name"] is None and left[1]["name"] == "x"
+    semi = sorted(r["k"] for r in
+                  broadcast_join(ds, dim, key="k", how="semi").take_all())
+    assert semi == [1, 3]
+    anti = [r["k"] for r in
+            broadcast_join(ds, dim, key="k", how="anti").take_all()]
+    assert anti == [2]
+    with pytest.raises(ValueError):
+        broadcast_join(ds, dim, key="k", how="outer")

@@ -188,17 +188,103 @@ class MinHashSignatures:
         )
 
 
-def minhash_candidates(ds, column: str = "text", key_column: str = "doc_id",
-                       num_perm: int = 128, bands: int = 16,
-                       shingle_k: int = 3, batch_size: int = 4096,
-                       concurrency: Any = (1, 8)):
-    """LSH banding: (band_id, band_hash, key) rows -> bucket counts ->
-    candidate key groups (>=2 members), returned as a list of key lists
-    (driver-small by the near-dup-rate assumption documented in
-    minhash_dedup)."""
+class Shingles:
+    """Appends the document's unique (sorted) word-k-gram hash set as a
+    BINARY column (int64-LE packed) — the compact verification sketch
+    shipped (instead of the document) to wherever a candidate pair needs
+    exact Jaccard. Binary, not list<int64>, because Acero hash joins
+    (stages/join.py) reject nested payload types."""
+
+    def __init__(self, column: str = "text", shingle_k: int = 3,
+                 out_column: str = "shingles"):
+        self.column = column
+        self.k = shingle_k
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.column).to_pylist()
+        blobs = [
+            np.ascontiguousarray(
+                (_word_shingles(t or "", self.k) >> np.uint64(1))
+                .astype("<i8")
+            ).tobytes()
+            for t in texts
+        ]
+        return batch.append_column(self.out_column,
+                                   pa.array(blobs, type=pa.binary()))
+
+
+def _emit_run_pairs(bk: np.ndarray, keys: np.ndarray,
+                    max_bucket_members: int,
+                    payload: Optional[np.ndarray] = None):
+    """Yield (a, b[, pa_payload, pb_payload]) candidate pairs for every
+    bucket run in a bucket-sorted table. Buckets larger than
+    ``max_bucket_members`` fall back to consecutive+star pairing (O(m)
+    pairs) instead of all-pairs — this preserves union-find connectivity
+    for exact-duplicate-style buckets while bounding the quadratic blowup
+    of pathological LSH collisions (documented partitioning assumption)."""
+    order = np.argsort(bk, kind="stable")
+    sb = bk[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    ends = np.r_[starts[1:], len(sb)]
+    for lo, hi in zip(starts, ends):
+        m = hi - lo
+        if m < 2:
+            continue
+        idx = order[lo:hi]
+        ks = keys[idx]
+        o2 = np.argsort(ks, kind="stable")
+        ks = ks[o2]
+        pl = payload[idx][o2] if payload is not None else None
+        if m <= max_bucket_members:
+            pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+        else:
+            pairs = [(i, i + 1) for i in range(m - 1)]
+            pairs += [(0, j) for j in range(2, m)]
+        for i, j in pairs:
+            if ks[i] == ks[j]:
+                continue
+            if pl is None:
+                yield ks[i], ks[j]
+            else:
+                yield ks[i], ks[j], pl[i], pl[j]
+
+
+def _pack_parted(tbl: pa.Table, part: np.ndarray, num_parts: int) -> pa.Table:
+    """Pack a table into one Arrow-IPC blob row per present partition —
+    the shuffle then moves O(batches × parts) rows, not O(exploded rows)
+    (same trick as stages/uniqueness.py blob-packed bucket reduce)."""
+    from jsschema_ray.stages.uniqueness import _pack
+
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    sp = part[order]
+    bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+    out_p, out_blob = [], []
+    for b in range(num_parts):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo == hi:
+            continue
+        out_p.append(b)
+        out_blob.append(_pack(sorted_tbl.slice(lo, hi - lo)))
+    return pa.table({"part": pa.array(out_p, type=pa.int32()),
+                     "blob": pa.array(out_blob, type=pa.binary())})
+
+
+def minhash_candidate_pairs(ds, column: str = "text",
+                            key_column: str = "doc_id", num_perm: int = 128,
+                            bands: int = 16, shingle_k: int = 3,
+                            batch_size: int = 4096,
+                            concurrency: Any = (1, 8), num_parts: int = 64,
+                            max_bucket_members: int = 256):
+    """LSH banding to a DATASET of candidate pairs (a, b) — fully
+    distributed: band bucket keys are hash-partitioned (blob-packed, one
+    row per (batch, part)), every bucket's members land in exactly one
+    coarse partition, and pair emission happens inside that partition's
+    vectorized reduce. Nothing is ever collected to the driver here."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigged = ds.map_batches(
+    sigged = ds.select_columns([key_column, column]).map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"column": column, "num_perm": num_perm,
                                "shingle_k": shingle_k},
@@ -210,8 +296,8 @@ def minhash_candidates(ds, column: str = "text", key_column: str = "doc_id",
         flat = sig.values.to_numpy(zero_copy_only=False).reshape(
             len(batch), num_perm
         )
-        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
-        bucket_keys, out_keys = [], []
+        keys = batch.column(key_column).combine_chunks()
+        bucket_keys = []
         for bidx in range(bands):
             chunk = flat[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
             bh = pd.util.hash_pandas_object(
@@ -221,48 +307,136 @@ def minhash_candidates(ds, column: str = "text", key_column: str = "doc_id",
             bk = ((bh * np.uint64(131) + np.uint64(bidx))
                   >> np.uint64(1)).astype(np.int64)
             bucket_keys.append(bk)
-            out_keys.append(keys)
-        return pa.table(
+        bk_all = np.concatenate(bucket_keys)
+        tbl = pa.table(
             {
-                "bucket_key": pa.array(np.concatenate(bucket_keys),
-                                       type=pa.int64()),
-                key_column: pa.array(np.concatenate(out_keys)),
+                "bucket_key": pa.array(bk_all, type=pa.int64()),
+                key_column: pa.chunked_array(
+                    [keys] * bands
+                ).combine_chunks(),
             }
         )
+        part = (bk_all.astype(np.uint64) % np.uint64(num_parts)).astype(
+            np.int32
+        )
+        return _pack_parted(tbl, part, num_parts)
 
     exploded = sigged.select_columns(["minhash", key_column]).map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size
-    ).materialize()  # consumed twice below; (bands × n) small rows
+    )
 
-    # buckets with >= 2 members via the bucketed count reduce
-    # (stages/uniqueness.py — never a per-key Ray aggregate), then
-    # broadcast-filter the exploded rows and group on the driver
-    from jsschema_ray.stages.uniqueness import duplicate_keys
+    from jsschema_ray.stages.uniqueness import _unpack
 
-    dup_buckets = {
-        r["bucket_key"]
-        for r in duplicate_keys(exploded, "bucket_key",
-                                batch_size=batch_size).take_all()
-    }
-    if not dup_buckets:
-        return []
-    bucket_ref = ray.put(dup_buckets)
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
+        bk = tbl.column("bucket_key").to_numpy(zero_copy_only=False)
+        keys = tbl.column(key_column).to_numpy(zero_copy_only=False)
+        seen: set = set()
+        a_out, b_out = [], []
+        for a, b in _emit_run_pairs(bk, keys, max_bucket_members):
+            if (a, b) in seen:
+                continue  # same pair from several bands of this partition
+            seen.add((a, b))
+            a_out.append(a)
+            b_out.append(b)
+        # typed (possibly empty) output: untyped empty frames trip Ray's
+        # block size estimation
+        return pd.DataFrame({"a": np.asarray(a_out, dtype=keys.dtype),
+                             "b": np.asarray(b_out, dtype=keys.dtype)})
 
-    def in_buckets(batch: pa.Table) -> pa.Table:
-        bs = ray.get(bucket_ref)
-        mask = pa.array(
-            [b in bs for b in batch.column("bucket_key").to_pylist()]
+    return exploded.groupby("part").map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+
+
+def _dedupe_pairs(pairs, num_parts: int = 64):
+    """Global (a, b) pair dedup: the same candidate pair surfaces once per
+    colliding band, and those bands live in different partitions — hash
+    both keys to a coarse partition and drop duplicates inside each with
+    one vectorized pass (never a per-pair Ray aggregate). Cuts the
+    downstream sketch-join and verification volume by up to ``bands``×."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ha = hash64(batch.column("a").combine_chunks())
+        hb = hash64(batch.column("b").combine_chunks())
+        part = ((ha * np.uint64(1000003) + hb) % np.uint64(num_parts)).astype(
+            np.int32
         )
-        return batch.filter(mask)
+        return batch.append_column("part", pa.array(part))
 
-    members = exploded.map_batches(
-        in_buckets, batch_format="pyarrow", batch_size=batch_size
-    ).to_pandas()
-    return [
-        sorted(set(g[key_column].tolist()))
-        for _, g in members.groupby("bucket_key")
-        if g[key_column].nunique() > 1
-    ]
+    def drop_dupes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["part"])
+
+    return pairs.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(drop_dupes, batch_format="pandas")
+
+
+def minhash_verified_pairs(ds, column: str = "text",
+                           key_column: str = "doc_id",
+                           threshold: float = 0.8, num_perm: int = 128,
+                           bands: int = 16, shingle_k: int = 3,
+                           batch_size: int = 4096,
+                           max_bucket_members: int = 256):
+    """Distributed exact-Jaccard verification of the LSH candidate pairs:
+    each pair is joined (bucketed co-shuffle, stages/join.py) against the
+    per-document shingle SKETCHES — first on ``a``, then on ``b`` — and a
+    final map_batches computes exact Jaccard per candidate. Returns
+    (pairs_dataset of (a, b, jaccard >= threshold), n_candidates). Only
+    VERIFIED pairs ever reach the driver; web-scale duplicate rates change
+    the size of the shuffles, not of any driver-side structure."""
+    from jsschema_ray.stages.join import hash_join
+
+    pairs = _dedupe_pairs(
+        minhash_candidate_pairs(
+            ds, column, key_column, num_perm, bands, shingle_k, batch_size,
+            num_parts=64, max_bucket_members=max_bucket_members,
+        )
+    ).materialize()  # consumed by count + join; unique candidate pairs only
+    n_candidates = pairs.count()
+    if n_candidates == 0:
+        return pairs, 0
+
+    def _sketches(out_key: str, out_col: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([out_key, out_col])
+
+        return ds.select_columns([key_column, column]).map_batches(
+            Shingles, fn_constructor_kwargs={"column": column,
+                                             "shingle_k": shingle_k},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 8),
+        ).select_columns([key_column, "shingles"]).map_batches(
+            rename, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    with_a = hash_join(pairs, _sketches("a", "sh_a"), key="a",
+                       how="inner", num_buckets=32)
+    with_b = hash_join(with_a, _sketches("b", "sh_b"), key="b",
+                       how="inner", num_buckets=32)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        sh_a = batch.column("sh_a").to_pylist()
+        sh_b = batch.column("sh_b").to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for i in range(len(a)):
+            xa = np.frombuffer(sh_a[i], dtype="<i8")
+            xb = np.frombuffer(sh_b[i], dtype="<i8")
+            j = jaccard(xa, xb)
+            if j >= threshold:
+                keep_a.append(a[i])
+                keep_b.append(b[i])
+                jac.append(round(j, 6))
+        kt = batch.schema.field("a").type
+        return pa.table({"a": pa.array(keep_a, type=kt),
+                         "b": pa.array(keep_b, type=kt),
+                         "jaccard": pa.array(jac, type=pa.float64())})
+
+    verified = with_b.map_batches(verify, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    return verified, n_candidates
 
 
 class _UnionFind:
@@ -288,62 +462,53 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _clusters_from_pairs(pair_rows) -> dict[str, Any]:
+    """Driver-side union-find over VERIFIED pairs only (the one structure
+    whose size the driver holds — O(verified pairs), not O(candidates) and
+    never O(corpus))."""
+    uf = _UnionFind()
+    seen: set = set()
+    for a, b in pair_rows:
+        pair = (a, b) if a <= b else (b, a)
+        if pair in seen:
+            continue  # same pair verified via several bands/partitions
+        seen.add(pair)
+        uf.union(a, b)
+    clusters: dict = {}
+    for k in list(uf.parent):
+        clusters.setdefault(uf.find(k), []).append(k)
+    clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
+    drop = sorted(k for m in clusters.values() for k in m if k != min(m))
+    return {"clusters": sorted(clusters.values()), "drop_keys": drop,
+            "n_verified_pairs": len(seen)}
+
+
 def minhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
                   threshold: float = 0.8, num_perm: int = 128,
                   bands: int = 16, shingle_k: int = 3,
                   batch_size: int = 4096) -> dict[str, Any]:
-    """Near-dup clusters: LSH candidates -> exact n-gram Jaccard
-    verification on candidate documents only -> union-find.
+    """Near-dup clusters: distributed LSH candidate-pair emission ->
+    distributed exact n-gram Jaccard verification (shingle-sketch
+    co-shuffle) -> union-find over verified pairs only.
 
     Partitioning assumption (documented per driver instruction): the
-    CANDIDATE set (keys sharing an LSH bucket) fits the driver — true when
-    near-dup rate ≪ corpus size; at 10^12 scale the banding groupby runs
-    distributed and only verified pairs come back. Returns
-    {clusters: [[keys...]], drop_keys: [...], n_candidates: int}."""
-    groups = minhash_candidates(ds, column, key_column, num_perm, bands,
-                                shingle_k, batch_size)
-    cand_keys = sorted({k for g in groups for k in g})
-    if not cand_keys:
-        return {"clusters": [], "drop_keys": [], "n_candidates": 0}
-
-    # pull candidate documents only (broadcast filter, no shuffle)
-    keyset_ref = ray.put(set(cand_keys))
-
-    def only_cands(batch: pa.Table) -> pa.Table:
-        ks = set(ray.get(keyset_ref))
-        mask = pa.array([k in ks for k in batch.column(key_column).to_pylist()])
-        return batch.filter(mask)
-
-    docs = {
-        r[key_column]: _word_shingles(r[column] or "", shingle_k)
-        for r in ds.select_columns([key_column, column]).map_batches(
-            only_cands, batch_format="pyarrow", batch_size=batch_size
-        ).take_all()
-    }
-    uf = _UnionFind()
-    verified = 0
-    seen_pairs: set = set()
-    for g in groups:
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                pair = (g[i], g[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                if jaccard(docs[g[i]], docs[g[j]]) >= threshold:
-                    uf.union(g[i], g[j])
-                    verified += 1
-    clusters: dict = {}
-    for k in cand_keys:
-        clusters.setdefault(uf.find(k), []).append(k)
-    clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
-    drop = sorted(k for r, m in clusters.items() for k in m if k != min(m))
-    return {
-        "clusters": sorted(clusters.values()),
-        "drop_keys": drop,
-        "n_candidates": len(seen_pairs),
-        "n_verified_pairs": verified,
-    }
+    VERIFIED near-dup pair set fits the driver (needed for global cluster
+    assembly); candidate pairs and bucket members never leave the cluster,
+    so a 20-50%% web-crawl duplicate rate scales the shuffles, not the
+    driver. Returns {clusters: [[keys...]], drop_keys: [...],
+    n_candidates: int, n_verified_pairs: int}."""
+    verified, n_candidates = minhash_verified_pairs(
+        ds, column, key_column, threshold, num_perm, bands, shingle_k,
+        batch_size,
+    )
+    if n_candidates == 0:
+        return {"clusters": [], "drop_keys": [], "n_candidates": 0,
+                "n_verified_pairs": 0}
+    out = _clusters_from_pairs(
+        (r["a"], r["b"]) for r in verified.take_all()
+    )
+    out["n_candidates"] = n_candidates
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -378,81 +543,87 @@ class SimHash:
         )
 
 
-def simhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
-                  max_hamming: int = 3, batch_size: int = 4096,
-                  concurrency: Any = (1, 8)) -> dict[str, Any]:
-    """Near-dup via SimHash banding: Hamming distance <= 3 over a 63-bit
-    hash guarantees at least one identical 16-bit chunk (pigeonhole) ->
-    groupby chunk -> verify exact Hamming. Candidate set assumed
-    driver-small (same contract as minhash_dedup)."""
-    sh = ds.map_batches(
+def simhash_verified_pairs(ds, column: str = "text",
+                           key_column: str = "doc_id", max_hamming: int = 3,
+                           batch_size: int = 4096,
+                           concurrency: Any = (1, 8), num_parts: int = 64,
+                           max_bucket_members: int = 256):
+    """SimHash banding to a DATASET of Hamming-verified pairs: chunk bucket
+    keys are hash-partitioned (blob-packed rows), and because the 64-bit
+    simhash travels with each exploded row, exact-Hamming verification
+    happens INSIDE the partition reduce — only verified pairs leave it.
+    Pigeonhole: Hamming <= 3 over a 63-bit hash guarantees at least one
+    identical 16-bit chunk, so banding on the 4 chunks finds every pair."""
+    sh = ds.select_columns([key_column, column]).map_batches(
         SimHash, fn_constructor_kwargs={"column": column},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     ).select_columns([key_column, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
-        h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bks, oks = [], []
+        keys = batch.column(key_column).combine_chunks()
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        bks = []
         for c in range(4):
             chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
             # exact composite bucket key: band_id << 16 | chunk
             bks.append(((np.uint64(c) << np.uint64(16)) | chunk).astype(np.int64))
-            oks.append(keys)
-        return pa.table(
+        bk_all = np.concatenate(bks)
+        tbl = pa.table(
             {
-                "bucket_key": pa.array(np.concatenate(bks), type=pa.int64()),
-                key_column: pa.array(np.concatenate(oks)),
+                "bucket_key": pa.array(bk_all, type=pa.int64()),
+                key_column: pa.chunked_array([keys] * 4).combine_chunks(),
                 "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
             }
         )
+        part = (bk_all.astype(np.uint64) % np.uint64(num_parts)).astype(
+            np.int32
+        )
+        return _pack_parted(tbl, part, num_parts)
 
     exploded = sh.map_batches(explode, batch_format="pyarrow",
-                              batch_size=batch_size).materialize()
+                              batch_size=batch_size)
 
-    # duplicated buckets via the bucketed count reduce, then
-    # broadcast-filter members and verify Hamming on the driver
-    from jsschema_ray.stages.uniqueness import duplicate_keys
+    from jsschema_ray.stages.uniqueness import _unpack
 
-    dup_buckets = {
-        r["bucket_key"]
-        for r in duplicate_keys(exploded.select_columns(["bucket_key"]),
-                                "bucket_key", batch_size=batch_size).take_all()
-    }
+    def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
+        bk = tbl.column("bucket_key").to_numpy(zero_copy_only=False)
+        keys = tbl.column(key_column).to_numpy(zero_copy_only=False)
+        hashes = tbl.column("simhash").to_numpy(zero_copy_only=False)
+        seen: set = set()
+        a_out, b_out = [], []
+        for a, b, ha, hb in _emit_run_pairs(bk, keys, max_bucket_members,
+                                            payload=hashes):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
+                a_out.append(a)
+                b_out.append(b)
+        return pd.DataFrame({"a": np.asarray(a_out, dtype=keys.dtype),
+                             "b": np.asarray(b_out, dtype=keys.dtype)})
 
-    uf = _UnionFind()
-    n_pairs = 0
-    if dup_buckets:
-        bucket_ref = ray.put(dup_buckets)
+    return exploded.groupby("part").map_groups(
+        emit_verified, batch_format="pandas"
+    )
 
-        def in_buckets(batch: pa.Table) -> pa.Table:
-            bs = ray.get(bucket_ref)
-            mask = pa.array(
-                [b in bs for b in batch.column("bucket_key").to_pylist()]
-            )
-            return batch.filter(mask)
 
-        members = exploded.map_batches(
-            in_buckets, batch_format="pyarrow", batch_size=batch_size
-        ).to_pandas()
-        for _, g in members.groupby("bucket_key"):
-            ks = g[key_column].tolist()
-            hs = g["simhash"].tolist()
-            for i in range(len(ks)):
-                for j in range(i + 1, len(ks)):
-                    if ks[i] == ks[j]:
-                        continue
-                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                    if d <= max_hamming:
-                        uf.union(ks[i], ks[j])
-                        n_pairs += 1
-    clusters: dict = {}
-    for k in list(uf.parent):
-        clusters.setdefault(uf.find(k), []).append(k)
-    clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
-    drop = sorted(k for m in clusters.values() for k in m if k != min(m))
-    return {"clusters": sorted(clusters.values()), "drop_keys": drop,
-            "n_pairs": n_pairs}
+def simhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
+                  max_hamming: int = 3, batch_size: int = 4096,
+                  concurrency: Any = (1, 8)) -> dict[str, Any]:
+    """Near-dup via SimHash banding, distributed end-to-end: candidate
+    emission AND Hamming verification run inside the hash-partitioned
+    bucket reduce; the driver's union-find sees verified pairs only (same
+    contract as minhash_dedup — driver holds O(verified pairs))."""
+    verified = simhash_verified_pairs(ds, column, key_column, max_hamming,
+                                      batch_size, concurrency)
+    out = _clusters_from_pairs(
+        (r["a"], r["b"]) for r in verified.take_all()
+    )
+    out["n_pairs"] = out.pop("n_verified_pairs")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -540,8 +711,12 @@ def embedding_dedup(ds, emb_column: str = "embedding",
     )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # always a typed (string) column, even when empty: untyped empty
+        # frames trip Ray's block size estimation ("cannot call vectorize
+        # on size 0" warnings in the bench log)
+        empty = pd.DataFrame({"pairs": pd.Series([], dtype="string")})
         if len(g) < 2:
-            return pd.DataFrame({"pairs": pd.Series([], dtype="string")})
+            return empty
         X = np.stack(g[emb_column].to_numpy())
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         S = X @ X.T
@@ -549,8 +724,10 @@ def embedding_dedup(ds, emb_column: str = "embedding",
         iu, ju = np.triu_indices(len(ks), k=1)
         hits = np.flatnonzero(S[iu, ju] >= threshold)
         pairs = [sorted((ks[iu[h]], ks[ju[h]])) for h in hits]
-        return pd.DataFrame({"pairs": [_json.dumps(pairs)]} if pairs else
-                            {"pairs": pd.Series([], dtype="string")})
+        if not pairs:
+            return empty
+        return pd.DataFrame({"pairs": pd.Series([_json.dumps(pairs)],
+                                                dtype="string")})
 
     uf = _UnionFind()
     n = 0

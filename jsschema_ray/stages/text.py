@@ -50,10 +50,18 @@ class TextStats:
         n_bpe = s.str.count(_BPE_RE)
         n_punct = s.str.count(r"[^\w\s]")
         n_upper = s.str.count(r"[A-Z]")
+        # vectorized stopword ratio: explode tokens once, one C-level isin,
+        # segmented mean back to rows (no per-row Python lambda)
         toks = s.str.lower().str.split()
-        stop_ratio = toks.map(
-            lambda ws: sum(w in self.stop for w in ws) / len(ws) if ws else 0.0
+        n_tok = toks.str.len().fillna(0).to_numpy()
+        exploded = toks.explode()
+        hits = (
+            exploded.isin(self.stop)
+            .groupby(level=0).sum()
+            .reindex(s.index, fill_value=0)
+            .to_numpy(dtype=np.float64)
         )
+        stop_ratio = np.where(n_tok > 0, hits / np.maximum(n_tok, 1), 0.0)
         punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
         upper_ratio = (n_upper / n_chars.clip(lower=1)).astype(float)
         # simple composite quality heuristic: reasonable length, some
@@ -99,20 +107,29 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # vectorized: explode tokens once, one C-level isin per language
+        # profile, segmented hit-rate, argmax in profile order (ties break
+        # to the first profile — same as the sequential strict-> update)
         s = batch.column(self.column).to_pandas().fillna("")
         toks = s.str.lower().str.findall(r"[a-zà-ÿ]+")
-        langs = []
-        for ws in toks:
-            if not ws:
-                langs.append("und")
-                continue
-            n = len(ws)
-            best_lang, best = "und", self.min_score
-            for lang, prof in self.profiles.items():
-                score = sum(w in prof for w in ws) / n
-                if score > best:
-                    best_lang, best = lang, score
-            langs.append(best_lang)
+        n_tok = toks.str.len().fillna(0).to_numpy(dtype=np.float64)
+        exploded = toks.explode()
+        names = list(self.profiles)
+        scores = np.zeros((len(s), len(names)), dtype=np.float64)
+        for li, lang in enumerate(names):
+            hits = (
+                exploded.isin(self.profiles[lang])
+                .groupby(level=0).sum()
+                .reindex(s.index, fill_value=0)
+                .to_numpy(dtype=np.float64)
+            )
+            scores[:, li] = np.where(n_tok > 0,
+                                     hits / np.maximum(n_tok, 1.0), 0.0)
+        best_idx = np.argmax(scores, axis=1)
+        best = scores[np.arange(len(s)), best_idx]
+        lang_arr = np.array(names, dtype=object)[best_idx]
+        langs = np.where((best > self.min_score) & (n_tok > 0),
+                         lang_arr, "und")
         return batch.append_column(
             self.out_column, pa.array(langs, type=pa.string())
         )

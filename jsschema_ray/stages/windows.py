@@ -26,32 +26,61 @@ def round_half_away(x: np.ndarray) -> np.ndarray:
 
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
-                    value: str | None = "value"):
+                    value: str | None = "value",
+                    num_partitions: int = 64):
     """Per-(key, session) aggregate: a new session starts when the time
     since the previous event of the same key exceeds ``gap_seconds``.
     Output: key, session_id (0-based per key), session_start (epoch s),
-    n_events [, value_sum_x100]."""
+    n_events [, value_sum_x100].
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable")
-        t = g[ts]
-        gaps = t.diff().dt.total_seconds()
-        new_sess = (gaps.isna() | (gaps > gap_seconds)).astype("int64")
-        sess = new_sess.cumsum() - 1
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sess.to_numpy()})
-        # normalize to ns first: arrow timestamps may land as datetime64[us]
-        epoch = (t.astype("datetime64[ns]").astype("int64")
-                 // 1_000_000_000).to_numpy()
-        out["epoch"] = epoch
-        if value is not None and value in g.columns:
-            out["vx"] = round_half_away(g[value].to_numpy() * 100).astype("int64")
-        agg = {"epoch": ("epoch", "min"), "n_events": ("epoch", "size")}
-        if "vx" in out.columns:
-            agg["value_sum_x100"] = ("vx", "sum")
-        res = out.groupby([key, "session_id"], sort=True).agg(**agg).reset_index()
-        return res.rename(columns={"epoch": "session_start"})
+    Scale shape: keys are HASH-PARTITIONED into ``num_partitions`` coarse
+    groups and each partition is sessionized in ONE vectorized pandas pass
+    (sort by key+ts, key-change|gap flag, per-key cumsum, one groupby
+    aggregate) — O(num_partitions) Ray groups instead of O(keys), so
+    millions of user keys cost the same dispatch as 64. Partitioning
+    assumption: one coarse partition (≈ n_rows / num_partitions rows)
+    fits a worker's heap; raise num_partitions with cluster size."""
+    import numpy as _np
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
 
     cols = [key, ts] + ([value] if value else [])
-    return ds.select_columns(cols).groupby(key).map_groups(
-        per_key, batch_format="pandas"
-    )
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % _np.uint64(num_partitions)).astype(_np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        t = g[ts]
+        gaps = t.diff().dt.total_seconds()
+        key_change = g[key].ne(g[key].shift())
+        new_sess = (key_change | gaps.isna() | (gaps > gap_seconds)).astype(
+            "int64"
+        )
+        # per-key 0-based session id: global cumsum minus each key's base
+        sess_global = new_sess.cumsum()
+        base = sess_global.where(key_change).ffill()
+        out = pd.DataFrame({
+            key: g[key].to_numpy(),
+            "session_id": (sess_global - base).to_numpy(),
+        })
+        # normalize to ns first: arrow timestamps may land as datetime64[us]
+        out["epoch"] = (t.astype("datetime64[ns]").astype("int64")
+                        // 1_000_000_000).to_numpy()
+        agg = {"epoch": ("epoch", "min"), "n_events": ("epoch", "size")}
+        if value is not None and value in g.columns:
+            out["vx"] = round_half_away(g[value].to_numpy() * 100).astype(
+                "int64"
+            )
+            agg["value_sum_x100"] = ("vx", "sum")
+        res = out.groupby([key, "session_id"], sort=True).agg(
+            **agg
+        ).reset_index()
+        return res.rename(columns={"epoch": "session_start"})
+
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")

@@ -137,6 +137,24 @@ def _image_dir_rows(n: int) -> str:
     return out
 
 
+def _image_meta_path_rows(n: int) -> str:
+    """Metadata-only parquet mirror of the sharded image dataset — the
+    DuckDB-readable side of the image oracles. Generated on demand (cheap:
+    no PNG encode) so it exists whether the driver evaluates the Ray query
+    or the oracle SQL first."""
+    path = f"/tmp/jsschema_ray_cache/imgmeta_{n}.parquet"
+    if not os.path.exists(path):
+        from jsschema_ray.sources.synth import write_image_meta
+
+        write_image_meta(path, n, shards=64, violation_frac=0.02)
+    return path
+
+
+def _image_meta_path(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _image_meta_path_rows(_SF_ROWS.get(name, 20_000))
+
+
 def q_image_validate(sf_dir: str):
     from jsschema_ray.pipelines.image_schema import IMAGE_SCHEMA
     from jsschema_ray.stages.validate import violations
@@ -769,7 +787,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the image oracles read the deterministic metadata mirror of the
+    # synthesized image table; ensure it exists no matter whether the
+    # driver evaluates SQL or the Ray query first (sf0.01 = 20k rows is
+    # the driver's correctness scale)
+    meta = _image_meta_path_rows(20_000)
     return {
+        "image_unique_phash": f"""
+            SELECT phash, COUNT(*) AS dup_count
+            FROM read_parquet('{meta}')
+            GROUP BY phash HAVING COUNT(*) > 1
+            ORDER BY dup_count DESC, phash LIMIT 50
+        """,
+        "image_validate": f"""
+            WITH m AS (SELECT * FROM read_parquet('{meta}'))
+            SELECT * FROM (
+                SELECT image_id AS key, 'image_id' AS "column",
+                       '#/properties/image_id' AS path,
+                       'pattern' AS keyword, image_id AS observed,
+                       'match /^img-[0-9]{{12}}$/' AS expected
+                FROM m WHERE NOT regexp_matches(image_id, '^img-[0-9]{{12}}$')
+                UNION ALL
+                SELECT image_id, 'w', '#/properties/w', 'minimum',
+                       CAST(w AS VARCHAR), '>= 16'
+                FROM m WHERE w < 16
+                UNION ALL
+                SELECT image_id, 'w', '#/properties/w', 'maximum',
+                       CAST(w AS VARCHAR), '<= 4096'
+                FROM m WHERE w > 4096
+                UNION ALL
+                SELECT image_id, 'h', '#/properties/h', 'minimum',
+                       CAST(h AS VARCHAR), '>= 16'
+                FROM m WHERE h < 16
+                UNION ALL
+                SELECT image_id, 'h', '#/properties/h', 'maximum',
+                       CAST(h AS VARCHAR), '<= 4096'
+                FROM m WHERE h > 4096
+                UNION ALL
+                SELECT image_id, 'fmt', '#/properties/fmt', 'enum', fmt,
+                       'one of [''png'', ''jpeg'', ''webp'']'
+                FROM m WHERE fmt NOT IN ('png', 'jpeg', 'webp')
+                UNION ALL
+                SELECT image_id, 'caption', '#/properties/caption',
+                       'minLength', caption, 'length >= 5'
+                FROM m WHERE caption IS NOT NULL AND LENGTH(caption) < 5
+                UNION ALL
+                SELECT image_id, 'caption', '#/properties/caption',
+                       'maxLength',
+                       -- the engine's _obs() clips observed values at 120
+                       -- chars (stages/validate.py)
+                       CASE WHEN LENGTH(caption) > 120
+                            THEN SUBSTRING(caption, 1, 117) || '...'
+                            ELSE caption END,
+                       'length <= 200'
+                FROM m WHERE caption IS NOT NULL AND LENGTH(caption) > 200
+                UNION ALL
+                SELECT image_id, 'caption', '#/required', 'caption',
+                       'None', 'value present (required)'
+                FROM m WHERE caption IS NULL
+            ) ORDER BY key, path, keyword
+        """,
         "range_violations": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
                    l_extendedprice

@@ -152,6 +152,36 @@ def synth_image_table(
     return pa.table(cols), manifest
 
 
+def write_image_meta(
+    out_path: str,
+    n_rows: int,
+    seed: int = 42,
+    shards: int = 64,
+    violation_frac: float = 0.02,
+) -> None:
+    """Write ONE metadata-only parquet (no ``bytes`` column) with rows
+    byte-identical to the metadata of `write_image_dataset(shards=...)` —
+    the per-shard RNG streams are keyed by (seed, row_offset) and the
+    payload draws happen after all metadata draws, so skipping payloads
+    cannot change the metadata. This file is what the DuckDB oracle reads
+    (DuckDB can't assemble the sharded dir cheaply in a static SQL string),
+    while the Ray queries read the sharded dataset; equality is pinned by
+    tests/test_multimodal.py::test_image_meta_matches_sharded."""
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    per = n_rows // shards
+    tables = []
+    for s in range(shards):
+        n = per if s < shards - 1 else n_rows - per * (shards - 1)
+        t, _ = synth_image_table(
+            n, seed=seed, violation_frac=violation_frac,
+            with_bytes=False, row_offset=s * per,
+        )
+        tables.append(t.drop_columns(["bytes"]))
+    tmp = out_path + ".tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, out_path)  # atomic: concurrent ensurers see all-or-nothing
+
+
 def write_image_dataset(
     out_dir: str,
     n_rows: int,

@@ -82,3 +82,29 @@ def test_decode_violations_on_ray(ray_session):
     clean_png = {i for i, f in fmts.items()
                  if f == "png" and i not in manifest["bad_bytes"]}
     assert not (flagged & clean_png)
+
+
+def test_image_meta_matches_sharded(tmp_path):
+    """The metadata-only parquet the DuckDB image oracles read must be
+    row-identical to the metadata of the sharded image dataset the Ray
+    queries read (same seeded generator, payload draws provably after all
+    metadata draws)."""
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.sources.synth import (write_image_dataset,
+                                            write_image_meta)
+
+    d = tmp_path / "shards"
+    write_image_dataset(str(d), 1000, shards=8, violation_frac=0.02)
+    meta_path = tmp_path / "meta.parquet"
+    write_image_meta(str(meta_path), 1000, shards=8, violation_frac=0.02)
+
+    cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
+    sharded = pq.read_table(str(d), columns=cols).to_pandas()
+    meta = pq.read_table(str(meta_path), columns=cols).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        sharded.sort_values("image_id", kind="stable").reset_index(drop=True),
+        meta.sort_values("image_id", kind="stable").reset_index(drop=True),
+    )

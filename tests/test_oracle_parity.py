@@ -63,15 +63,16 @@ def test_every_oracle_has_query():
     assert set(m.oracle_sql()) <= set(m.queries())
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["range_violations", "pattern_enum_violations", "document_violations",
-     "combinator_violations", "window_events", "join_orders_customers",
-     "broadcast_join_nation", "apply_defaults", "session_windows",
-     "column_stats", "group_stats",
-     "duplicate_keys", "top_duplicates", "referential_orphans",
-     "json_extract", "json_validate", "exact_dedup", "token_counts"],
-)
+def _all_pairs():
+    # collection-time list: every oracle is parity-tested automatically
+    # (oracle_sql() needs no Ray session; it only materializes the image
+    # metadata mirror)
+    import __ray_entry__ as m
+
+    return sorted(set(m.oracle_sql()) & set(m.queries()))
+
+
+@pytest.mark.parametrize("name", _all_pairs())
 def test_oracle_parity(name, con, contract):
     got = _canon(_to_pandas(contract.queries()[name](SF)))
     want = _canon(con.execute(contract.oracle_sql()[name]).df())

@@ -209,15 +209,12 @@ def q_image_decode(sf_dir: str):
 
 
 def q_image_drift(sf_dir: str):
-    import ray
-
-    from jsschema_ray.stages.drift import build_profile, drift_check
+    """Self-profiling drift in ONE scan (stages/drift.drift_check_self):
+    the per-partition digests double as the source of the merged global
+    reference profile — no second pass over the input."""
+    from jsschema_ray.stages.drift import drift_check_self
 
     img = _image_dir(sf_dir)
-    profile = build_profile(
-        rd.read_parquet(img, columns=["w", "h", "caption"]),
-        ["w", "h", "caption_len"],
-    )
     files = sorted(
         os.path.join(img, f) for f in os.listdir(img) if f.endswith(".parquet")
     )
@@ -232,8 +229,10 @@ def q_image_drift(sf_dir: str):
         )
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
-    return drift_check(ds, profile, ["w", "h", "caption_len"],
-                       partition_col="_partition", ks_threshold=0.15)
+    verdicts, _ = drift_check_self(ds, ["w", "h", "caption_len"],
+                                   partition_col="_partition",
+                                   ks_threshold=0.15)
+    return verdicts
 
 
 # --------------------------------------------------------------------------

@@ -36,11 +36,45 @@ class DecodeImages:
     pipelines/validate_pipeline._schema_for_rowlocal)."""
 
     def __init__(self, column: str = "bytes", fmt_column: str = "fmt",
-                 on_unsupported: str = "skip"):
+                 on_unsupported: str = "skip", min_psnr_db: float = 40.0):
         assert on_unsupported in ("skip", "fail", "fake")
         self.column = column
         self.fmt_column = fmt_column
         self.on_unsupported = on_unsupported
+        self.min_psnr_db = min_psnr_db
+        # gate, not a hard dependency: wherever PIL exists the lossy-codec
+        # invariant becomes REAL (decode + re-encode/decode PSNR >= 40 dB,
+        # BASELINE input_hint); in this container it is absent and the
+        # documented stub path below applies (once per actor, __init__)
+        try:
+            from PIL import Image  # type: ignore
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _psnr(self, a: np.ndarray, b: np.ndarray) -> float:
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+        if mse == 0.0:
+            return float("inf")
+        return 10.0 * np.log10(255.0 ** 2 / mse)
+
+    def _decode_lossy_pil(self, payload: bytes, fmt: str):
+        """Real lossy path (requires PIL): decode, re-encode at high
+        quality, decode again; invariant = PSNR(dec, redec) >= min_psnr."""
+        import io
+
+        try:
+            img = np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            return False, False, None, None
+        buf = io.BytesIO()
+        self._pil.fromarray(img).save(buf, format="JPEG" if fmt == "jpeg"
+                                      else "WEBP", quality=92)
+        buf.seek(0)
+        redec = np.asarray(self._pil.open(buf).convert("RGB"))
+        ok_rt = self._psnr(img, redec) >= self.min_psnr_db
+        return True, ok_rt, img.shape[1], img.shape[0]
 
     def _decode_one(self, payload: Optional[bytes], fmt: Optional[str]):
         """-> (decode_ok, roundtrip_ok, w, h) with None for not-applicable."""
@@ -53,6 +87,8 @@ class DecodeImages:
                 return False, False, None, None
             ok_rt = encode_png(img) == payload
             return True, ok_rt, img.shape[1], img.shape[0]
+        if self._pil is not None and fmt in ("jpeg", "webp"):
+            return self._decode_lossy_pil(payload, fmt)
         # lossy codecs: stubbed (no image libs in this container)
         if self.on_unsupported == "fail":
             return False, False, None, None

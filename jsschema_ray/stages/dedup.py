@@ -517,7 +517,9 @@ def minhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
 
 class SimHash:
     """64-bit SimHash (Charikar 2002) per document over word hashes;
-    appended as int64."""
+    appended as int64. Fully vectorized across the batch: one token
+    explode, one hash64 over every word, per-document bit votes via a
+    segmented scatter-add — no per-document Python loop."""
 
     def __init__(self, column: str = "text", out_column: str = "simhash"):
         self.column = column
@@ -525,6 +527,7 @@ class SimHash:
         self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def _one(self, text: str) -> int:
+        """Scalar reference (kept for tests/differential use)."""
         words = re.findall(r"\w+", (text or "").lower())
         if not words:
             return 0
@@ -537,9 +540,30 @@ class SimHash:
         return int(sh >> np.uint64(1))  # keep in int64 range
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self._one(t) for t in batch.column(self.column).to_pylist()]
+        s = batch.column(self.column).to_pandas().fillna("")
+        toks = s.str.lower().str.findall(r"\w+")
+        exploded = toks.explode().dropna()
+        n = len(s)
+        if len(exploded) == 0:
+            out = np.zeros(n, dtype=np.int64)
+        else:
+            doc_idx = exploded.index.to_numpy(dtype=np.int64)
+            h = hash64(exploded.to_numpy(dtype=object))
+            signs = np.where(
+                (h[:, None] & self.bit_cols[None, :]) != 0, np.int32(1),
+                np.int32(-1)
+            )
+            votes = np.zeros((n, 64), dtype=np.int64)
+            np.add.at(votes, doc_idx, signs)
+            # empty docs have all-zero votes -> simhash 0 (same as _one)
+            has_words = np.zeros(n, dtype=bool)
+            has_words[doc_idx] = True
+            sh = ((votes > 0) * self.bit_cols).sum(axis=1,
+                                                   dtype=np.uint64)
+            out = np.where(has_words, sh >> np.uint64(1),
+                           np.uint64(0)).astype(np.int64)
         return batch.append_column(
-            self.out_column, pa.array(np.array(vals, dtype=np.int64))
+            self.out_column, pa.array(out, type=pa.int64())
         )
 
 

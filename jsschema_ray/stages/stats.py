@@ -234,12 +234,35 @@ def stats_partials(ds, spec: StatsSpec, batch_size: int = 65536,
 
 
 def collect_stats(ds, spec: StatsSpec, batch_size: int = 65536,
-                  concurrency: Optional[int] = None
+                  concurrency: Optional[int] = None,
+                  distributed_merge: bool = False
                   ) -> dict[tuple[str, str], ColumnStats]:
-    """Driver-side fold of the merged partials (tiny: one row per
-    partition×column)."""
+    """Driver-side fold of the partial sketch rows (HLL/t-digest merges are
+    associative, so raw per-batch partials fold exactly like pre-merged
+    ones). By default the RAW partials are collected — their count is
+    O(batches × columns), each ~20 KB of sketch bytes, which is MBs at any
+    single-job scale; skipping the groupby merge saves a full Ray
+    sort-shuffle of fixed ~1-2 s cost. Set ``distributed_merge=True`` when
+    batches × columns is itself huge (10^7+ blocks at 10^12 rows): that
+    path folds per (partition, column) inside the cluster first
+    (stats_partials) and the driver sees one row per group."""
     out: dict[tuple[str, str], ColumnStats] = {}
-    for row in stats_partials(ds, spec, batch_size, concurrency).take_all():
+    if distributed_merge:
+        rows = stats_partials(ds, spec, batch_size, concurrency).take_all()
+    else:
+        kwargs: dict[str, Any] = dict(batch_format="pyarrow",
+                                      batch_size=batch_size,
+                                      zero_copy_batch=True)
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+            partials = ds.map_batches(
+                StatsAccumulator, fn_constructor_kwargs={"spec": spec},
+                **kwargs
+            )
+        else:
+            partials = ds.map_batches(StatsAccumulator(spec), **kwargs)
+        rows = partials.take_all()
+    for row in rows:
         key = (row["partition"], row["column"])
         cs = out.setdefault(key, ColumnStats(*key))
         cs.absorb(row)

@@ -277,17 +277,35 @@ def violations(ds, schema, key_column=None, **kw):
     return validate(ds, schema, mode="violations", key_column=key_column, **kw)
 
 
-def summarize(ds, schema, **kw) -> "ray.data.Dataset":
-    """Global per-constraint failure counts: per-batch partials + a tiny
-    groupby over (path, keyword) — the pre-aggregate-then-shuffle pattern
-    (SURVEY.md §4)."""
-    from ray.data.aggregate import Sum
-
+def summarize(ds, schema, distributed: bool = False, **kw):
+    """Global per-constraint failure counts: per-batch partials (one row
+    per batch × constraint) folded by a driver-side groupby — returns a
+    pyarrow Table. The partial count is O(batches × constraints): tiny at
+    any single-job scale, so a full Ray sort-shuffle over it would be pure
+    fixed cost (measured ~1-2 s regardless of data). Pass
+    ``distributed=True`` only when batches × constraints itself is huge
+    (e.g. 10^7+ blocks at 10^12 rows) — that path keeps the classic
+    pre-aggregate-then-shuffle groupby and returns a Dataset."""
     partial = validate(ds, schema, mode="summary", **kw)
-    return partial.groupby(["path", "keyword"]).aggregate(
-        Sum("n_failed", alias_name="n_failed"),
-        Sum("n_rows", alias_name="n_checked"),
-    )
+    if distributed:
+        from ray.data.aggregate import Sum
+
+        return partial.groupby(["path", "keyword"]).aggregate(
+            Sum("n_failed", alias_name="n_failed"),
+            Sum("n_rows", alias_name="n_checked"),
+        )
+    import pandas as pd
+
+    rows = partial.take_all()
+    if not rows:
+        return pa.table({"path": pa.array([], type=pa.string()),
+                         "keyword": pa.array([], type=pa.string()),
+                         "n_failed": pa.array([], type=pa.int64()),
+                         "n_checked": pa.array([], type=pa.int64())})
+    df = pd.DataFrame(rows).groupby(["path", "keyword"], sort=True).agg(
+        n_failed=("n_failed", "sum"), n_checked=("n_rows", "sum")
+    ).reset_index()
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 class JsonColumnValidator:

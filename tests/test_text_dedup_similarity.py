@@ -264,3 +264,19 @@ def test_simhash_giant_bucket_capped(ray_session):
     assert roots == {0}  # still one connected component
     assert len(got) < n * (n - 1) // 2  # quadratic blowup avoided
     assert res["clusters"] == [list(range(n))]
+
+
+def test_simhash_vectorized_matches_scalar():
+    """The batch-vectorized SimHash kernel must agree bit-for-bit with the
+    scalar reference implementation (no Ray needed)."""
+    import pyarrow as pa
+
+    from jsschema_ray.stages.dedup import SimHash
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).slice(0, 200)
+    texts = t.column("text").to_pylist() + ["", "   ", "Mixed CASE words",
+                                            None, "one"]
+    batch = pa.table({"text": pa.array(texts, type=pa.string())})
+    sh = SimHash()
+    vec = sh(batch).column("simhash").to_pylist()
+    assert vec == [sh._one(x or "") for x in texts]

@@ -625,8 +625,7 @@ def q_simhash(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        SimHash, fn_constructor_kwargs={"column": "text"},
-        batch_format="pyarrow", concurrency=(1, 4),
+        SimHash(column="text"), batch_format="pyarrow",
     ).select_columns(["doc_id", "simhash"]).sort(["doc_id"])
 
 

@@ -128,7 +128,10 @@ def run_flagship() -> dict:
     import ray
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "4000000"))
+    # 8M rows: large enough that per-stage fixed costs (executor spin-up,
+    # shuffle setup ~0.5-1 s) are <3% of even the 16-cpu stage times — at 4M
+    # they bias the measured efficiency down by ~0.05
+    n_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "8000000"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")

@@ -284,11 +284,13 @@ def minhash_candidate_pairs(ds, column: str = "text",
     vectorized reduce. Nothing is ever collected to the driver here."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
+    # stateless tasks, not an actor pool: the stage has no expensive init
+    # to amortize (perm params are microseconds), and a pool spin-up costs
+    # ~1 s of fixed wall per invocation
     sigged = ds.select_columns([key_column, column]).map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"column": column, "num_perm": num_perm,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        MinHashSignatures(column=column, num_perm=num_perm,
+                          shingle_k=shingle_k),
+        batch_format="pyarrow", batch_size=batch_size,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -397,22 +399,23 @@ def minhash_verified_pairs(ds, column: str = "text",
     if n_candidates == 0:
         return pairs, 0
 
-    def _sketches(out_key: str, out_col: str):
+    # ONE sketch pass, materialized, reused by both joins (a second scan
+    # would recompute every shingle set)
+    sketches = ds.select_columns([key_column, column]).map_batches(
+        Shingles(column=column, shingle_k=shingle_k),
+        batch_format="pyarrow", batch_size=batch_size,
+    ).select_columns([key_column, "shingles"]).materialize()
+
+    def _renamed(out_key: str, out_col: str):
         def rename(batch: pa.Table) -> pa.Table:
             return batch.rename_columns([out_key, out_col])
 
-        return ds.select_columns([key_column, column]).map_batches(
-            Shingles, fn_constructor_kwargs={"column": column,
-                                             "shingle_k": shingle_k},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=(1, 8),
-        ).select_columns([key_column, "shingles"]).map_batches(
-            rename, batch_format="pyarrow", zero_copy_batch=True
-        )
+        return sketches.map_batches(rename, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
-    with_a = hash_join(pairs, _sketches("a", "sh_a"), key="a",
+    with_a = hash_join(pairs, _renamed("a", "sh_a"), key="a",
                        how="inner", num_buckets=32)
-    with_b = hash_join(with_a, _sketches("b", "sh_b"), key="b",
+    with_b = hash_join(with_a, _renamed("b", "sh_b"), key="b",
                        how="inner", num_buckets=32)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -579,8 +582,8 @@ def simhash_verified_pairs(ds, column: str = "text",
     Pigeonhole: Hamming <= 3 over a 63-bit hash guarantees at least one
     identical 16-bit chunk, so banding on the 4 chunks finds every pair."""
     sh = ds.select_columns([key_column, column]).map_batches(
-        SimHash, fn_constructor_kwargs={"column": column},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        SimHash(column=column), batch_format="pyarrow",
+        batch_size=batch_size,
     ).select_columns([key_column, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -194,19 +194,17 @@ def text_stats(ds, column: str = "text", batch_size: int = 8192, **kw):
                           batch_size=batch_size, **kw)
 
 
-def lang_id(ds, column: str = "text", batch_size: int = 8192,
-            concurrency: Any = (1, 8), **kw):
+def lang_id(ds, column: str = "text", batch_size: int = 8192, **kw):
+    # stateless tasks: profile sets are tiny (no init cost to amortize);
+    # an actor pool would add ~1 s spin-up per invocation
     return ds.map_batches(
-        LangId, fn_constructor_kwargs={"column": column},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, **kw,
+        LangId(column=column), batch_format="pyarrow",
+        batch_size=batch_size, **kw,
     )
 
 
-def fingerprint(ds, column: str = "text", batch_size: int = 4096,
-                concurrency: Any = (1, 8), **kw):
+def fingerprint(ds, column: str = "text", batch_size: int = 4096, **kw):
     return ds.map_batches(
-        Fingerprint, fn_constructor_kwargs={"column": column},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, **kw,
+        Fingerprint(column=column), batch_format="pyarrow",
+        batch_size=batch_size, **kw,
     )

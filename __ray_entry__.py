@@ -2,11 +2,13 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (31 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (18 — identical
-column names AND dtypes; computed aggregates use integer-scaled sums,
-exact under any summation order, so the value hash cannot hit a float
-rounding boundary between engines).
+§2 + the training-data operators (34 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (23 — identical
+column names AND dtypes; computed aggregates use integer-scaled sums
+rounded half-away-from-zero to match SQL ROUND, exact under any summation
+order, so the value hash cannot hit a float rounding boundary between
+engines; the image queries read a deterministic metadata mirror of the
+synthesized image table).
 
 Ray is initialised by the driver before import: nothing here calls
 ray.init()/ray.shutdown().

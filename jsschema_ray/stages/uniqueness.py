@@ -74,7 +74,7 @@ def _precount(column: str, num_buckets: int):
     return fn
 
 
-def duplicate_keys(ds, column: str, batch_size: int = 65536,
+def duplicate_keys(ds, column: str, batch_size: int = 262144,
                    num_buckets: int = 64):
     """Dataset of (column, dup_count) for keys appearing more than once.
 
@@ -105,7 +105,7 @@ def duplicate_keys(ds, column: str, batch_size: int = 65536,
     )
 
 
-def duplicate_keys_multi(ds, columns: list[str], batch_size: int = 65536,
+def duplicate_keys_multi(ds, columns: list[str], batch_size: int = 262144,
                          num_buckets: int = 64) -> dict[str, pa.Table]:
     """duplicate_keys for several key columns in ONE pass and ONE shuffle:
     each column's partial counts are packed per (column, bucket) and the

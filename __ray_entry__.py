@@ -659,6 +659,35 @@ def q_lang_id(sf_dir: str):
     ).sort(["lang_pred"])
 
 
+def q_stopword_counts(sf_dir: str):
+    """Exact-integer text-stats slice (stop_hits, n_tokens as ints — no
+    float ratio can hit a rounding boundary): the tokenization contract of
+    TextStats pinned by a DuckDB list-lambda oracle."""
+    from jsschema_ray.stages.text import _LANG_PROFILES
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop = frozenset(_LANG_PROFILES["en"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        toks = s.str.lower().str.split()
+        n = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        hits = (
+            ex.isin(stop).groupby(level=0).sum()
+            .reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "stop_hits": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(["doc_id"])
+
+
 def q_quality(sf_dir: str):
     from jsschema_ray.stages.text import text_stats
 
@@ -774,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "stopword_counts": q_stopword_counts,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -792,7 +822,51 @@ def oracle_sql() -> dict[str, str]:
     # driver evaluates SQL or the Ray query first (sf0.01 = 20k rows is
     # the driver's correctness scale)
     meta = _image_meta_path_rows(20_000)
+    # stopword/lang-id oracles interpolate the SAME profile word lists the
+    # engine uses (jsschema_ray/stages/text.py) so the two can never drift
+    from jsschema_ray.stages.text import _LANG_PROFILES
+
+    def _inlist(words) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(words))
+
+    _tok = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+    _langtok = "regexp_extract_all(LOWER(text), '[a-zà-ÿ]+')"
+    _lang_scores = ",\n".join(
+        f"CASE WHEN LEN(w) = 0 THEN 0.0 ELSE "
+        f"LEN(LIST_FILTER(w, x -> x IN ({_inlist(ws)}))) / CAST(LEN(w) AS DOUBLE) "
+        f"END AS s_{lang}"
+        for lang, ws in _LANG_PROFILES.items()
+    )
     return {
+        "stopword_counts": f"""
+            SELECT doc_id,
+                   CAST(LEN({_tok}) AS BIGINT) AS n_tokens,
+                   CAST(LEN(LIST_FILTER({_tok},
+                        x -> x IN ({_inlist(_LANG_PROFILES["en"])})))
+                        AS BIGINT) AS stop_hits
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_langtok} AS w FROM documents),
+                 sc AS (SELECT doc_id, LEN(w) AS n, {_lang_scores} FROM t),
+                 tagged AS (
+                     SELECT doc_id,
+                            CASE WHEN n = 0 OR GREATEST(s_en, s_de, s_fr,
+                                                        s_es) <= 0.02
+                                 THEN 'und'
+                                 -- first-profile-wins tie order (en de fr
+                                 -- es), matching the engine's argmax
+                                 WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es)
+                                 THEN 'en'
+                                 WHEN s_de = GREATEST(s_de, s_fr, s_es)
+                                 THEN 'de'
+                                 WHEN s_fr = GREATEST(s_fr, s_es)
+                                 THEN 'fr'
+                                 ELSE 'es' END AS lang_pred
+                     FROM sc)
+            SELECT lang_pred, COUNT(*) AS n_docs
+            FROM tagged GROUP BY lang_pred ORDER BY lang_pred
+        """,
         "image_unique_phash": f"""
             SELECT phash, COUNT(*) AS dup_count
             FROM read_parquet('{meta}')
@@ -1004,6 +1078,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (CAST(json_extract_string(props, '$.k') AS BIGINT)
                        BETWEEN 0 AND 50)
             ORDER BY event_id
+        """,
+        "knn_brute": """
+            -- exact top-5 cosine for the 3 fixed query vectors; ordering is
+            -- robust to the engine's float32 matmul because the smallest
+            -- score gap among top candidates is ~2e-4 >> float32 epsilon
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+                 s AS (SELECT q.query_id, e.vec_id AS key,
+                              list_cosine_similarity(q.qe, e.embedding)
+                                  AS score
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, key,
+                              CAST(ROW_NUMBER() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY score DESC, key) - 1 AS BIGINT)
+                                  AS "rank"
+                       FROM s)
+            SELECT query_id, "rank", key FROM r WHERE "rank" < 5
+            ORDER BY query_id, "rank"
         """,
         "exact_dedup": """
             SELECT d.* FROM documents d

@@ -397,6 +397,34 @@ def q_anti_join_customers(sf_dir: str):
     )
 
 
+def q_asof_join_orders(sf_dir: str):
+    """As-of join (stages/join.asof_join): for every event, the latest
+    order (max orderkey among same-date orders, deduped so the as-of match
+    is unique) of that user at or before the event time; unmatched events
+    keep typed-null payload."""
+    from jsschema_ray.stages.join import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"])
+    marks = orders.groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["o_maxkey" if c == "max(o_orderkey)" else c
+             for c in batch.column_names]
+        )
+
+    marks = marks.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = asof_join(events, marks, key="user_id", ts="ts",
+                       right_key="o_custkey", right_ts="o_orderdate",
+                       how="left", num_buckets=32)
+    return joined.select_columns(["event_id", "user_id", "o_maxkey"]).sort(
+        ["event_id"]
+    )
+
+
 def q_broadcast_join_nation(sf_dir: str):
     """Broadcast join against a dimension table (supplier ⋈ nation)."""
     from jsschema_ray.stages.join import broadcast_join
@@ -783,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": q_left_join_customer_orders,
         "outer_join_orders_customers": q_outer_join_orders_customers,
         "anti_join_customers": q_anti_join_customers,
+        "asof_join_orders": q_asof_join_orders,
         "apply_defaults": q_apply_defaults,
         "session_windows": q_session_windows,
         # stats / aggregation
@@ -977,6 +1006,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN
                   (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
             ORDER BY c_custkey
+        """,
+        "asof_join_orders": """
+            WITH marks AS (SELECT o_custkey, o_orderdate,
+                                  MAX(o_orderkey) AS o_maxkey
+                           FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, m.o_maxkey
+            FROM events e ASOF LEFT JOIN marks m
+              ON e.user_id = m.o_custkey AND e.ts >= m.o_orderdate
+            ORDER BY e.event_id
         """,
         "apply_defaults": """
             SELECT doc_id,

@@ -81,6 +81,114 @@ def broadcast_join(ds, small, key: str, how: str = "inner",
                           zero_copy_batch=True)
 
 
+def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
+              how: str = "left", direction: str = "backward",
+              batch_size: int = 65536, right_key: Optional[str] = None,
+              right_ts: Optional[str] = None,
+              tolerance=None):
+    """As-of (temporal) join: for every left row, attach the right row of
+    the same ``key`` with the greatest ``ts`` <= left ts (direction
+    'backward'; 'forward' = smallest >= left ts). The operator Ray Data
+    lacks, composed as bucket co-shuffle on hash(key) + ONE vectorized
+    `pandas.merge_asof` per bucket.
+
+    Partitioning assumptions (documented per driver instruction): one
+    bucket's rows (both sides) fit a worker's heap — raise num_buckets
+    with cluster size; right-side (key, ts) pairs must be unique (dedupe/
+    aggregate first) or the matched row among equal timestamps is
+    undefined. ``how``: 'left' keeps unmatched left rows with typed nulls;
+    'inner' drops them."""
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join supports how in ('left','inner')")
+    rk = right_key or key
+    rts = right_ts or ts
+    lcols = list(left.columns())
+    rcols = [key if c == rk else (ts if c == rts else c)
+             for c in right.columns()]
+    overlap = (set(lcols) & set(rcols)) - {key, ts}
+    if overlap:
+        raise ValueError(
+            f"non-key column names must be disjoint, overlapping: {overlap}"
+        )
+    r_payload = [c for c in rcols if c not in (key, ts)]
+    all_cols = lcols + r_payload
+    union_cols = all_cols
+
+    def _types(ds) -> dict:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        out = dict(zip(s.names, s.types))
+        if all(isinstance(t, pa.DataType) for t in out.values()):
+            return out
+        sample = pa.Table.from_pandas(ds.limit(1).to_pandas())
+        return {f.name: f.type for f in sample.schema}
+
+    col_types = dict(_types(left))
+    for name, t in _types(right).items():
+        col_types[key if name == rk else (ts if name == rts else name)] = t
+
+    def tag(side: int, key_name: str, ts_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = batch.rename_columns(
+                [key if c == key_name else (ts if c == ts_name else c)
+                 for c in batch.column_names]
+            )
+            col = out.column(key).combine_chunks()
+            bucket = (hash64(col) % np.uint64(num_buckets)).astype(np.int32)
+            for c in union_cols:
+                if c not in out.column_names:
+                    out = out.append_column(
+                        c, pa.nulls(len(out), type=col_types[c])
+                    )
+            out = out.select(union_cols)
+            return out.append_column(
+                "__bucket", pa.array(bucket)
+            ).append_column(
+                "__side", pa.array(np.full(len(batch), side, dtype=np.int8))
+            )
+
+        return fn
+
+    tagged = left.map_batches(tag(0, key, ts), batch_format="pyarrow",
+                              batch_size=batch_size).union(
+        right.map_batches(tag(1, rk, rts), batch_format="pyarrow",
+                          batch_size=batch_size)
+    )
+
+    import pandas as pd
+
+    # every integer column goes out as pandas nullable Int64: the padded
+    # union already promoted them to float64 in the pandas view, and per-
+    # bucket presence/absence of nulls must not change the block schema
+    int_cols = [c for c in all_cols if pa.types.is_integer(col_types[c])]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, lcols].sort_values(ts, kind="stable")
+        r = g.loc[g["__side"] == 1, [key, ts] + r_payload].sort_values(
+            ts, kind="stable"
+        )
+        r = r.assign(__rmatch=np.int8(1))
+        if l.empty:
+            out = pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in all_cols}
+            ).assign(__rmatch=pd.Series([], dtype="float64"))
+        else:
+            out = pd.merge_asof(l, r, on=ts, by=key, direction=direction,
+                                tolerance=tolerance)
+        if how == "inner":
+            out = out[out["__rmatch"].notna()]
+        out = out[all_cols].copy()
+        for c in int_cols:
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
 def hash_join(left, right, key: str, num_buckets: int = 64,
               how: str = "inner", batch_size: int = 65536,
               right_key: Optional[str] = None):

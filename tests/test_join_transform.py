@@ -149,3 +149,55 @@ def test_broadcast_join_modes(ray_session):
     assert anti == [2]
     with pytest.raises(ValueError):
         broadcast_join(ds, dim, key="k", how="outer")
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """asof_join vs a whole-frame pd.merge_asof reference: backward match,
+    unmatched left rows kept with typed nulls, integer payload stays
+    integer across buckets."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(5)
+    n = 400
+    left = pd.DataFrame({
+        "eid": np.arange(n),
+        "k": rng.integers(0, 12, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, size=n), unit="s"),
+    })
+    right = pd.DataFrame({
+        "rk": np.repeat(np.arange(10), 6),
+        "rts": pd.to_datetime(np.tile(np.arange(6) * 1500, 10), unit="s"),
+        "val": np.arange(60) * 10,
+    })
+    got = asof_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2),
+        key="k", ts="ts", right_key="rk", right_ts="rts", num_buckets=8,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.rename(columns={"rk": "k", "rts": "ts"}).sort_values(
+            "ts", kind="stable"),
+        on="ts", by="k", direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    assert got["val"].dtype.kind in "iu" or str(got["val"].dtype) == "Int64"
+    assert (got["val"].isna() == want["val"].isna()).all()
+    m = want["val"].notna()
+    assert (got.loc[m, "val"].astype("int64").to_numpy()
+            == want.loc[m, "val"].astype("int64").to_numpy()).all()
+    # keys 10, 11 never appear in right -> all unmatched
+    assert got.loc[got["k"] >= 10, "val"].isna().all()
+
+    inner = asof_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2),
+        key="k", ts="ts", right_key="rk", right_ts="rts", how="inner",
+        num_buckets=8,
+    ).to_pandas()
+    assert len(inner) == int(m.sum())
+    assert inner["val"].notna().all()

@@ -397,6 +397,34 @@ def q_anti_join_customers(sf_dir: str):
     )
 
 
+def q_range_join_acctbal(sf_dir: str):
+    """Interval-containment join (stages/join.range_join): customers
+    matched into OVERLAPPING account-balance bands derived from the nation
+    table (band i = [400i, 400i + 600)) — a SQL inequality join Ray Data
+    has no native operator for."""
+    from jsschema_ray.stages.join import range_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    nation = _read(sf_dir, "nation", ["n_nationkey"])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_id": pa.array(nk.astype(np.int64)),
+                "lo": pa.array(nk * 400.0),
+                "hi": pa.array(nk * 400.0 + 600.0),
+            }
+        )
+
+    bands = nation.map_batches(to_bands, batch_format="pyarrow")
+    out = range_join(cust, bands, value="c_acctbal", lo="lo", hi="hi",
+                     bin_width=600.0)
+    return out.select_columns(["c_custkey", "band_id"]).sort(
+        ["c_custkey", "band_id"]
+    )
+
+
 def q_asof_join_orders(sf_dir: str):
     """As-of join (stages/join.asof_join): for every event, the latest
     order (max orderkey among same-date orders, deduped so the as-of match
@@ -812,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join_orders_customers": q_outer_join_orders_customers,
         "anti_join_customers": q_anti_join_customers,
         "asof_join_orders": q_asof_join_orders,
+        "range_join_acctbal": q_range_join_acctbal,
         "apply_defaults": q_apply_defaults,
         "session_windows": q_session_windows,
         # stats / aggregation
@@ -1015,6 +1044,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN marks m
               ON e.user_id = m.o_custkey AND e.ts >= m.o_orderdate
             ORDER BY e.event_id
+        """,
+        "range_join_acctbal": """
+            SELECT c_custkey, CAST(n_nationkey AS BIGINT) AS band_id
+            FROM customer, nation
+            WHERE c_acctbal >= n_nationkey * 400.0
+              AND c_acctbal <  n_nationkey * 400.0 + 600.0
+            ORDER BY c_custkey, band_id
         """,
         "apply_defaults": """
             SELECT doc_id,

@@ -189,6 +189,110 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
     )
 
 
+def range_join(left, right, value: str, lo: str, hi: str,
+               bin_width: float, batch_size: int = 65536):
+    """Interval-containment join: one output row per (left row, right
+    interval) with ``lo <= left[value] < hi``. Ray Data has no inequality
+    join; this composes one as a BIN co-shuffle — left rows land in the bin
+    of their value, right intervals are replicated into every bin they
+    overlap, and each bin does one vectorized containment pass. A left row
+    lives in exactly one bin, so replicated intervals can never produce
+    duplicate matches.
+
+    Partitioning assumptions (documented per driver instruction): pick
+    ``bin_width`` near the typical interval length — the replication factor
+    is ceil((hi-lo)/bin_width)+1 per interval; one bin's rows fit a worker
+    (intervals per bin × left rows per bin is the per-bin work)."""
+    import pandas as pd
+
+    lcols = list(left.columns())
+    rcols = list(right.columns())
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, overlapping: {overlap}")
+    all_cols = lcols + rcols
+
+    def _types(ds) -> dict:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        out = dict(zip(s.names, s.types))
+        if all(isinstance(t, pa.DataType) for t in out.values()):
+            return out
+        sample = pa.Table.from_pandas(ds.limit(1).to_pandas())
+        return {f.name: f.type for f in sample.schema}
+
+    col_types = {**_types(left), **_types(right)}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = batch.column(value).to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        out = batch
+        for c in rcols:
+            out = out.append_column(c, pa.nulls(len(out), col_types[c]))
+        return out.select(all_cols).append_column(
+            "__bin", pa.array(b)
+        ).append_column(
+            "__side", pa.array(np.zeros(len(batch), dtype=np.int8))
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        lo_v = batch.column(lo).to_numpy(zero_copy_only=False)
+        hi_v = batch.column(hi).to_numpy(zero_copy_only=False)
+        b0 = np.floor(lo_v / bin_width).astype(np.int64)
+        b1 = np.floor(np.nextafter(hi_v, -np.inf) / bin_width).astype(np.int64)
+        reps = np.maximum(b1 - b0 + 1, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch)), reps)
+        # bin sequence per interval: b0[i] .. b1[i]
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        bins = np.repeat(b0, reps) + offs
+        out = batch.take(pa.array(idx))
+        for c in lcols:
+            out = out.append_column(c, pa.nulls(len(out), col_types[c]))
+        return out.select(all_cols).append_column(
+            "__bin", pa.array(bins)
+        ).append_column(
+            "__side", pa.array(np.ones(len(out), dtype=np.int8))
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow",
+                              batch_size=batch_size).union(
+        right.map_batches(tag_right, batch_format="pyarrow",
+                          batch_size=batch_size)
+    )
+
+    int_cols = [c for c in all_cols if pa.types.is_integer(col_types[c])]
+
+    def join_bin(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, lcols]
+        r = g.loc[g["__side"] == 1, rcols]
+        outs = []
+        if not l.empty and not r.empty:
+            v = l[value].to_numpy()
+            lo_v = r[lo].to_numpy()
+            hi_v = r[hi].to_numpy()
+            # containment matrix on the (small) per-bin cross product
+            m = (v[:, None] >= lo_v[None, :]) & (v[:, None] < hi_v[None, :])
+            li, ri = np.nonzero(m)
+            outs.append(pd.concat(
+                [l.iloc[li].reset_index(drop=True),
+                 r.iloc[ri].reset_index(drop=True)], axis=1
+            ))
+        out = (pd.concat(outs, ignore_index=True) if outs
+               else pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
+                                  for c in all_cols}))
+        for c in int_cols:  # padded-union promotion -> restore typed ints
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return tagged.groupby("__bin").map_groups(
+        join_bin, batch_format="pandas"
+    )
+
+
 def hash_join(left, right, key: str, num_buckets: int = 64,
               how: str = "inner", batch_size: int = 65536,
               right_key: Optional[str] = None):

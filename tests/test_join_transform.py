@@ -201,3 +201,36 @@ def test_asof_join_matches_pandas(ray_session):
     ).to_pandas()
     assert len(inner) == int(m.sum())
     assert inner["val"].notna().all()
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """range_join vs an O(n*m) numpy reference: overlapping intervals,
+    interval spanning many bins, negative values, empty interval."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import range_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"lid": np.arange(300),
+                         "v": rng.uniform(-50, 150, size=300).round(2)})
+    right = pd.DataFrame({
+        "rid": np.arange(8),
+        "lo": [-60.0, -10.0, 0.0, 0.0, 40.0, 45.0, 100.0, 7.0],
+        "hi": [-40.0, 30.0, 120.0, 10.0, 60.0, 55.0, 100.0, 7.0],
+    })  # rid 2 spans 12 bins at width 10; rid 6/7 are empty intervals
+    got = range_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2),
+        value="v", lo="lo", hi="hi", bin_width=10.0,
+    ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+
+    want = []
+    for _, lrow in left.iterrows():
+        for _, rrow in right.iterrows():
+            if rrow["lo"] <= lrow["v"] < rrow["hi"]:
+                want.append((int(lrow["lid"]), int(rrow["rid"])))
+    assert list(zip(got["lid"].astype(int), got["rid"].astype(int))) == \
+        sorted(want)
+    assert str(got["lid"].dtype) == "Int64"  # typed across bins

@@ -309,6 +309,19 @@ def q_window_events(sf_dir: str):
     )
 
 
+def q_hopping_windows(sf_dir: str):
+    """2-hour windows hopping every hour over the events stream (each
+    event lands in exactly two windows) — the sliding-window aggregate
+    (stages/windows.hopping_windows)."""
+    from jsschema_ray.stages.windows import hopping_windows
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = hopping_windows(ds, ts="ts", length_s=7200, hop_s=3600)
+    return out.select_columns(
+        ["window_start", "event_type", "sum_value_x100", "n_events"]
+    )
+
+
 def q_join_orders_customers(sf_dir: str):
     """Partitioned hash join (both sides 'large'): orders ⋈ customer on
     custkey via bucket co-shuffle + per-bucket merge (stages/join.py)."""
@@ -833,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "document_violations": q_document_violations,
         "combinator_violations": q_combinator_violations,
         "window_events": q_window_events,
+        "hopping_windows": q_hopping_windows,
         # joins + schema-default transform
         "join_orders_customers": q_join_orders_customers,
         "broadcast_join_nation": q_broadcast_join_nation,
@@ -1099,6 +1113,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "hopping_windows": """
+            WITH h AS (SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)
+                              AS hour, event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS vx
+                       FROM events),
+                 e AS (SELECT hour AS window_start, event_type, vx FROM h
+                       UNION ALL
+                       SELECT hour - 1, event_type, vx FROM h)
+            SELECT window_start, event_type,
+                   CAST(SUM(vx) AS BIGINT) AS sum_value_x100,
+                   COUNT(*) AS n_events
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "column_stats": """
             SELECT COUNT(*) AS n_rows,

@@ -24,6 +24,53 @@ def round_half_away(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
+def hopping_windows(ds, ts: str = "ts", length_s: int = 7200,
+                    hop_s: int = 3600, group_col: str = "event_type",
+                    value: str | None = "value",
+                    batch_size: int = 65536):
+    """Hopping (sliding) window aggregate: windows of ``length_s`` starting
+    every ``hop_s`` (length must be a multiple of hop). Each event belongs
+    to length/hop windows — the explode happens INSIDE map_batches (k
+    int-array copies, no Python loop) and lands in the same map-side
+    combined grouped_sums as the tumbling path, so the shuffle carries
+    per-(batch, window, group) partials, not exploded events. Output:
+    window_start (hop-grid units), group, sum_value_x100, n_events."""
+    import pyarrow as pa
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    assert length_s % hop_s == 0
+    k = length_s // hop_s
+
+    def prep(batch: "pa.Table") -> "pa.Table":
+        us = batch.column(ts).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        slot = us // (hop_s * 1_000_000)
+        groups = batch.column(group_col).combine_chunks()
+        cols = {
+            "window_start": pa.array(
+                np.concatenate([slot - i for i in range(k)])
+            ),
+            group_col: pa.chunked_array([groups] * k).combine_chunks(),
+        }
+        if value is not None:
+            vx = round_half_away(
+                batch.column(value).to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            cols["vx"] = pa.array(np.tile(vx, k))
+        return pa.table(cols)
+
+    exploded = ds.select_columns(
+        [ts, group_col] + ([value] if value else [])
+    ).map_batches(prep, batch_format="pyarrow", batch_size=batch_size,
+                  zero_copy_batch=True)
+    sums = {"sum_value_x100": "vx"} if value is not None else {}
+    out = grouped_sums(exploded, ["window_start", group_col], sums,
+                       count_alias="n_events")
+    return out.sort(["window_start", group_col])
+
+
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
                     value: str | None = "value",

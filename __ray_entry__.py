@@ -202,6 +202,17 @@ def q_image_unique_phash(sf_dir: str):
     ).limit(50)
 
 
+def q_approx_top_phash(sf_dir: str):
+    """Approximate heavy hitters of the Zipf-skewed phash column via
+    candidate + Count-Min partials (stages/stats.approx_top_k) — the
+    shuffle-free skew report feeding salting decisions; deterministic
+    (fixed sketch seed, commutative merges, total-order selection)."""
+    from jsschema_ray.stages.stats import approx_top_k
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
+    return approx_top_k(ds, "phash", k=20)
+
+
 def q_image_decode(sf_dir: str):
     from jsschema_ray.stages.multimodal import decode_violations
 
@@ -883,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_validate": q_image_validate,
         "image_stats": q_image_stats,
         "image_unique_phash": q_image_unique_phash,
+        "approx_top_phash": q_approx_top_phash,
         "image_decode": q_image_decode,
         "image_drift": q_image_drift,
     }

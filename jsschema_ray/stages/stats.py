@@ -233,6 +233,79 @@ def stats_partials(ds, spec: StatsSpec, batch_size: int = 65536,
     )
 
 
+def approx_top_k(ds, column: str, k: int = 10, local_m: Optional[int] = None,
+                 width: int = 4096, depth: int = 5,
+                 batch_size: int = 262144) -> pa.Table:
+    """Approximate heavy hitters WITHOUT a key shuffle: each batch emits its
+    local top-``local_m`` candidate keys plus a Count-Min partial (weighted
+    by local counts; CMS merge = elementwise add, so partials combine in
+    any order); the driver merges the fixed-size sketches, estimates every
+    candidate's global count from the merged CMS, and keeps the top-k by
+    (estimate desc, key asc) — a total order.
+
+    Approximation contract (documented): CMS never underestimates
+    (overestimate ≤ e/width · N w.h.p.); a true heavy hitter is reported as
+    long as it is locally top-``local_m`` in at least one batch — true for
+    skewed (Zipf) keys, the case where heavy-hitter detection matters.
+    Driver holds O(batches × (local_m + width·depth)); for 10^7+-batch jobs
+    fold the partial rows with a tree merge first."""
+    import numpy as np
+
+    from jsschema_ray.state.cms import CountMinSketch
+    from jsschema_ray.state.hll import hash64
+
+    local_m = local_m or max(4 * k, 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        vc = pc.value_counts(col)
+        values = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        cms = CountMinSketch(width=width, depth=depth)
+        cms.add_hashes(hash64(values),
+                       weights=counts.to_numpy(zero_copy_only=False))
+        order = np.argsort(-counts.to_numpy(zero_copy_only=False),
+                           kind="stable")[:local_m]
+        cand = pa.table({"key": values, "cnt": counts}).take(pa.array(order))
+        from jsschema_ray.stages.uniqueness import _pack
+
+        return pa.table(
+            {
+                "cand_blob": pa.array([_pack(cand)], type=pa.binary()),
+                "cms": pa.array([cms.to_bytes()], type=pa.binary()),
+            }
+        )
+
+    rows = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).take_all()
+    if not rows:
+        return pa.table({column: pa.array([], type=pa.string()),
+                         "est_count": pa.array([], type=pa.int64())})
+    from jsschema_ray.stages.uniqueness import _unpack
+
+    merged = CountMinSketch.from_bytes(rows[0]["cms"])
+    for r in rows[1:]:
+        merged.merge(CountMinSketch.from_bytes(r["cms"]))
+    cands = pa.concat_tables(_unpack(r["cand_blob"]) for r in rows)
+    keys = cands.column("key").combine_chunks().unique()
+    est = merged.estimate_hashes(hash64(keys))
+    # (estimate desc, key asc) is a total order across runs
+    import pandas as pd
+
+    df = pd.DataFrame({"key": keys.to_pandas(), "est": est})
+    df = df.sort_values(["est", "key"], ascending=[False, True],
+                        kind="stable").head(k)
+    return pa.table(
+        {
+            column: pa.Array.from_pandas(df["key"],
+                                         type=keys.type),
+            "est_count": pa.array(df["est"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
 def collect_stats(ds, spec: StatsSpec, batch_size: int = 65536,
                   concurrency: Optional[int] = None,
                   distributed_merge: bool = False

@@ -93,3 +93,56 @@ def test_tdigest_edge_cases():
     t3 = TDigest()
     t3.add(np.full(1000, 7.0))
     assert t3.quantile(0.5) == 7.0
+
+
+def test_count_min_sketch_bounds():
+    """CMS never underestimates; overestimate stays within e/width * N on a
+    Zipf stream; merge of partials equals one-shot."""
+    import numpy as np
+
+    from jsschema_ray.state.cms import CountMinSketch
+
+    rng = np.random.default_rng(2)
+    vals = (rng.zipf(1.5, size=200_000) % 5000).astype(np.int64)
+    import pandas as pd
+
+    true = pd.Series(vals).value_counts()
+    one = CountMinSketch(width=4096, depth=5)
+    one.add(vals)
+    parts = CountMinSketch(width=4096, depth=5)
+    for chunk in np.array_split(vals, 7):
+        p = CountMinSketch(width=4096, depth=5)
+        p.add(chunk)
+        parts.merge(p)
+    assert (parts.counts == one.counts).all()
+
+    keys = true.index.to_numpy()
+    est = one.estimate(keys)
+    assert (est >= true.to_numpy()).all()  # never underestimates
+    eps_n = np.e / 4096 * len(vals)
+    assert (est - true.to_numpy() <= eps_n).mean() > 0.99
+
+    rt = CountMinSketch.from_bytes(one.to_bytes())
+    assert (rt.estimate(keys) == est).all() and rt.n == one.n
+
+
+def test_approx_top_k_matches_exact(ray_session):
+    """approx_top_k finds the exact top keys of a Zipf-skewed column with
+    non-underestimating counts (no key shuffle involved)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import approx_top_k
+
+    rng = np.random.default_rng(4)
+    vals = (rng.zipf(1.3, size=120_000) % 1000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(6)
+    got = approx_top_k(ds, "k", k=10, batch_size=8192).to_pandas()
+    true = pd.Series(vals).value_counts()
+    top_true = set(true.head(10).index)
+    assert set(got["k"]) == top_true
+    for _, row in got.iterrows():
+        assert row["est_count"] >= true[row["k"]]  # CMS upper bound
+        assert row["est_count"] - true[row["k"]] <= np.e / 4096 * len(vals)

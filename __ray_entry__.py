@@ -459,19 +459,22 @@ def q_asof_join_orders(sf_dir: str):
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderdate", "o_orderkey"])
-    marks = orders.groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["o_maxkey" if c == "max(o_orderkey)" else c
-             for c in batch.column_names]
-        )
+    # map-side combine: per-batch (custkey, date) max shrinks the right
+    # side before the co-shuffle; the FINAL max happens inside the asof
+    # bucket body (right_agg) — no separate groupby shuffle
+    def preagg(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .groupby(["o_custkey", "o_orderdate"], sort=False)
+              ["o_orderkey"].max().reset_index()
+              .rename(columns={"o_orderkey": "o_maxkey"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    marks = marks.map_batches(rename, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    marks = orders.map_batches(preagg, batch_format="pyarrow")
     joined = asof_join(events, marks, key="user_id", ts="ts",
                        right_key="o_custkey", right_ts="o_orderdate",
-                       how="left", num_buckets=32)
+                       how="left", num_buckets=32,
+                       right_agg={"o_maxkey": "max"})
     return joined.select_columns(["event_id", "user_id", "o_maxkey"]).sort(
         ["event_id"]
     )

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "image_unique_phash",
     "image_decode",
     "image_drift",
+    "approx_top_phash",
     # tabular validation + aggregation + global constraints
     "range_violations",
     "group_stats",
@@ -38,10 +39,18 @@ BENCH_QUERIES = [
     "duplicate_keys",
     "referential_orphans",
     "json_validate",
+    # joins + windows
+    "join_orders_customers",
+    "asof_join_orders",
+    "range_join_acctbal",
+    "session_windows",
+    "hopping_windows",
     # training-data ops
     "exact_dedup",
     "token_counts",
     "minhash_dedup",
+    "simhash",
+    "lang_id",
     "knn_brute",
     "embedding_dedup",
 ]

@@ -85,7 +85,8 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
               how: str = "left", direction: str = "backward",
               batch_size: int = 65536, right_key: Optional[str] = None,
               right_ts: Optional[str] = None,
-              tolerance=None):
+              tolerance=None,
+              right_agg: Optional[dict] = None):
     """As-of (temporal) join: for every left row, attach the right row of
     the same ``key`` with the greatest ``ts`` <= left ts (direction
     'backward'; 'forward' = smallest >= left ts). The operator Ray Data
@@ -95,7 +96,10 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
     Partitioning assumptions (documented per driver instruction): one
     bucket's rows (both sides) fit a worker's heap — raise num_buckets
     with cluster size; right-side (key, ts) pairs must be unique (dedupe/
-    aggregate first) or the matched row among equal timestamps is
+    aggregate first, or pass ``right_agg`` — e.g. {'price': 'max'} — to
+    aggregate duplicates per (key, ts) INSIDE the bucket body, correct
+    because a bucket holds every row of its keys, saving the caller a
+    whole groupby shuffle) or the matched row among equal timestamps is
     undefined. ``how``: 'left' keeps unmatched left rows with typed nulls;
     'inner' drops them."""
     if how not in ("left", "inner"):
@@ -166,9 +170,10 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, lcols].sort_values(ts, kind="stable")
-        r = g.loc[g["__side"] == 1, [key, ts] + r_payload].sort_values(
-            ts, kind="stable"
-        )
+        r = g.loc[g["__side"] == 1, [key, ts] + r_payload]
+        if right_agg:
+            r = r.groupby([key, ts], sort=False).agg(right_agg).reset_index()
+        r = r.sort_values(ts, kind="stable")
         r = r.assign(__rmatch=np.int8(1))
         if l.empty:
             out = pd.DataFrame(

@@ -12,8 +12,9 @@ Layout:
   schema/    dict -> ConstraintDAG compiler (+ to_json round-trip, registry)
   kernels/   row-wise JSON evaluator (conformance parity) + columnar Arrow kernels
   stages/    Ray Data stages: validate, stats, uniqueness, referential, drift,
-             dedup, similarity, text, multimodal
-  state/     mergeable sketches (HyperLogLog, t-digest)
+             dedup, similarity, text, multimodal, join (hash/broadcast/
+             as-of/range), windows (tumbling/hopping/session)
+  state/     mergeable sketches (HyperLogLog, t-digest, Count-Min)
   sources/   deterministic image-table synthesis (input_hint shape), IO helpers
   pipelines/ end-to-end validation pipeline + checkpoint manifest
 """

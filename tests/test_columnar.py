@@ -231,3 +231,36 @@ def test_table_level_object_keywords():
     # fails? row1 has all nulls except name='y' -> 1 key present -> passes;
     # row2: cc present, addr null -> dependency fails
     assert got.tolist() == [True, True, False]
+
+
+def test_multipleof_large_integers_exact():
+    """Beyond 2^53, float division lies about divisibility (10^17+1 looks
+    like a multiple of 10 in float64). Both evaluators now use exact
+    integer modulo for integer values with an integral divisor — and must
+    agree (round-2 ADVICE fix)."""
+    vals = pa.array(
+        [10**17, 10**17 + 1, 2**62, 2**62 + 6, -(10**17) - 1, 70, 71, None],
+        type=pa.int64(),
+    )
+    for k in (10, 2, 7):
+        _assert_column_agrees({"multipleOf": k}, vals)
+    # the row-wise evaluator must give the exact answers, not float ones
+    dag = compile_schema({"multipleOf": 10})
+    assert evaluate(dag, 10**17) is True
+    assert evaluate(dag, 10**17 + 1) is False  # float path would say True
+
+
+def test_multipleof_huge_int_type_check():
+    """10^400 against {'type':'integer'} must not raise (ADVICE: the old
+    float(v) overflowed) and huge ints compare correctly against bounds."""
+    from jsschema_ray.kernels import validate_value
+
+    dag = compile_schema({"type": "integer", "maximum": 100})
+    ok, vio = validate_value(dag, 10**400)
+    assert not ok  # it IS an integer but exceeds the maximum
+    dag2 = compile_schema({"type": "integer"})
+    ok2, _ = validate_value(dag2, 10**400)
+    assert ok2
+    dag3 = compile_schema({"type": "integer", "minimum": 0})
+    ok3, _ = validate_value(dag3, -(10**400))
+    assert not ok3

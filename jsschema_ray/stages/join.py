@@ -331,20 +331,42 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         sample = pa.Table.from_pandas(ds.limit(1).to_pandas())
         return {f.name: f.type for f in sample.schema}
 
-    col_types = dict(_types(left))
-    for name, t in _types(right).items():
+    ltypes, rtypes = _types(left), _types(right)
+    lkt, rkt = ltypes[key], rtypes[rk]
+    if lkt != rkt:
+        # hash64 of 99 (int) and 99.0 (float) differ, so mismatched key
+        # types would silently co-locate NOTHING; unify numerics to
+        # float64, reject anything else loudly
+        if pa.types.is_integer(lkt) and pa.types.is_integer(rkt):
+            key_type = pa.int64()
+        elif ((pa.types.is_integer(lkt) or pa.types.is_floating(lkt))
+              and (pa.types.is_integer(rkt) or pa.types.is_floating(rkt))):
+            key_type = pa.float64()
+        else:
+            raise ValueError(
+                f"join key types differ and are not both numeric: "
+                f"{lkt} vs {rkt}; cast one side first"
+            )
+    else:
+        key_type = lkt
+    col_types = dict(ltypes)
+    for name, t in rtypes.items():
         col_types[key if name == rk else name] = t
+    col_types[key] = key_type
     union_cols = lcols + [c for c in rcols if c != key]
 
     def tag(side: int, colname: str):
         def fn(batch: pa.Table) -> pa.Table:
-            col = batch.column(colname).combine_chunks()
-            bucket = (hash64(col) % np.uint64(num_buckets)).astype(np.int32)
             out = batch
             if colname != key:
                 out = out.rename_columns(
                     [key if c == colname else c for c in out.column_names]
                 )
+            kcol = out.column(key).combine_chunks()
+            if kcol.type != key_type:
+                kcol = kcol.cast(key_type)
+                out = out.set_column(out.column_names.index(key), key, kcol)
+            bucket = (hash64(kcol) % np.uint64(num_buckets)).astype(np.int32)
             # pad to the combined schema (typed nulls) so union is clean
             for c in union_cols:
                 if c not in out.column_names:

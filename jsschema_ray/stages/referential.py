@@ -51,10 +51,46 @@ def referential_violations(
     keep_columns: Optional[list[str]] = None,
     allow_null: bool = True,
     batch_size: int = 65536,
+    strategy: str = "broadcast",
 ):
-    """Rows whose ``column`` value is NOT in the reference key set
-    (anti-semi-join via broadcast + is_in). Nulls pass by default
-    (absent ≡ null, kernels/columnar.py)."""
+    """Rows whose ``column`` value is NOT in the reference key set.
+    ``strategy='broadcast'`` (default): anti-semi-join via broadcast +
+    is_in — right whenever the deduped ref keys fit a worker heap.
+    ``strategy='shuffle'``: partitioned hash ANTI-join (stages/join.py) for
+    a genuinely large ref side — both sides bucket on hash(key), nothing
+    is ever collected to the driver. Nulls pass by default (absent ≡ null,
+    kernels/columnar.py)."""
+    if strategy == "shuffle":
+        import ray.data as rd
+
+        from jsschema_ray.stages.join import hash_join
+
+        if not isinstance(ref, rd.Dataset) or ref_column is None:
+            raise ValueError(
+                "strategy='shuffle' needs a Dataset ref side + ref_column"
+            )
+        proj = keep_columns or [c for c in ds.columns() if c != "bytes"]
+        if column not in proj:
+            proj = proj + [column]
+        out = hash_join(
+            ds.select_columns(proj),
+            ref.select_columns([ref_column]),
+            key=column, right_key=ref_column, how="anti",
+            batch_size=batch_size,
+        )
+        # Acero anti: null keys never match, so they surface as violations;
+        # under allow_null they must pass instead
+        if allow_null:
+            def drop_nulls(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    batch.column(column).combine_chunks().is_valid()
+                )
+
+            out = out.map_batches(drop_nulls, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return out
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     keys = _ref_key_array(ref, ref_column, batch_size)
     key_ref = ray.put(keys)
     proj = keep_columns or [c for c in ds.columns() if c != "bytes"]

@@ -100,3 +100,31 @@ def test_referential_against_dimension_dataset(ray_session):
                            columns=["o_orderkey"]).limit(100)
     chk2 = referential_check(li, "l_orderkey", some, ref_column="o_orderkey")
     assert chk2["n_violations"] > 0 and len(chk2["missing_sample"]) > 0
+
+
+def test_referential_shuffle_strategy_matches_broadcast(ray_session):
+    """The partitioned hash-anti-join fallback for large ref sides must
+    produce exactly the broadcast path's violation rows, including the
+    allow_null contract (null FKs pass)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from jsschema_ray.stages.referential import referential_violations
+
+    fk = pd.DataFrame({
+        "eid": range(12),
+        "fk": [1, 2, 3, 99, None, 2, 98, 1, None, 97, 3, 96],
+    })
+    refd = pd.DataFrame({"k": [1, 2, 3, 4, 5]})
+    ds = rd.from_pandas(fk).repartition(3)
+
+    def rows(strategy):
+        out = referential_violations(
+            ds, "fk", rd.from_pandas(refd), ref_column="k",
+            keep_columns=["eid", "fk"], strategy=strategy,
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+        return list(zip(out["eid"].astype(int), out["fk"].astype(int)))
+
+    assert rows("shuffle") == rows("broadcast") == \
+        [(3, 99), (6, 98), (9, 97), (11, 96)]

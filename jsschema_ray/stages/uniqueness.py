@@ -189,25 +189,52 @@ def uniqueness_violations(
     keep_columns: Optional[list[str]] = None,
     batch_size: int = 65536,
     max_broadcast_keys: int = 5_000_000,
+    strategy: str = "broadcast",
 ):
     """All rows whose ``column`` value is duplicated, with ``keep_columns``
     projected (never the wide payload columns unless asked).
 
-    The duplicated-key set is collected and broadcast (`ray.put` once, read
-    per task). ``max_broadcast_keys`` guards the driver: beyond it the data
-    is so dirty that a report of per-key counts (duplicate_keys) is the
-    right artifact, and we raise with that advice rather than OOM."""
+    ``strategy='broadcast'`` (default): the duplicated-key set is collected
+    and broadcast (`ray.put` once, read per task); ``max_broadcast_keys``
+    guards the driver — beyond it we raise and point at
+    ``strategy='shuffle'``, which semi-joins the rows against the
+    duplicated-keys DATASET (partitioned hash join, stages/join.py): no
+    key set ever reaches the driver, the right shape when duplicate KEYS
+    themselves are web-scale."""
+    if strategy == "shuffle":
+        from jsschema_ray.stages.join import hash_join
+
+        proj = keep_columns or [c for c in ds.columns() if c != "bytes"]
+        if column not in proj:
+            proj = proj + [column]
+        dup = duplicate_keys(ds, column, batch_size).select_columns([column])
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["__dupkey"])
+
+        dup = dup.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        return hash_join(ds.select_columns(proj), dup, key=column,
+                         right_key="__dupkey", how="semi",
+                         batch_size=batch_size)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     dup = duplicate_keys(ds, column, batch_size)
     dup_rows = dup.take_all()  # small: distinct duplicated keys only
     if len(dup_rows) > max_broadcast_keys:
         raise ValueError(
             f"{len(dup_rows)} duplicated keys on {column!r} exceeds the "
-            f"broadcast bound ({max_broadcast_keys}); consume "
-            "duplicate_keys() directly or raise max_broadcast_keys"
+            f"broadcast bound ({max_broadcast_keys}); use "
+            "strategy='shuffle' or consume duplicate_keys() directly"
         )
     schema = ds.schema()
     pa_schema = getattr(schema, "base_schema", schema)  # ray Schema wrapper
-    col_type = pa_schema.field(column).type
+    if isinstance(pa_schema, pa.Schema):
+        col_type = pa_schema.field(column).type
+    else:  # pandas-block dataset: infer the arrow type from a 1-row sample
+        col_type = pa.Table.from_pandas(
+            ds.limit(1).to_pandas()
+        ).schema.field(column).type
     keys = pa.array([r[column] for r in dup_rows], type=col_type)
     if len(keys) == 0:
         proj = keep_columns or [c for c in ds.columns() if c != "bytes"]

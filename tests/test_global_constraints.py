@@ -128,3 +128,29 @@ def test_referential_shuffle_strategy_matches_broadcast(ray_session):
 
     assert rows("shuffle") == rows("broadcast") == \
         [(3, 99), (6, 98), (9, 97), (11, 96)]
+
+
+def test_uniqueness_shuffle_strategy_matches_broadcast(ray_session):
+    """Semi-join fallback for web-scale duplicate-key sets: identical rows
+    to the broadcast path on a table with injected duplicate keys."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from jsschema_ray.stages.uniqueness import uniqueness_violations
+
+    df = pd.DataFrame({"rid": range(20),
+                       "k": [1, 2, 3, 4, 5, 1, 6, 7, 2, 8,
+                             9, 10, 1, 11, 12, 13, 2, 14, 15, 16]})
+    ds = rd.from_pandas(df).repartition(4)
+
+    def rows(strategy):
+        out = uniqueness_violations(ds, "k", keep_columns=["rid", "k"],
+                                    strategy=strategy).to_pandas()
+        return sorted(zip(out["rid"].astype(int), out["k"].astype(int)))
+
+    want = sorted(
+        (int(r.rid), int(r.k))
+        for r in df.itertuples() if (df["k"] == r.k).sum() > 1
+    )
+    assert rows("shuffle") == rows("broadcast") == want

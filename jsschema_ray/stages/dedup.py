@@ -115,14 +115,67 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
 
 
 def exact_duplicate_groups(ds, column: str, key_column: str,
-                           batch_size: int = 8192):
-    """(content_hash, n_rows, keys) per duplicated content VALUE — dup
-    hashes found by count pre-agg, members gathered with a broadcast
-    `pc.is_in` filter (no per-group map_groups), then grouped by the actual
-    content so hash-colliding distinct contents land in separate groups."""
+                           batch_size: int = 8192,
+                           strategy: str = "collect", num_parts: int = 64):
+    """(content_hash, n_rows, keys) per duplicated content VALUE, grouped
+    by the actual content so hash-colliding distinct contents land in
+    separate groups.
+
+    ``strategy='collect'`` (default): duplicated-hash members are gathered
+    to the driver with a broadcast `pc.is_in` filter — bounded by duplicate
+    volume; returns a pyarrow Table. ``strategy='shuffle'``: members are
+    semi-joined distributed (stages/join.py) and grouped inside
+    hash(content_hash) partitions — nothing reaches the driver; returns a
+    Dataset (the web-scale-duplicate-volume shape)."""
     schema = pa.schema([("content_hash", pa.int64()), ("n_rows", pa.int64()),
                         ("keys", pa.list_(pa.int64()))])
     hashed = add_content_hash(ds, column, batch_size=batch_size)
+    if strategy == "shuffle":
+        from jsschema_ray.stages.join import hash_join
+        from jsschema_ray.stages.uniqueness import duplicate_keys
+
+        dup = duplicate_keys(hashed.select_columns(["content_hash"]),
+                             "content_hash",
+                             batch_size=batch_size).select_columns(
+            ["content_hash"]
+        )
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["__duphash"])
+
+        members = hash_join(
+            hashed.select_columns(["content_hash", column, key_column]),
+            dup.map_batches(rename, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            key="content_hash", right_key="__duphash", how="semi",
+            batch_size=batch_size,
+        )
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+            part = (h.astype(np.uint64) % np.uint64(num_parts)).astype(
+                np.int32
+            )
+            return batch.append_column("part", pa.array(part))
+
+        def group_part(g: pd.DataFrame) -> pd.DataFrame:
+            rows = [
+                {"content_hash": int(sub["content_hash"].iloc[0]),
+                 "n_rows": len(sub),
+                 "keys": sorted(sub[key_column].tolist())}
+                for _, sub in g.groupby([column], sort=False)
+                if len(sub) > 1  # hash collision, contents differ
+            ]
+            rows.sort(key=lambda r: (r["content_hash"], r["keys"]))
+            out = pd.DataFrame(rows, columns=["content_hash", "n_rows",
+                                              "keys"])
+            return out.astype({"content_hash": "int64", "n_rows": "int64"})
+
+        return members.map_batches(
+            add_part, batch_format="pyarrow"
+        ).groupby("part").map_groups(group_part, batch_format="pandas")
+    if strategy != "collect":
+        raise ValueError(f"unknown strategy {strategy!r}")
     members = _dup_hash_members(hashed, [column], key_column, batch_size)
     if members is None:
         return pa.Table.from_pylist([], schema=schema)

@@ -280,3 +280,31 @@ def test_simhash_vectorized_matches_scalar():
     sh = SimHash()
     vec = sh(batch).column("simhash").to_pylist()
     assert vec == [sh._one(x or "") for x in texts]
+
+
+def test_exact_duplicate_groups_shuffle_matches_collect(ray_session):
+    """The distributed (Dataset) variant must produce exactly the collect
+    variant's groups — duplicate members never reach the driver."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import exact_duplicate_groups
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    dup = pdf.head(15).copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000
+    both = pd.concat([pdf, dup], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(4)
+
+    collected = exact_duplicate_groups(ds, "text", "doc_id").to_pylist()
+    shuffled = exact_duplicate_groups(
+        ds, "text", "doc_id", strategy="shuffle"
+    ).to_pandas()
+    got = sorted(
+        (int(r.content_hash), int(r.n_rows), tuple(r.keys))
+        for r in shuffled.itertuples()
+    )
+    want = sorted(
+        (int(r["content_hash"]), int(r["n_rows"]), tuple(r["keys"]))
+        for r in collected
+    )
+    assert got == want and len(want) == 15

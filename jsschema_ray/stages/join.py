@@ -75,6 +75,14 @@ def broadcast_join(ds, small, key: str, how: str = "inner",
 
     def fn(batch: pa.Table) -> pa.Table:
         sm = ray.get(ref)  # zero-copy from the object store
+        bt = batch.schema.field(key).type
+        st = sm.schema.field(key).type
+        if bt != st:
+            # mismatched key types never match in Acero; cast the small
+            # side (safe cast: a lossy float->int raises instead of
+            # silently truncating)
+            i = sm.column_names.index(key)
+            sm = sm.set_column(i, key, sm.column(key).cast(bt, safe=True))
         return batch.join(sm, keys=key, join_type=join_type)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,

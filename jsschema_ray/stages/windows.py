@@ -108,11 +108,13 @@ def session_windows(ds, key: str = "user_id", ts: str = "ts",
             "int64"
         )
         # per-key 0-based session id: global cumsum minus each key's base
+        # (.where() inserts NaN and would promote the difference to
+        # float64 — cast back so the output schema stays int64)
         sess_global = new_sess.cumsum()
         base = sess_global.where(key_change).ffill()
         out = pd.DataFrame({
             key: g[key].to_numpy(),
-            "session_id": (sess_global - base).to_numpy(),
+            "session_id": (sess_global - base).astype("int64").to_numpy(),
         })
         # normalize to ns first: arrow timestamps may land as datetime64[us]
         out["epoch"] = (t.astype("datetime64[ns]").astype("int64")

@@ -82,6 +82,12 @@ def test_oracle_parity(name, con, contract):
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     for c in got.columns:
         a, b = got[c], want[c]
+        # dtype drift guard: the driver's schema_match compares dtypes, so
+        # an int64 column silently promoted to float64 (e.g. by a pandas
+        # .where/ffill) must fail HERE, not in CORRECTNESS
+        assert a.dtype.kind == b.dtype.kind, (
+            f"{name}.{c}: dtype {a.dtype} != oracle {b.dtype}"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             assert (
                 (a.astype(float) - b.astype(float)).abs().max() or 0.0

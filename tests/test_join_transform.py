@@ -234,3 +234,64 @@ def test_range_join_matches_bruteforce(ray_session):
     assert list(zip(got["lid"].astype(int), got["rid"].astype(int))) == \
         sorted(want)
     assert str(got["lid"].dtype) == "Int64"  # typed across bins
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hash_join_randomized_vs_pandas(seed, ray_session):
+    """Many-to-many randomized differential: every join mode against a
+    pandas merge reference (no null keys here, where pandas==SQL; null-key
+    semantics are pinned by the dedicated unit tests)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 30, size=200),
+        "lv": rng.integers(-5, 5, size=200),
+        "ls": [None if x % 7 == 0 else f"s{x}" for x in range(200)],
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 35, size=150),
+        "rv": rng.normal(size=150).round(3),
+    })
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                # normalize None vs float('nan') null spellings first
+                df[c] = df[c].where(df[c].notna(), None).astype(str)
+            elif df[c].dtype.kind in "iuf" or str(df[c].dtype) == "Int64":
+                df[c] = df[c].astype("float64")
+        return df.sort_values(list(df.columns), kind="stable").reset_index(
+            drop=True
+        )
+
+    for how in ("inner", "left", "right", "outer"):
+        got = hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            key="k", right_key="rk", how=how, num_buckets=8,
+        ).to_pandas()
+        want = left.merge(right.rename(columns={"rk": "k"}), on="k", how=how)
+        pd.testing.assert_frame_equal(canon(got), canon(want),
+                                      check_dtype=False), how
+    # semi / anti vs isin reference
+    semi = hash_join(rd.from_pandas(left), rd.from_pandas(right), key="k",
+                     right_key="rk", how="semi", num_buckets=8).to_pandas()
+    want_semi = left[left["k"].isin(set(right["rk"]))]
+    pd.testing.assert_frame_equal(canon(semi), canon(want_semi),
+                                  check_dtype=False)
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(right), key="k",
+                     right_key="rk", how="anti", num_buckets=8).to_pandas()
+    want_anti = left[~left["k"].isin(set(right["rk"]))]
+    if len(want_anti) == 0:
+        # an all-empty Dataset loses its schema through to_pandas — only
+        # the row count is comparable
+        assert len(anti) == 0
+    else:
+        pd.testing.assert_frame_equal(canon(anti), canon(want_anti),
+                                      check_dtype=False)

@@ -52,6 +52,11 @@ class DecodeImages:
             self._pil = Image
         except ImportError:
             self._pil = None
+        # content-addressed verdict cache (per actor): duplicate payloads
+        # are the norm in crawled image corpora — decode each distinct
+        # payload once; bounded so worker heap stays flat
+        self._cache: dict = {}
+        self._cache_max = 4096
 
     def _psnr(self, a: np.ndarray, b: np.ndarray) -> float:
         mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
@@ -105,9 +110,20 @@ class DecodeImages:
             if self.fmt_column in batch.column_names
             else [None] * len(payloads)
         )
+        import hashlib
+
         oks, rts, ws, hs = [], [], [], []
         for p, f in zip(payloads, fmts):
-            ok, rt, w, h = self._decode_one(p, f)
+            ck = (None if p is None else
+                  (f, hashlib.blake2b(p, digest_size=16).digest()))
+            hit = self._cache.get(ck) if ck is not None else None
+            if hit is None:
+                hit = self._decode_one(p, f)
+                if ck is not None:
+                    if len(self._cache) >= self._cache_max:
+                        self._cache.clear()  # simple bound; refill is cheap
+                    self._cache[ck] = hit
+            ok, rt, w, h = hit
             oks.append(ok)
             rts.append(rt)
             ws.append(w)

@@ -2,22 +2,29 @@
 first-class components): exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
-Scale shapes (all avoid shuffling full documents):
-  * exact:   vectorized content-hash per batch -> (hash,key) pre-agg ->
-             groupby(hash) keeps min key -> broadcast the LOSER key set and
-             anti-filter the original stream (rows never shuffle);
-  * minhash: per-batch shingle->signature (numpy), explode to
-             (band, band_hash, key) rows -> groupby bands -> candidate
-             pairs -> exact-Jaccard verification on candidate keys only ->
-             union-find on the (small) verified pair set;
-  * simhash: per-batch 64-bit simhash -> band on 16-bit chunks (Hamming
-             <= 3 guarantees a matching chunk) -> verify Hamming distance;
+Scale shapes (all avoid shuffling full documents; round 2 moved candidate
+handling fully off the driver):
+  * exact:   vectorized content-hash per batch -> count pre-agg -> content
+             verification within dup-hash groups -> broadcast the LOSER
+             key set and `pc.is_in`-filter the stream (rows never
+             shuffle); duplicate-GROUP extraction has a distributed
+             Dataset variant (strategy='shuffle').
+  * minhash: per-batch shingle->signature, band bucket keys hash-
+             partitioned as blob-packed (batch, part) rows -> candidate
+             PAIRS emitted inside the partition reduce -> global pair
+             dedup -> exact-Jaccard verification via candidate-pair ×
+             shingle-sketch co-shuffles (binary-packed sketches through
+             the Acero hash join) -> only VERIFIED pairs to the driver;
+  * simhash: same banding shape, but the 64-bit hash travels with each
+             exploded row so Hamming verification happens inside the
+             partition reduce itself — one shuffle total;
   * embedding: random-hyperplane LSH buckets -> within-bucket pairwise
              cosine -> threshold pairs -> union-find.
 
-Union-find runs on the driver over the VERIFIED PAIR set only — candidate
-pairs, not rows; the docstring of each op states that assumption (per the
-driver instruction to document partitioning assumptions).
+Union-find runs on the driver over the VERIFIED PAIR set only — never
+candidates, bucket members, or documents; web-scale duplicate rates scale
+the shuffles, not any driver-side structure (each op's docstring states
+its partitioning assumption per the driver instruction).
 """
 
 from __future__ import annotations

@@ -185,9 +185,13 @@ def run_flagship() -> dict:
         assert res["image_id"].num_rows >= 0 and res["phash"].num_rows >= 0
 
     def stage_decode():
+        # cache_max=0: the synthetic table reuses a 64-image payload pool
+        # (cheap synthesis), which the content-addressed decode cache would
+        # collapse into a payload-READ benchmark; real distinct-image data
+        # decodes every row, so the scaling stage measures uncached decode
         _consume(decode_violations(
             rd.read_parquet(img, columns=["image_id", "bytes", "fmt"]),
-            batch_size=2048,
+            batch_size=2048, cache_max=0,
         ))
 
     # repeat and keep the per-stage minimum: single-node runs are noisy

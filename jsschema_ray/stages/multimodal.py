@@ -54,7 +54,10 @@ class DecodeImages:
             self._pil = None
         # content-addressed verdict cache (per actor): duplicate payloads
         # are the norm in crawled image corpora — decode each distinct
-        # payload once; bounded so worker heap stays flat
+        # payload once; bounded so worker heap stays flat. Disable with
+        # cache_max=0 when measuring raw decode compute (the synthetic
+        # bench pool repeats 64 images, which a cache collapses into a
+        # bandwidth benchmark — not representative of distinct-image data)
         self._cache: dict = {}
         self._cache_max = 4096
 
@@ -114,7 +117,7 @@ class DecodeImages:
 
         oks, rts, ws, hs = [], [], [], []
         for p, f in zip(payloads, fmts):
-            ck = (None if p is None else
+            ck = (None if p is None or self._cache_max == 0 else
                   (f, hashlib.blake2b(p, digest_size=16).digest()))
             hit = self._cache.get(ck) if ck is not None else None
             if hit is None:
@@ -201,7 +204,8 @@ class ResizeImages:
 
 def decode_violations(ds, key_column: str = "image_id",
                       column: str = "bytes", fmt_column: str = "fmt",
-                      batch_size: int = 1024, concurrency: Any = None):
+                      batch_size: int = 1024, concurrency: Any = None,
+                      cache_max: int = 4096):
     """Rows failing the decode invariant (decode error, round-trip
     mismatch, or missing payload) as (key, reason). Stateless tasks by
     default (no per-actor state to amortize, and tasks scale elastically to
@@ -211,6 +215,7 @@ def decode_violations(ds, key_column: str = "image_id",
     class Check(DecodeImages):
         def __init__(self):
             super().__init__(column, fmt_column, on_unsupported="skip")
+            self._cache_max = cache_max
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             dec = super().__call__(batch)

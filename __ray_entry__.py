@@ -193,6 +193,35 @@ def q_image_stats(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def q_image_stats_exact(sf_dir: str):
+    """The EXACT slice of the stats stage (counts, nulls, min/max/sum) over
+    the image table — sketch estimates (HLL distinct, t-digest quantiles)
+    stay in q_image_stats; this query pins the accumulator's exact
+    aggregates against SQL."""
+    from jsschema_ray.stages.stats import StatsSpec, collect_stats
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["w", "h", "caption"])
+    stats = collect_stats(ds, StatsSpec(columns=["w", "h", "caption"]))
+    rows = []
+    for col in ("caption", "h", "w"):
+        cs = stats[("", col)]
+        is_num = col in ("h", "w")
+        rows.append(
+            {
+                "column": col,
+                "n": cs.count,
+                "nulls": cs.nulls,
+                "vmin": int(cs.min) if is_num else None,
+                "vmax": int(cs.max) if is_num else None,
+                "vsum": int(cs.sum) if is_num else None,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("column", pa.string()), ("n", pa.int64()), ("nulls", pa.int64()),
+         ("vmin", pa.int64()), ("vmax", pa.int64()), ("vsum", pa.int64())]
+    ))
+
+
 def q_image_unique_phash(sf_dir: str):
     from jsschema_ray.stages.uniqueness import duplicate_keys
 
@@ -897,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_validate": q_image_validate,
         "image_stats": q_image_stats,
         "image_unique_phash": q_image_unique_phash,
+        "image_stats_exact": q_image_stats_exact,
         "approx_top_phash": q_approx_top_phash,
         "image_decode": q_image_decode,
         "image_drift": q_image_drift,
@@ -959,6 +989,27 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{meta}')
             GROUP BY phash HAVING COUNT(*) > 1
             ORDER BY dup_count DESC, phash LIMIT 50
+        """,
+        "image_stats_exact": f"""
+            WITH m AS (SELECT * FROM read_parquet('{meta}'))
+            SELECT * FROM (
+                SELECT 'caption' AS "column", COUNT(caption) AS n,
+                       COUNT(*) - COUNT(caption) AS nulls,
+                       CAST(NULL AS BIGINT) AS vmin,
+                       CAST(NULL AS BIGINT) AS vmax,
+                       CAST(NULL AS BIGINT) AS vsum
+                FROM m
+                UNION ALL
+                SELECT 'h', COUNT(h), COUNT(*) - COUNT(h),
+                       CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT),
+                       CAST(SUM(h) AS BIGINT)
+                FROM m
+                UNION ALL
+                SELECT 'w', COUNT(w), COUNT(*) - COUNT(w),
+                       CAST(MIN(w) AS BIGINT), CAST(MAX(w) AS BIGINT),
+                       CAST(SUM(w) AS BIGINT)
+                FROM m
+            ) ORDER BY "column"
         """,
         "image_validate": f"""
             WITH m AS (SELECT * FROM read_parquet('{meta}'))

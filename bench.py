@@ -7,7 +7,7 @@
                                  # at both + efficiency + machine ceilings
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
-32), GRAFT_SCALE_ROWS (default 4M), GRAFT_SCALE_LO/HI, GRAFT_SCALE_REPEATS.
+32), GRAFT_SCALE_ROWS (default 8M), GRAFT_SCALE_LO/HI, GRAFT_SCALE_REPEATS.
 The headline metric is wall seconds; rows_per_sec reports the flagship
 image-validation throughput (BASELINE.json metric).
 """
@@ -131,7 +131,7 @@ def run_flagship() -> dict:
     """The headline pipeline for the scaling criterion: the full image
     validation flow (row-local DAG masks -> stats sketches -> global
     uniqueness -> decode invariant) over a fixed synthesized input_hint
-    table (GRAFT_SCALE_ROWS, default 4M rows — large enough that per-stage
+    table (GRAFT_SCALE_ROWS, default 8M rows — large enough that per-stage
     scheduling overhead is a small fraction of wall time at the low CPU
     level)."""
     import ray

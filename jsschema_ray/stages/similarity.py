@@ -97,10 +97,30 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
 
 def train_centroids(ds, n_centroids: int, emb_column: str = "embedding",
                     sample_rows: int = 20_000, iters: int = 10,
-                    seed: int = 5) -> np.ndarray:
+                    seed: int = 5, key_column: str = "vec_id") -> np.ndarray:
     """Seeded Lloyd k-means on a driver-side sample (IVF coarse quantizer).
-    Sample size is fixed, independent of corpus size."""
-    frac_rows = ds.limit(sample_rows).take_all()
+    Sample size is fixed, independent of corpus size; rows are selected by
+    key-hash stride (hash(key) % M == 0), so the sample is spread across
+    the whole corpus — a limit()-style first-N sample would only see the
+    first files of a sorted/clustered dataset — and is deterministic for a
+    given corpus regardless of block layout."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    n = ds.count()
+    m = max(1, n // sample_rows)
+    if m > 1 and key_column in ds.columns():
+        def stride(batch):
+            h = hash64(batch.column(key_column).combine_chunks())
+            keep = (h % np.uint64(m)) == 0
+            return batch.filter(pa.array(keep))
+
+        frac_rows = ds.map_batches(
+            stride, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    else:
+        frac_rows = ds.limit(sample_rows).take_all()
     X = _normalize(
         np.array([r[emb_column] for r in frac_rows], dtype=np.float32)
     )

@@ -231,6 +231,19 @@ def q_image_unique_phash(sf_dir: str):
     ).limit(50)
 
 
+def q_image_exact_dedup(sf_dir: str):
+    """Exact dedup over the BINARY payload column (multimodal dedup: one
+    surviving row per distinct image bytes, min image_id wins) — the
+    stages/dedup.exact_dedup path on binary content, oracled against a
+    SQL GROUP BY on the blob."""
+    from jsschema_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["image_id", "bytes"])
+    return exact_dedup(ds, "bytes", "image_id").select_columns(
+        ["image_id"]
+    ).sort(["image_id"])
+
+
 def q_approx_top_phash(sf_dir: str):
     """Approximate heavy hitters of the Zipf-skewed phash column via
     candidate + Count-Min partials (stages/stats.approx_top_k) — the
@@ -927,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats": q_image_stats,
         "image_unique_phash": q_image_unique_phash,
         "image_stats_exact": q_image_stats_exact,
+        "image_exact_dedup": q_image_exact_dedup,
         "approx_top_phash": q_approx_top_phash,
         "image_decode": q_image_decode,
         "image_drift": q_image_drift,
@@ -939,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
     # driver evaluates SQL or the Ray query first (sf0.01 = 20k rows is
     # the driver's correctness scale)
     meta = _image_meta_path_rows(20_000)
+    img = _image_dir_rows(20_000)  # sharded dir incl. bytes (no Ray needed)
     # stopword/lang-id oracles interpolate the SAME profile word lists the
     # engine uses (jsschema_ray/stages/text.py) so the two can never drift
     from jsschema_ray.stages.text import _LANG_PROFILES
@@ -989,6 +1004,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{meta}')
             GROUP BY phash HAVING COUNT(*) > 1
             ORDER BY dup_count DESC, phash LIMIT 50
+        """,
+        "image_exact_dedup": f"""
+            SELECT d.image_id FROM read_parquet('{img}/*.parquet') d
+            JOIN (SELECT bytes, MIN(image_id) AS keep
+                  FROM read_parquet('{img}/*.parquet') GROUP BY bytes) g
+              ON d.bytes = g.bytes AND d.image_id = g.keep
+            ORDER BY d.image_id
         """,
         "image_stats_exact": f"""
             WITH m AS (SELECT * FROM read_parquet('{meta}'))

@@ -115,8 +115,14 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
     rk = right_key or key
     rts = right_ts or ts
     lcols = list(left.columns())
+    rcols_raw = list(right.columns())
+    for name, side_cols, side in ((key, lcols, "left"), (ts, lcols, "left"),
+                                  (rk, rcols_raw, "right"),
+                                  (rts, rcols_raw, "right")):
+        if name not in side_cols:
+            raise ValueError(f"asof column {name!r} not in {side} columns")
     rcols = [key if c == rk else (ts if c == rts else c)
-             for c in right.columns()]
+             for c in rcols_raw]
     overlap = (set(lcols) & set(rcols)) - {key, ts}
     if overlap:
         raise ValueError(
@@ -315,7 +321,12 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         raise ValueError(f"unknown join how={how!r}; one of {list(_JOIN_TYPE)}")
     rk = right_key or key
     lcols = list(left.columns())
-    rcols = [key if c == rk else c for c in right.columns()]
+    rcols_raw = list(right.columns())
+    if key not in lcols:
+        raise ValueError(f"join key {key!r} not in left columns {lcols}")
+    if rk not in rcols_raw:
+        raise ValueError(f"join key {rk!r} not in right columns {rcols_raw}")
+    rcols = [key if c == rk else c for c in rcols_raw]
     overlap = (set(lcols) & set(rcols)) - {key}
     if overlap:
         raise ValueError(

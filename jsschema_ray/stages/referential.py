@@ -95,23 +95,23 @@ def referential_violations(
     key_ref = ray.put(keys)
     proj = keep_columns or [c for c in ds.columns() if c != "bytes"]
 
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(key_ref)  # once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch.column(column).combine_chunks()
-            hit = pc.is_in(col, value_set=self.keys)
-            bad = pc.invert(pc.fill_null(hit, False))
-            if allow_null:
-                bad = pc.and_(bad, col.is_valid())
-            else:
-                bad = pc.or_(bad, col.is_null())
-            return batch.filter(bad)
+    def anti_join(batch: pa.Table) -> pa.Table:
+        # stateless task: ray.get on a shared object is a zero-copy plasma
+        # read, so there is no per-actor state worth a pool spin-up, and
+        # tasks scale to every core instead of a fixed pool of 8
+        keys = ray.get(key_ref)
+        col = batch.column(column).combine_chunks()
+        hit = pc.is_in(col, value_set=keys)
+        bad = pc.invert(pc.fill_null(hit, False))
+        if allow_null:
+            bad = pc.and_(bad, col.is_valid())
+        else:
+            bad = pc.or_(bad, col.is_null())
+        return batch.filter(bad)
 
     return ds.select_columns(proj).map_batches(
-        AntiJoin, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, concurrency=(1, 8),
+        anti_join, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     )
 
 

@@ -243,17 +243,15 @@ def uniqueness_violations(
 
     proj = keep_columns or [c for c in ds.columns() if c != "bytes"]
 
-    class FlagDupes:
-        def __init__(self):
-            self.keys = ray.get(key_ref)  # once per actor/worker
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch.column(column).combine_chunks(), value_set=self.keys)
-            return batch.filter(pc.fill_null(m, False))
+    def flag_dupes(batch: pa.Table) -> pa.Table:
+        # stateless task: the broadcast key set is a zero-copy plasma read
+        keys = ray.get(key_ref)
+        m = pc.is_in(batch.column(column).combine_chunks(), value_set=keys)
+        return batch.filter(pc.fill_null(m, False))
 
     return ds.select_columns(proj).map_batches(
-        FlagDupes, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, concurrency=(1, 8),
+        flag_dupes, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     )
 
 

@@ -714,9 +714,10 @@ def q_json_validate(sf_dir: str):
     from jsschema_ray.stages.validate import JsonColumnValidator
 
     ds = _read(sf_dir, "events", ["event_id", "props"])
+    stage = JsonColumnValidator(EVENTS_PROPS_SCHEMA, "props")  # compile once
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = JsonColumnValidator(EVENTS_PROPS_SCHEMA, "props")(batch)
+        out = stage(batch)
         bad = pc.invert(out.column("json_valid"))
         return out.filter(bad).select(["event_id"])
 

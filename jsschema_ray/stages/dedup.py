@@ -634,13 +634,29 @@ def simhash_verified_pairs(ds, column: str = "text",
                            key_column: str = "doc_id", max_hamming: int = 3,
                            batch_size: int = 4096,
                            concurrency: Any = (1, 8), num_parts: int = 64,
-                           max_bucket_members: int = 256):
+                           max_bucket_members: int = 256,
+                           n_bands: int = 4):
     """SimHash banding to a DATASET of Hamming-verified pairs: chunk bucket
     keys are hash-partitioned (blob-packed rows), and because the 64-bit
     simhash travels with each exploded row, exact-Hamming verification
     happens INSIDE the partition reduce — only verified pairs leave it.
-    Pigeonhole: Hamming <= 3 over a 63-bit hash guarantees at least one
-    identical 16-bit chunk, so banding on the 4 chunks finds every pair."""
+
+    Pigeonhole: two hashes within Hamming distance n_bands-1 share at
+    least one identical (64/n_bands)-bit chunk, so banding finds every
+    such pair exactly. ``n_bands`` is the corpus-size dial: the default
+    4×16-bit bands (max_hamming <= 3) saturate around 2^16 documents per
+    chunk value; at 10^9+ documents use n_bands=2 (32-bit chunks,
+    max_hamming <= 1) so buckets stay worker-sized — wider chunks = fewer
+    false candidates but a tighter guaranteed distance."""
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding on {n_bands} chunks only guarantees Hamming <= "
+            f"{n_bands - 1}; raise n_bands or lower max_hamming"
+        )
+    bits = 64 // n_bands
+    chunk_mask = np.uint64((1 << bits) - 1)
     sh = ds.select_columns([key_column, column]).map_batches(
         SimHash(column=column), batch_format="pyarrow",
         batch_size=batch_size,
@@ -652,16 +668,22 @@ def simhash_verified_pairs(ds, column: str = "text",
             np.uint64
         )
         bks = []
-        for c in range(4):
-            chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            # exact composite bucket key: band_id << 16 | chunk
-            bks.append(((np.uint64(c) << np.uint64(16)) | chunk).astype(np.int64))
+        for c in range(n_bands):
+            chunk = (h >> np.uint64(bits * c)) & chunk_mask
+            # exact composite bucket key: band_id << bits | chunk — always
+            # < 2^(bits + log2 n_bands) <= 2^33, collision-free in int64
+            # (and identical to the 4-band keys of earlier rounds)
+            bks.append(
+                ((np.uint64(c) << np.uint64(bits)) | chunk).astype(np.int64)
+            )
         bk_all = np.concatenate(bks)
         tbl = pa.table(
             {
                 "bucket_key": pa.array(bk_all, type=pa.int64()),
-                key_column: pa.chunked_array([keys] * 4).combine_chunks(),
-                "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
+                key_column: pa.chunked_array(
+                    [keys] * n_bands
+                ).combine_chunks(),
+                "simhash": pa.array(np.tile(h.astype(np.int64), n_bands)),
             }
         )
         part = (bk_all.astype(np.uint64) % np.uint64(num_parts)).astype(

@@ -308,3 +308,31 @@ def test_exact_duplicate_groups_shuffle_matches_collect(ray_session):
         for r in collected
     )
     assert got == want and len(want) == 15
+
+
+def test_simhash_band_parameter(ray_session):
+    """n_bands trades guaranteed Hamming distance for bucket width:
+    2×32-bit bands (max_hamming<=1) must still find exact twins, and an
+    out-of-guarantee max_hamming raises."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import (_UnionFind,
+                                           simhash_verified_pairs)
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(60)
+    twin = pdf.head(4).copy()
+    twin["doc_id"] = twin["doc_id"] + 90_000  # identical text
+    both = pd.concat([pdf, twin], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(3)
+
+    pairs = simhash_verified_pairs(ds, "text", "doc_id", max_hamming=1,
+                                   n_bands=2, batch_size=32).take_all()
+    uf = _UnionFind()
+    for r in pairs:
+        uf.union(r["a"], r["b"])
+    for i in range(4):
+        assert uf.find(i) == uf.find(i + 90_000)
+
+    with pytest.raises(ValueError, match="guarantees Hamming"):
+        simhash_verified_pairs(ds, "text", "doc_id", max_hamming=3,
+                               n_bands=2)

@@ -152,7 +152,14 @@ def eval_array(node: ConstraintNode, arr: pa.Array, path: str = "#",
                 ((v is None) or (_canon(v) in cs) for v in arr.to_pylist()),
                 dtype=bool, count=n)
         else:
-            m = _np_bool(pc.is_in(arr, value_set=pa.array(vals, type=dtype)), True)
+            cand = arr
+            if pa.types.is_floating(dtype):
+                # pc.is_in matches by hash, where -0.0 != 0.0; JSON number
+                # equality says they are equal — normalize signed zeros on
+                # both sides (x + 0.0 maps -0.0 to +0.0, found by fuzzing)
+                cand = pc.add(arr, pa.scalar(0.0, dtype))
+                vals = [v + 0.0 if isinstance(v, float) else v for v in vals]
+            m = _np_bool(pc.is_in(cand, value_set=pa.array(vals, type=dtype)), True)
         em = np.where(valid, m, True)
         mask &= em
         _collect(collector, path, "enum", em, valid)

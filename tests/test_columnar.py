@@ -264,3 +264,16 @@ def test_multipleof_huge_int_type_check():
     dag3 = compile_schema({"type": "integer", "minimum": 0})
     ok3, _ = validate_value(dag3, -(10**400))
     assert not ok3
+
+
+def test_enum_signed_zero():
+    """-0.0 equals 0 as a JSON number; Arrow is_in hashes them apart —
+    the kernel must normalize signed zeros (found by randomized fuzzing)."""
+    _assert_column_agrees(
+        {"enum": [0]},
+        pa.array([-0.0, 0.0, 1.0, None], type=pa.float64()),
+    )
+    _assert_column_agrees(
+        {"enum": [-0.0, 2.5]},
+        pa.array([0.0, -0.0, 2.5, -2.5, None], type=pa.float64()),
+    )

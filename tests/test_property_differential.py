@@ -13,8 +13,15 @@ from jsschema_ray import compile_schema
 from jsschema_ray.kernels import evaluate
 from jsschema_ray.kernels.columnar import eval_array
 
-settings.register_profile("ci", max_examples=120, deadline=None,
-                          derandomize=True)
+import os
+
+# FUZZ_EXAMPLES raises the budget for one-off deep sweeps (e.g. 2000);
+# derandomize keeps CI deterministic either way
+settings.register_profile(
+    "ci", max_examples=int(os.environ.get("FUZZ_EXAMPLES", "120")),
+    deadline=None,
+    derandomize=os.environ.get("FUZZ_RANDOM", "") != "1",
+)
 settings.load_profile("ci")
 
 

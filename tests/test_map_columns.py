@@ -73,3 +73,62 @@ def test_map_in_table():
                                   "properties": {"a": {"minimum": 0}}}}}
     )
     assert eval_table(dag, t).tolist() == [True, False, False]
+
+
+# ---- randomized differential (hypothesis; FUZZ_EXAMPLES/FUZZ_RANDOM as in
+# test_property_differential) --------------------------------------------
+import os
+
+from hypothesis import given, settings, strategies as st
+
+settings.register_profile(
+    "maps", max_examples=int(os.environ.get("FUZZ_EXAMPLES", "60")),
+    deadline=None, derandomize=os.environ.get("FUZZ_RANDOM", "") != "1",
+)
+settings.load_profile("maps")
+
+_KEYS = ["a", "b", "c", "S_x", "I_y"]
+
+_MAP_SCHEMA = st.fixed_dictionaries(
+    {},
+    optional={
+        "minProperties": st.integers(0, 4),
+        "maxProperties": st.integers(0, 5),
+        "required": st.lists(st.sampled_from(_KEYS), max_size=3, unique=True),
+        "dependencies": st.fixed_dictionaries(
+            {}, optional={"a": st.lists(st.sampled_from(["b", "c"]),
+                                        min_size=1, max_size=2, unique=True)}
+        ),
+        "properties": st.fixed_dictionaries(
+            {},
+            optional={
+                "a": st.fixed_dictionaries(
+                    {}, optional={"minimum": st.integers(-5, 5),
+                                  "multipleOf": st.sampled_from([2, 3])}
+                ),
+                "b": st.fixed_dictionaries(
+                    {}, optional={"maximum": st.integers(-5, 5)}
+                ),
+            },
+        ),
+        "patternProperties": st.fixed_dictionaries(
+            {}, optional={"^S_": st.just({"minimum": 0}),
+                          "^I_": st.just({"maximum": 0})}
+        ),
+        "additionalProperties": st.booleans(),
+    },
+)
+
+_MAP_ROWS = st.lists(
+    st.one_of(
+        st.none(),
+        st.dictionaries(st.sampled_from(_KEYS), st.integers(-10, 10),
+                        max_size=5),
+    ),
+    max_size=20,
+)
+
+
+@given(schema=_MAP_SCHEMA, rows=_MAP_ROWS)
+def test_map_object_keywords_fuzz(schema, rows):
+    _agree(schema, _mk(rows))

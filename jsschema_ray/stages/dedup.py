@@ -88,14 +88,68 @@ def _dup_hash_members(hashed, columns: list[str], key_column: str,
     ).to_pandas()
 
 
-def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192):
+def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192,
+                strategy: str = "broadcast", num_parts: int = 64):
     """Keep exactly one row (the min ``key_column``) per distinct ``column``
-    value. Survivor selection shuffles only (hash, key) pairs; full rows are
-    filtered in place against the broadcast loser-key set. Content equality
-    is verified WITHIN each duplicated-hash group (grouping on the actual
-    ``column`` value), so a 63-bit hash collision between distinct contents
-    never drops a unique row — the verification set is the duplicated rows
-    only, which is driver-small by the dedup-rate assumption."""
+    value. Content equality is verified WITHIN each duplicated-hash group
+    (grouping on the actual ``column`` value), so a 63-bit hash collision
+    between distinct contents never drops a unique row.
+
+    ``strategy='broadcast'`` (default): loser keys are collected and
+    broadcast — bounded by duplicate volume. ``strategy='shuffle'``: loser
+    keys are computed inside hash(content_hash) partitions and removed
+    with a distributed ANTI-join — nothing reaches the driver; the shape
+    for web-scale duplicate volumes."""
+    if strategy == "shuffle":
+        from jsschema_ray.stages.join import hash_join
+        from jsschema_ray.stages.uniqueness import duplicate_keys
+
+        hashed = add_content_hash(ds, column, batch_size=batch_size)
+        dup = duplicate_keys(hashed.select_columns(["content_hash"]),
+                             "content_hash",
+                             batch_size=batch_size).select_columns(
+            ["content_hash"]
+        )
+
+        def rename_dup(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["__duphash"])
+
+        members = hash_join(
+            hashed.select_columns(["content_hash", column, key_column]),
+            dup.map_batches(rename_dup, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            key="content_hash", right_key="__duphash", how="semi",
+            batch_size=batch_size,
+        )
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+            part = (h.astype(np.uint64) % np.uint64(num_parts)).astype(
+                np.int32
+            )
+            return batch.append_column("part", pa.array(part))
+
+        def emit_losers(g: pd.DataFrame) -> pd.DataFrame:
+            # all rows of a content_hash live in one partition: per actual
+            # content value, every key except the min is a loser
+            s = g.sort_values(key_column, kind="stable")
+            losers = s[s.duplicated([column], keep="first")][key_column]
+            return pd.DataFrame({"__loser": losers.to_numpy()})
+
+        losers = members.map_batches(
+            add_part, batch_format="pyarrow"
+        ).groupby("part").map_groups(emit_losers, batch_format="pandas")
+        out = hash_join(hashed, losers, key=key_column,
+                        right_key="__loser", how="anti",
+                        batch_size=batch_size)
+
+        def drop_hash(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["content_hash"])
+
+        return out.map_batches(drop_hash, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     hashed = add_content_hash(ds, column, batch_size=batch_size)
     dup_pairs = _dup_hash_members(hashed, [column], key_column, batch_size)
     loser_keys: list = []

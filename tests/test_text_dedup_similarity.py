@@ -336,3 +336,22 @@ def test_simhash_band_parameter(ray_session):
     with pytest.raises(ValueError, match="guarantees Hamming"):
         simhash_verified_pairs(ds, "text", "doc_id", max_hamming=3,
                                n_bands=2)
+
+
+def test_exact_dedup_shuffle_matches_broadcast(ray_session):
+    """Distributed loser-key removal must keep exactly the broadcast
+    path's survivors (min key per distinct content, nothing on driver)."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import exact_dedup
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    dup = pdf.head(25).copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000
+    both = pd.concat([pdf, dup], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(4)
+
+    a = sorted(exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+    b = sorted(exact_dedup(ds, "text", "doc_id",
+                           strategy="shuffle").to_pandas()["doc_id"])
+    assert a == b == sorted(pdf["doc_id"])

@@ -292,8 +292,10 @@ def _format_mask(fmt: str, arr: pa.Array, valid: Mask) -> Mask:
     rx = FORMAT_REGEXES.get(fmt)
     if rx is not None:
         base = _np_bool(pc.match_substring_regex(arr, rx), True)
-        if fmt == "date-time":
-            # regex prefilter, strict parse only on regex-passing rows
+        if fmt in ("date-time", "hostname"):
+            # regex prefilter, strict check only on regex-passing rows
+            # (date-time: real calendar parse; hostname: the <=253 total
+            # length RE2 cannot express without lookahead)
             checker = FORMAT_CHECKERS[fmt]
             idx = np.flatnonzero(base & valid)
             if len(idx):

@@ -19,9 +19,12 @@ _DATETIME_RE = re.compile(
 )
 # pragmatic email check (full RFC 5322 is not what validators implement)
 _EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
-# RFC 1034 hostname
+# RFC 1034 hostname — label grammar only; the <=253 total-length rule is
+# enforced separately in is_hostname because RE2 (Arrow's regex engine,
+# used by the columnar fast path on this same pattern string) does not
+# support the (?=...) lookahead a single-regex form would need
 _HOSTNAME_RE = re.compile(
-    r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
     r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
 )
 # RFC 3986-ish absolute URI (scheme:...)
@@ -43,7 +46,7 @@ def is_email(s: str) -> bool:
 
 
 def is_hostname(s: str) -> bool:
-    return bool(_HOSTNAME_RE.match(s))
+    return len(s) <= 253 and bool(_HOSTNAME_RE.match(s))
 
 
 def is_ipv4(s: str) -> bool:

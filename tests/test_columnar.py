@@ -277,3 +277,16 @@ def test_enum_signed_zero():
         {"enum": [-0.0, 2.5]},
         pa.array([0.0, -0.0, 2.5, -2.5, None], type=pa.float64()),
     )
+
+
+def test_format_hostname_columnar():
+    """format: hostname must run through the vectorized path — the original
+    single-regex form used a lookahead that RE2 (Arrow's engine) rejects
+    with ArrowInvalid, killing any job with a hostname constraint (found by
+    a direct differential sweep of every format)."""
+    _assert_column_agrees(
+        {"format": "hostname"},
+        pa.array(["example.com", "a" * 64 + ".com", "-bad.com",
+                  "ok-host.org", "x", "a." * 130 + "io", "", None],
+                 type=pa.string()),
+    )

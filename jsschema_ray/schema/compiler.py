@@ -196,6 +196,22 @@ class _Compiler:
             n.pattern = _need(m["pattern"], str, "pattern")
             n.pattern_re()  # compile now, like the reference compiles at parse
             # time (marshal.go:143-169)
+            # the contract dialect is RE2 (Go regexp in the reference; Arrow
+            # in the columnar kernels): Python-re-only syntax (lookaheads,
+            # backrefs) would compile here but crash every worker at
+            # runtime — reject it at compile time instead
+            try:
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                _pc.match_substring_regex(
+                    _pa.array([""], type=_pa.string()), n.pattern
+                )
+            except _pa.lib.ArrowInvalid as e:
+                raise SchemaError(
+                    f"keyword 'pattern': regex not supported by RE2 (the "
+                    f"Go/Arrow dialect this engine matches): {e}"
+                ) from e
 
         # array (marshal.go:337-369, 577-607)
         if "items" in m:

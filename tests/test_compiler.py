@@ -126,3 +126,17 @@ def test_absent_vs_zero():
     assert not ok
     ok, _ = validate_value(n, 0)
     assert ok
+
+
+def test_pattern_non_re2_rejected():
+    """Lookaheads/backrefs compile in Python re but crash Arrow's RE2 at
+    runtime on every worker; the contract dialect is RE2 (the reference is
+    Go regexp), so compile must reject them with a clear error."""
+    import pytest
+
+    from jsschema_ray.schema.compiler import SchemaError, compile_schema
+
+    for pat in (r"(?=ab)c", r"(a)\1"):
+        with pytest.raises(SchemaError, match="RE2"):
+            compile_schema({"pattern": pat})
+    compile_schema({"pattern": "^a+[0-9]{3}$"})  # RE2-safe passes

@@ -276,10 +276,22 @@ def _compatible_enum_values(enum: list, dtype: pa.DataType):
         elif isinstance(e, numbers.Real):
             if _is_numeric(dtype):
                 if pa.types.is_integer(dtype):
-                    if float(e) == int(e):
-                        out.append(int(e))
+                    try:
+                        iv = int(e)
+                        if e == iv:  # exact-integer valued member
+                            pa.scalar(iv, type=dtype)  # range check
+                            out.append(iv)
+                    except (OverflowError, ValueError, pa.lib.ArrowInvalid):
+                        pass  # huge/out-of-range int: no column value equals it
                 else:
-                    out.append(float(e))
+                    try:
+                        fv = float(e)
+                        # exact representability: 10^17+1 must NOT alias to
+                        # 1e17 (int/float equality in JSON is exact)
+                        if fv == e and np.isfinite(fv):
+                            out.append(fv)
+                    except OverflowError:
+                        pass
         elif isinstance(e, str):
             if _is_stringy(dtype):
                 out.append(e)

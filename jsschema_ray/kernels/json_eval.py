@@ -94,7 +94,11 @@ def _canon(v: Any) -> Any:
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, numbers.Real):
-        return ("n", float(v))
+        # keep the value exact: Python guarantees hash/eq consistency
+        # across int and float (1 == 1.0, hash equal), so no float() cast
+        # is needed — and float() overflows on 10^400-scale ints while
+        # silently aliasing 10^17+1 to 1e17
+        return ("n", v)
     if isinstance(v, str):
         return ("s", v)
     if v is None:

@@ -290,3 +290,15 @@ def test_format_hostname_columnar():
                   "ok-host.org", "x", "a." * 130 + "io", "", None],
                  type=pa.string()),
     )
+
+
+def test_enum_huge_and_inexact_integers():
+    """Enum members beyond float/int64 range must not crash either path,
+    and int/float equality is EXACT: enum [10^17+1] does not match a float
+    column holding 1e17 (the old float() canon aliased them)."""
+    _assert_column_agrees({"enum": [10**400, 5]},
+                          pa.array([5, 7, None], type=pa.int64()))
+    _assert_column_agrees({"enum": [10**17 + 1]},
+                          pa.array([1e17, None], type=pa.float64()))
+    _assert_column_agrees({"enum": [2**63]},  # out of int64 range
+                          pa.array([5, None], type=pa.int64()))

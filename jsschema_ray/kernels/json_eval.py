@@ -158,11 +158,19 @@ def evaluate(
                 q = f / k
                 if abs(q - round(q)) > 1e-9:
                     fail("multipleOf", v, node.multiple_of)
+        # NaN (Python's json.loads accepts it; strict JSON has none) can
+        # satisfy no numeric constraint — matching the columnar kernels,
+        # which fail NaN rows on every numeric keyword
+        is_nan = f != f
         if node.minimum is not None:
-            if f < node.minimum or (node.exclusive_minimum and f == node.minimum):
+            if is_nan or f < node.minimum or (
+                node.exclusive_minimum and f == node.minimum
+            ):
                 fail("minimum", v, node.minimum)
         if node.maximum is not None:
-            if f > node.maximum or (node.exclusive_maximum and f == node.maximum):
+            if is_nan or f > node.maximum or (
+                node.exclusive_maximum and f == node.maximum
+            ):
                 fail("maximum", v, node.maximum)
 
     if tv == "string":

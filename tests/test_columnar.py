@@ -302,3 +302,17 @@ def test_enum_huge_and_inexact_integers():
                           pa.array([1e17, None], type=pa.float64()))
     _assert_column_agrees({"enum": [2**63]},  # out of int64 range
                           pa.array([5, None], type=pa.int64()))
+
+
+def test_nan_fails_numeric_constraints_both_paths():
+    """NaN satisfies no numeric constraint in either evaluator (Python's
+    json.loads lets NaN through; comparisons are all-False so the old
+    row-wise path silently PASSED NaN against minimum/maximum)."""
+    nan = float("nan")
+    for schema in ({"minimum": 0}, {"maximum": 10}, {"multipleOf": 2},
+                   {"minimum": 0, "exclusiveMinimum": True}):
+        _assert_column_agrees(
+            schema, pa.array([nan, 1.0, None], type=pa.float64())
+        )
+        dag = compile_schema(schema)
+        assert evaluate(dag, nan) is False, schema

@@ -64,8 +64,14 @@ def combinator_of(base):
 
 
 num_values = st.lists(
-    st.one_of(st.none(), st.integers(-60, 60),
-              st.floats(-60, 60, allow_nan=False)),
+    st.one_of(
+        st.none(),
+        st.integers(-60, 60),
+        st.floats(-60, 60, allow_nan=False),
+        # float64-exact specials: signed zeros (the fuzz find behind the
+        # enum normalization) and large power-of-two magnitudes
+        st.sampled_from([-0.0, 0.0, 2.0**53, -(2.0**60)]),
+    ),
     min_size=0, max_size=40,
 )
 str_values = st.lists(
@@ -95,7 +101,11 @@ def test_numeric_schemas_agree(schema, values):
 
 
 @given(combinator_of(num_schema),
-       st.lists(st.one_of(st.none(), st.integers(-60, 60)), max_size=40))
+       st.lists(st.one_of(st.none(), st.integers(-60, 60),
+                          # beyond-2^53: float shortcuts lie about
+                          # divisibility/equality (exact-path territory)
+                          st.integers(-(10**18), 10**18)),
+                max_size=40))
 def test_integer_column_schemas_agree(schema, values):
     _check(schema, values, pa.int64())
 

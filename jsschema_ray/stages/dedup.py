@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import json as _json
 import re
-from typing import Any
+from typing import Any, Optional
 
 import numpy as np
 import pandas as pd
@@ -156,7 +156,7 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192,
     if dup_pairs is not None:
         loser_keys = sorted(
             dup_pairs.sort_values(key_column)
-            .groupby([column], sort=False)[key_column]
+            .groupby([column], sort=False, dropna=False)[key_column]
             .apply(lambda s: list(s.iloc[1:]))
             .explode()
             .dropna()
@@ -224,7 +224,7 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
                 {"content_hash": int(sub["content_hash"].iloc[0]),
                  "n_rows": len(sub),
                  "keys": sorted(sub[key_column].tolist())}
-                for _, sub in g.groupby([column], sort=False)
+                for _, sub in g.groupby([column], sort=False, dropna=False)
                 if len(sub) > 1  # hash collision, contents differ
             ]
             rows.sort(key=lambda r: (r["content_hash"], r["keys"]))
@@ -243,7 +243,7 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
     rows = [
         {"content_hash": int(g["content_hash"].iloc[0]), "n_rows": len(g),
          "keys": sorted(g[key_column].tolist())}
-        for _, g in members.groupby([column], sort=False)
+        for _, g in members.groupby([column], sort=False, dropna=False)
         if len(g) > 1  # hash collided but contents differ: not duplicates
     ]
     rows.sort(key=lambda r: (r["content_hash"], r["keys"]))

@@ -43,6 +43,59 @@ _JOIN_TYPE = {
 }
 
 
+def _unified_key_type(lkt: pa.DataType, rkt: pa.DataType) -> pa.DataType:
+    """Pick one key type both sides can be cast to before hashing/joining.
+
+    hash64 of 99 (int) and 99.0 (float) differ, so mismatched key types
+    would silently co-locate NOTHING; unify numerics, reject anything
+    else loudly. int+int -> int64; int+float -> float64 (the cast itself
+    is value-checked per batch by `_cast_key_column` — int64 keys above
+    2^53 do not round-trip through float64 and would alias, silently
+    joining wrong rows)."""
+    if lkt == rkt:
+        return lkt
+    if pa.types.is_integer(lkt) and pa.types.is_integer(rkt):
+        return pa.int64()
+    if ((pa.types.is_integer(lkt) or pa.types.is_floating(lkt))
+            and (pa.types.is_integer(rkt) or pa.types.is_floating(rkt))):
+        return pa.float64()
+    raise ValueError(
+        f"join key types differ and are not both numeric: "
+        f"{lkt} vs {rkt}; cast one side first"
+    )
+
+
+def _cast_key_column(kcol, key_type: pa.DataType):
+    """Cast a join-key column to the unified type, REFUSING any cast that
+    changes a value. An int->float64 cast aliases integers above 2^53
+    (e.g. 2^53 and 2^53+1 both become 9007199254740992.0), which would
+    silently join wrong rows — detect by round-tripping back to the
+    integer type and comparing."""
+    import pyarrow.compute as pc
+
+    if kcol.type == key_type:
+        return kcol
+    if pa.types.is_integer(kcol.type) and pa.types.is_floating(key_type):
+        try:
+            # pyarrow's safe cast already range-checks |x| <= 2^53 for
+            # int->float64; round-trip back as belt-and-braces
+            casted = kcol.cast(key_type)
+            back = casted.cast(kcol.type, safe=False)
+            ok = pc.all(pc.fill_null(pc.equal(back, kcol), True)).as_py()
+        except pa.ArrowInvalid:
+            ok = False
+        if ok is False:
+            raise ValueError(
+                f"join key column of type {kcol.type} holds values that do "
+                f"not round-trip through {key_type} (magnitude > 2^53); a "
+                f"float cast would alias distinct keys and join wrong rows. "
+                f"Cast both sides to a common exact type (e.g. int64 or "
+                f"string) before joining."
+            )
+        return casted
+    return kcol.cast(key_type, safe=True)
+
+
 def _to_arrow(obj) -> pa.Table:
     import pandas as pd
     import ray.data as rd
@@ -143,9 +196,18 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
         sample = pa.Table.from_pandas(ds.limit(1).to_pandas())
         return {f.name: f.type for f in sample.schema}
 
-    col_types = dict(_types(left))
-    for name, t in _types(right).items():
+    ltypes, rtypes = _types(left), _types(right)
+    # unify key AND ts dtypes across sides: hash64(1) != hash64(1.0), so an
+    # int64 left key against a float64 right key would co-locate nothing
+    # and how='left' would silently return all-null payloads; mismatched
+    # ts dtypes likewise break merge_asof inside the bucket
+    key_type = _unified_key_type(ltypes[key], rtypes[rk])
+    ts_type = _unified_key_type(ltypes[ts], rtypes[rts])
+    col_types = dict(ltypes)
+    for name, t in rtypes.items():
         col_types[key if name == rk else (ts if name == rts else name)] = t
+    col_types[key] = key_type
+    col_types[ts] = ts_type
 
     def tag(side: int, key_name: str, ts_name: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -153,6 +215,13 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
                 [key if c == key_name else (ts if c == ts_name else c)
                  for c in batch.column_names]
             )
+            for cname, ctype in ((key, key_type), (ts, ts_type)):
+                ccol = out.column(cname).combine_chunks()
+                if ccol.type != ctype:
+                    out = out.set_column(
+                        out.column_names.index(cname), cname,
+                        _cast_key_column(ccol, ctype)
+                    )
             col = out.column(key).combine_chunks()
             bucket = (hash64(col) % np.uint64(num_buckets)).astype(np.int32)
             for c in union_cols:
@@ -351,23 +420,7 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         return {f.name: f.type for f in sample.schema}
 
     ltypes, rtypes = _types(left), _types(right)
-    lkt, rkt = ltypes[key], rtypes[rk]
-    if lkt != rkt:
-        # hash64 of 99 (int) and 99.0 (float) differ, so mismatched key
-        # types would silently co-locate NOTHING; unify numerics to
-        # float64, reject anything else loudly
-        if pa.types.is_integer(lkt) and pa.types.is_integer(rkt):
-            key_type = pa.int64()
-        elif ((pa.types.is_integer(lkt) or pa.types.is_floating(lkt))
-              and (pa.types.is_integer(rkt) or pa.types.is_floating(rkt))):
-            key_type = pa.float64()
-        else:
-            raise ValueError(
-                f"join key types differ and are not both numeric: "
-                f"{lkt} vs {rkt}; cast one side first"
-            )
-    else:
-        key_type = lkt
+    key_type = _unified_key_type(ltypes[key], rtypes[rk])
     col_types = dict(ltypes)
     for name, t in rtypes.items():
         col_types[key if name == rk else name] = t
@@ -383,7 +436,7 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
                 )
             kcol = out.column(key).combine_chunks()
             if kcol.type != key_type:
-                kcol = kcol.cast(key_type)
+                kcol = _cast_key_column(kcol, key_type)
                 out = out.set_column(out.column_names.index(key), key, kcol)
             bucket = (hash64(kcol) % np.uint64(num_buckets)).astype(np.int32)
             # pad to the combined schema (typed nulls) so union is clean

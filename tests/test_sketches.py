@@ -146,3 +146,50 @@ def test_approx_top_k_matches_exact(ray_session):
     for _, row in got.iterrows():
         assert row["est_count"] >= true[row["k"]]  # CMS upper bound
         assert row["est_count"] - true[row["k"]] <= np.e / 4096 * len(vals)
+
+
+def test_cms_mulmod_exact():
+    """ADVICE r2: the old (a*h+b) multiply wrapped mod 2^64 before the
+    mod-(2^61-1) reduction, breaking the 2-universal family the eps/delta
+    bound assumes. The limb-split mulmod must be EXACT for all operand
+    magnitudes up to 2^61."""
+    import numpy as np
+
+    from jsschema_ray.state.cms import _MERSENNE, _mulmod61
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, _MERSENNE, size=500, dtype=np.uint64)
+    h = rng.integers(0, _MERSENNE, size=500, dtype=np.uint64)
+    # adversarial corners: max values, powers of two, 0/1
+    corners = np.array([0, 1, 2, (1 << 31) - 1, 1 << 31, (1 << 60),
+                        _MERSENNE - 1], dtype=np.uint64)
+    a = np.concatenate([a, corners, corners[::-1]])
+    h = np.concatenate([h, corners[::-1], corners])
+    got = _mulmod61(a, h)
+    want = np.array([(int(x) * int(y)) % _MERSENNE for x, y in zip(a, h)],
+                    dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_cms_seed_roundtrip_and_merge_guard():
+    """ADVICE r2: to_bytes dropped the seed, so a non-default-seed sketch
+    round-tripped to wrong hash params (silently wrong, possibly UNDER-
+    estimates). Seed must survive serialization; merging mismatched seeds
+    must raise."""
+    import numpy as np
+    import pytest
+
+    from jsschema_ray.state.cms import CountMinSketch
+
+    vals = np.array([f"k{i % 50}" for i in range(2000)], dtype=object)
+    s = CountMinSketch(width=512, depth=4, seed=999)
+    s.add(vals)
+    rt = CountMinSketch.from_bytes(s.to_bytes())
+    assert rt.seed == 999
+    probe = np.array([f"k{i}" for i in range(50)], dtype=object)
+    assert (rt.estimate(probe) == s.estimate(probe)).all()
+    assert (rt.estimate(probe) >= 40).all()  # never underestimates
+
+    other = CountMinSketch(width=512, depth=4, seed=7)
+    with pytest.raises(ValueError, match="seed"):
+        s.merge(other)

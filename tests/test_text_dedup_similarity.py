@@ -355,3 +355,33 @@ def test_exact_dedup_shuffle_matches_broadcast(ray_session):
     b = sorted(exact_dedup(ds, "text", "doc_id",
                            strategy="shuffle").to_pandas()["doc_id"])
     assert a == b == sorted(pdf["doc_id"])
+
+
+def test_exact_dedup_null_content_both_strategies(ray_session):
+    """ADVICE r2: broadcast grouped with dropna=True (null dupes never
+    deduped) while shuffle's DataFrame.duplicated treated nulls as equal —
+    same input, different survivors. Both strategies must now agree:
+    null == null (dedupe, min key survives), null != '' (distinct)."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import exact_dedup, exact_duplicate_groups
+
+    pdf = pd.DataFrame({
+        "text": ["a", None, None, "", "", None, "a"],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+    })
+    ds = rd.from_pandas(pdf).repartition(3)
+    want = [1, 2, 4]  # min doc_id per content group: 'a'->1, null->2, ''->4
+
+    a = sorted(exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+    b = sorted(exact_dedup(ds, "text", "doc_id",
+                           strategy="shuffle").to_pandas()["doc_id"])
+    assert a == b == want
+
+    ga = exact_duplicate_groups(ds, "text", "doc_id").to_pylist()
+    gb = exact_duplicate_groups(
+        ds, "text", "doc_id", strategy="shuffle"
+    ).to_pandas().to_dict("records")
+    key_sets = sorted(tuple(g["keys"]) for g in ga)
+    assert key_sets == sorted(tuple(g["keys"]) for g in gb)
+    assert key_sets == [(1, 7), (2, 3, 6), (4, 5)]

@@ -233,28 +233,27 @@ def stats_partials(ds, spec: StatsSpec, batch_size: int = 65536,
     )
 
 
-def approx_top_k(ds, column: str, k: int = 10, local_m: Optional[int] = None,
-                 width: int = 4096, depth: int = 5,
-                 batch_size: int = 262144) -> pa.Table:
-    """Approximate heavy hitters WITHOUT a key shuffle: each batch emits its
-    local top-``local_m`` candidate keys plus a Count-Min partial (weighted
-    by local counts; CMS merge = elementwise add, so partials combine in
-    any order); the driver merges the fixed-size sketches, estimates every
-    candidate's global count from the merged CMS, and keeps the top-k by
-    (estimate desc, key asc) — a total order.
+def _topk_partials(ds, column: str, local_m: int, width: int, depth: int,
+                   batch_size: int, distributed_merge: bool = False,
+                   merge_buckets: int = 64):
+    """Shared candidate+CMS collection for the heavy-hitter ops: each batch
+    emits its local top-``local_m`` candidate keys (blob-packed Arrow IPC)
+    plus a Count-Min partial (weighted by local counts; CMS merge =
+    elementwise add, so partials combine in any order). Returns
+    (merged CountMinSketch, unique candidate keys ChunkedArray) or
+    (None, None) on an empty input.
 
-    Approximation contract (documented): CMS never underestimates
-    (overestimate ≤ e/width · N w.h.p.); a true heavy hitter is reported as
-    long as it is locally top-``local_m`` in at least one batch — true for
-    skewed (Zipf) keys, the case where heavy-hitter detection matters.
-    Driver holds O(batches × (local_m + width·depth)); for 10^7+-batch jobs
-    fold the partial rows with a tree merge first."""
+    ``distributed_merge`` is the 10^7+-batch shape: partial rows are first
+    tree-folded INSIDE the cluster (repartition the tiny blob rows to
+    ``merge_buckets`` blocks, fold each block to one row — no key shuffle,
+    the moved payload is O(batches × (local_m + width·depth)) bytes), so
+    the driver folds O(merge_buckets) rows instead of O(batches). Safe for
+    any fold order: CMS add is commutative, candidates are deduped."""
     import numpy as np
 
+    from jsschema_ray.stages.uniqueness import _pack, _unpack
     from jsschema_ray.state.cms import CountMinSketch
     from jsschema_ray.state.hll import hash64
-
-    local_m = local_m or max(4 * k, 64)
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column(column).combine_chunks()
@@ -267,8 +266,6 @@ def approx_top_k(ds, column: str, k: int = 10, local_m: Optional[int] = None,
         order = np.argsort(-counts.to_numpy(zero_copy_only=False),
                            kind="stable")[:local_m]
         cand = pa.table({"key": values, "cnt": counts}).take(pa.array(order))
-        from jsschema_ray.stages.uniqueness import _pack
-
         return pa.table(
             {
                 "cand_blob": pa.array([_pack(cand)], type=pa.binary()),
@@ -276,20 +273,76 @@ def approx_top_k(ds, column: str, k: int = 10, local_m: Optional[int] = None,
             }
         )
 
-    rows = ds.select_columns([column]).map_batches(
+    partials = ds.select_columns([column]).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-    ).take_all()
-    if not rows:
-        return pa.table({column: pa.array([], type=pa.string()),
-                         "est_count": pa.array([], type=pa.int64())})
-    from jsschema_ray.stages.uniqueness import _unpack
+    )
+    if distributed_merge:
+        def fold_block(block: pa.Table) -> pa.Table:
+            if len(block) == 0:
+                return block
+            cms = CountMinSketch.from_bytes(block.column("cms")[0].as_py())
+            for b in block.column("cms").to_pylist()[1:]:
+                cms.merge(CountMinSketch.from_bytes(b))
+            cand = pa.concat_tables(
+                _unpack(b) for b in block.column("cand_blob").to_pylist()
+            )
+            # re-dedupe keys inside the fold so candidate volume stays
+            # bounded by distinct keys, not batches × local_m
+            import pandas as pd
 
+            cdf = (pd.DataFrame({"key": cand.column("key").to_pandas(),
+                                 "cnt": cand.column("cnt").to_pandas()})
+                   .groupby("key", sort=False, dropna=False)["cnt"].sum()
+                   .reset_index())
+            folded = pa.table({
+                "key": pa.Array.from_pandas(
+                    cdf["key"], type=cand.column("key").type),
+                "cnt": pa.array(cdf["cnt"].to_numpy(), type=pa.int64()),
+            })
+            return pa.table(
+                {"cand_blob": pa.array([_pack(folded)], type=pa.binary()),
+                 "cms": pa.array([cms.to_bytes()], type=pa.binary())}
+            )
+
+        partials = partials.repartition(merge_buckets).map_batches(
+            fold_block, batch_format="pyarrow", batch_size=None,
+        )
+    rows = partials.take_all()
+    if not rows:
+        return None, None
     merged = CountMinSketch.from_bytes(rows[0]["cms"])
     for r in rows[1:]:
         merged.merge(CountMinSketch.from_bytes(r["cms"]))
     cands = pa.concat_tables(_unpack(r["cand_blob"]) for r in rows)
     keys = cands.column("key").combine_chunks().unique()
+    return merged, keys
+
+
+def approx_top_k(ds, column: str, k: int = 10, local_m: Optional[int] = None,
+                 width: int = 4096, depth: int = 5,
+                 batch_size: int = 262144,
+                 distributed_merge: bool = False) -> pa.Table:
+    """Approximate heavy hitters WITHOUT a key shuffle: candidate + CMS
+    partials (see `_topk_partials`), merged sketches estimate every
+    candidate's global count, keep top-k by (estimate desc, key asc) — a
+    total order.
+
+    Approximation contract (documented): CMS never underestimates
+    (overestimate ≤ e/width · N w.h.p.); a true heavy hitter is reported as
+    long as it is locally top-``local_m`` in at least one batch — true for
+    skewed (Zipf) keys, the case where heavy-hitter detection matters.
+    Driver holds O(batches × (local_m + width·depth)) — or
+    O(merge_buckets × ...) with ``distributed_merge=True`` (10^7+-batch
+    jobs: partials are tree-folded in-cluster first)."""
+    from jsschema_ray.state.hll import hash64
+
+    local_m = local_m or max(4 * k, 64)
+    merged, keys = _topk_partials(ds, column, local_m, width, depth,
+                                  batch_size, distributed_merge)
+    if merged is None:
+        return pa.table({column: pa.array([], type=pa.string()),
+                         "est_count": pa.array([], type=pa.int64())})
     est = merged.estimate_hashes(hash64(keys))
     # (estimate desc, key asc) is a total order across runs
     import pandas as pd
@@ -304,6 +357,69 @@ def approx_top_k(ds, column: str, k: int = 10, local_m: Optional[int] = None,
             "est_count": pa.array(df["est"].to_numpy(), type=pa.int64()),
         }
     )
+
+
+def top_k_exact(ds, column: str, k: int = 10, local_m: Optional[int] = None,
+                width: int = 4096, depth: int = 5,
+                batch_size: int = 262144,
+                distributed_merge: bool = False) -> pa.Table:
+    """EXACT top-k heavy hitters in two shuffle-free scans: scan 1 collects
+    LSH-free candidates + CMS partials (`_topk_partials` — a true heavy
+    hitter is a candidate as long as it is locally top-``local_m`` in at
+    least one batch, the documented skewed-keys contract); scan 2
+    broadcasts the candidate key set once (`ray.put`), each batch counts
+    ONLY candidate keys (`pc.is_in` filter + `value_counts`), and the
+    driver folds the tiny per-batch candidate counts — exact counts with
+    no all-to-all key shuffle, output (column, n) sorted by
+    (n desc, key asc).
+
+    Unlike `approx_top_k` the result is exactly SQL's
+    ``GROUP BY key ORDER BY count DESC, key LIMIT k`` (given the candidate
+    contract), so it is DuckDB-oracle-able; the merged CMS's
+    never-underestimate bound (estimate >= exact count for every reported
+    key) is asserted as a runtime sanity check."""
+    import numpy as np
+
+    import ray
+
+    from jsschema_ray.state.hll import hash64
+
+    local_m = local_m or max(4 * k, 64)
+    merged, keys = _topk_partials(ds, column, local_m, width, depth,
+                                  batch_size, distributed_merge)
+    if merged is None:
+        return pa.table({column: pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    key_ref = ray.put(keys)  # already a flat Array (unique() output)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        m = pc.is_in(col, value_set=ray.get(key_ref))
+        vc = pc.value_counts(col.filter(pc.fill_null(m, False)))
+        return pa.table({"key": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    rows = ds.select_columns([column]).map_batches(
+        exact_partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).take_all()
+    import pandas as pd
+
+    df = (pd.DataFrame({"key": [r["key"] for r in rows],
+                        "cnt": [r["cnt"] for r in rows]})
+          .groupby("key", sort=False, dropna=False)["cnt"].sum()
+          .reset_index())
+    df = df.sort_values(["cnt", "key"], ascending=[False, True],
+                        kind="stable").head(k)
+    top_keys = pa.Array.from_pandas(df["key"], type=keys.type)
+    exact = df["cnt"].to_numpy(dtype=np.int64)
+    est = merged.estimate_hashes(hash64(top_keys))
+    if not (est >= exact).all():
+        raise AssertionError(
+            f"CMS underestimated a heavy hitter (est={est}, exact={exact}) "
+            f"— never-underestimate contract violated"
+        )
+    return pa.table({column: top_keys, "n": pa.array(exact, type=pa.int64())})
 
 
 def collect_stats(ds, spec: StatsSpec, batch_size: int = 65536,

@@ -72,6 +72,27 @@ def _consume(res) -> int:
     return 0
 
 
+
+def _quiet_worker_logs():
+    """worker_process_setup_hook: drop Ray Data's cosmetic 'Failed to hash
+    the schemas (for deduplication)' WARNING (map-typed columns make
+    pa.Schema unhashable; ray/data/_internal/arrow_ops/transform_pyarrow.py
+    falls back to full unification, so nothing is actually wrong). The
+    warning is emitted in WORKER processes, so it must be filtered there —
+    a driver-side logging filter cannot reach it. A FILTER, not a level:
+    Ray Data re-applies its per-dataset logging config after the hook runs,
+    which resets levels but keeps filters (VERDICT r2 item #7)."""
+    import logging
+
+    class _DropSchemaHashWarning(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashWarning())
+
+
 def run_bench() -> dict:
     import ray
 
@@ -84,7 +105,9 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env={"worker_process_setup_hook": _quiet_worker_logs},
         )
+    _quiet_worker_logs()  # same filter for driver-side concats
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -143,7 +166,9 @@ def run_flagship() -> dict:
     n_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "8000000"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 runtime_env={"worker_process_setup_hook": _quiet_worker_logs})
+    _quiet_worker_logs()  # same filter for driver-side concats
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

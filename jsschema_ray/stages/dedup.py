@@ -61,18 +61,18 @@ def add_content_hash(ds, column: str, out_column: str = "content_hash",
 
 
 def _dup_hash_members(hashed, columns: list[str], key_column: str,
-                      batch_size: int) -> "pd.DataFrame | None":
+                      batch_size: int, dup=None) -> "pd.DataFrame | None":
     """Rows whose content_hash is duplicated, projected to
     [content_hash, *columns, key_column] and collected to the driver.
     Bounded by duplicate volume, not corpus size. Vectorized `pc.is_in`
-    broadcast filter (never a per-row Python loop)."""
+    broadcast filter (never a per-row Python loop). ``dup`` short-circuits
+    the duplicated-hash Dataset when the caller already computed it (the
+    'auto' dispatch materializes it once for the count)."""
     from jsschema_ray.stages.uniqueness import duplicate_keys
 
-    dup_hashes = [
-        r["content_hash"]
-        for r in duplicate_keys(hashed, "content_hash",
-                                batch_size=batch_size).take_all()
-    ]
+    if dup is None:
+        dup = duplicate_keys(hashed, "content_hash", batch_size=batch_size)
+    dup_hashes = [r["content_hash"] for r in dup.take_all()]
     if not dup_hashes:
         return None
     dup_ref = ray.put(pa.array(dup_hashes, type=pa.int64()))
@@ -89,27 +89,41 @@ def _dup_hash_members(hashed, columns: list[str], key_column: str,
 
 
 def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192,
-                strategy: str = "broadcast", num_parts: int = 64):
+                strategy: str = "auto", num_parts: int = 64,
+                max_broadcast_keys: int = 5_000_000):
     """Keep exactly one row (the min ``key_column``) per distinct ``column``
     value. Content equality is verified WITHIN each duplicated-hash group
     (grouping on the actual ``column`` value), so a 63-bit hash collision
     between distinct contents never drops a unique row.
 
-    ``strategy='broadcast'`` (default): loser keys are collected and
-    broadcast — bounded by duplicate volume. ``strategy='shuffle'``: loser
-    keys are computed inside hash(content_hash) partitions and removed
-    with a distributed ANTI-join — nothing reaches the driver; the shape
-    for web-scale duplicate volumes."""
-    if strategy == "shuffle":
-        from jsschema_ray.stages.join import hash_join
-        from jsschema_ray.stages.uniqueness import duplicate_keys
+    ``strategy='auto'`` (default, VERDICT r2 item #4): the duplicated-hash
+    Dataset is materialized (distributed) and counted — at or under
+    ``max_broadcast_keys`` duplicated hashes the broadcast path runs,
+    beyond it the op switches to 'shuffle' automatically.
+    ``strategy='broadcast'``: loser keys are collected and broadcast —
+    bounded by duplicate volume. ``strategy='shuffle'``: loser keys are
+    computed inside hash(content_hash) partitions and removed with a
+    distributed ANTI-join — nothing reaches the driver; the shape for
+    web-scale duplicate volumes."""
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from jsschema_ray.stages.uniqueness import duplicate_keys
 
-        hashed = add_content_hash(ds, column, batch_size=batch_size)
+    hashed = add_content_hash(ds, column, batch_size=batch_size)
+    dup = None
+    if strategy == "auto":
         dup = duplicate_keys(hashed.select_columns(["content_hash"]),
                              "content_hash",
-                             batch_size=batch_size).select_columns(
-            ["content_hash"]
-        )
+                             batch_size=batch_size).materialize()
+        strategy = ("shuffle" if dup.count() > max_broadcast_keys
+                    else "broadcast")
+    if strategy == "shuffle":
+        from jsschema_ray.stages.join import hash_join
+
+        if dup is None:
+            dup = duplicate_keys(hashed.select_columns(["content_hash"]),
+                                 "content_hash", batch_size=batch_size)
+        dup = dup.select_columns(["content_hash"])
 
         def rename_dup(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(["__duphash"])
@@ -148,10 +162,8 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192,
 
         return out.map_batches(drop_hash, batch_format="pyarrow",
                                zero_copy_batch=True)
-    if strategy != "broadcast":
-        raise ValueError(f"unknown strategy {strategy!r}")
-    hashed = add_content_hash(ds, column, batch_size=batch_size)
-    dup_pairs = _dup_hash_members(hashed, [column], key_column, batch_size)
+    dup_pairs = _dup_hash_members(hashed, [column], key_column, batch_size,
+                                  dup=dup)
     loser_keys: list = []
     if dup_pairs is not None:
         loser_keys = sorted(
@@ -177,7 +189,8 @@ def exact_dedup(ds, column: str, key_column: str, batch_size: int = 8192,
 
 def exact_duplicate_groups(ds, column: str, key_column: str,
                            batch_size: int = 8192,
-                           strategy: str = "collect", num_parts: int = 64):
+                           strategy: str = "collect", num_parts: int = 64,
+                           max_broadcast_keys: int = 5_000_000):
     """(content_hash, n_rows, keys) per duplicated content VALUE, grouped
     by the actual content so hash-colliding distinct contents land in
     separate groups.
@@ -187,19 +200,40 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
     volume; returns a pyarrow Table. ``strategy='shuffle'``: members are
     semi-joined distributed (stages/join.py) and grouped inside
     hash(content_hash) partitions — nothing reaches the driver; returns a
-    Dataset (the web-scale-duplicate-volume shape)."""
+    Dataset (the web-scale-duplicate-volume shape). ``strategy='auto'``
+    (VERDICT r2 item #4): counts the materialized duplicated-hash Dataset
+    and dispatches — ALWAYS returns a Dataset (the collect result is
+    wrapped) so the caller's type does not depend on data volume."""
+    if strategy not in ("auto", "collect", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     schema = pa.schema([("content_hash", pa.int64()), ("n_rows", pa.int64()),
                         ("keys", pa.list_(pa.int64()))])
     hashed = add_content_hash(ds, column, batch_size=batch_size)
+    dup = None
+    if strategy == "auto":
+        from jsschema_ray.stages.uniqueness import duplicate_keys
+
+        import ray.data as rd
+
+        dup = duplicate_keys(hashed.select_columns(["content_hash"]),
+                             "content_hash",
+                             batch_size=batch_size).materialize()
+        if dup.count() > max_broadcast_keys:
+            strategy = "shuffle"
+        else:
+            return rd.from_arrow(
+                exact_duplicate_groups(ds, column, key_column, batch_size,
+                                       strategy="collect",
+                                       num_parts=num_parts)
+            )
     if strategy == "shuffle":
         from jsschema_ray.stages.join import hash_join
         from jsschema_ray.stages.uniqueness import duplicate_keys
 
-        dup = duplicate_keys(hashed.select_columns(["content_hash"]),
-                             "content_hash",
-                             batch_size=batch_size).select_columns(
-            ["content_hash"]
-        )
+        if dup is None:
+            dup = duplicate_keys(hashed.select_columns(["content_hash"]),
+                                 "content_hash", batch_size=batch_size)
+        dup = dup.select_columns(["content_hash"])
 
         def rename(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(["__duphash"])

@@ -51,15 +51,32 @@ def referential_violations(
     keep_columns: Optional[list[str]] = None,
     allow_null: bool = True,
     batch_size: int = 65536,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    max_broadcast_keys: int = 5_000_000,
 ):
     """Rows whose ``column`` value is NOT in the reference key set.
-    ``strategy='broadcast'`` (default): anti-semi-join via broadcast +
-    is_in — right whenever the deduped ref keys fit a worker heap.
+    ``strategy='auto'`` (default, VERDICT r2 item #4): a Dataset ref side
+    is counted (row count — a conservative upper bound on its distinct
+    keys, computed distributed); at or under ``max_broadcast_keys`` the
+    broadcast path runs, beyond it the op switches to 'shuffle'
+    automatically. Non-Dataset refs (sequence / Arrow array) are already
+    driver-side and always broadcast.
+    ``strategy='broadcast'``: anti-semi-join via broadcast + is_in — right
+    whenever the deduped ref keys fit a worker heap.
     ``strategy='shuffle'``: partitioned hash ANTI-join (stages/join.py) for
     a genuinely large ref side — both sides bucket on hash(key), nothing
     is ever collected to the driver. Nulls pass by default (absent ≡ null,
     kernels/columnar.py)."""
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        import ray.data as rd
+
+        if isinstance(ref, rd.Dataset) and ref_column is not None \
+                and ref.count() > max_broadcast_keys:
+            strategy = "shuffle"
+        else:
+            strategy = "broadcast"
     if strategy == "shuffle":
         import ray.data as rd
 

@@ -445,3 +445,170 @@ def test_minhash_batch_kernel_matches_scalar_reference():
     for i in range(len(texts)):
         want = _minhash_sig(g[gdoc == i], mh.a, mh.b).astype(np.int64)
         assert (flat[i] == want).all(), f"doc {i} mismatch"
+
+
+def test_auto_strategy_switches_on_broadcast_bound(ray_session):
+    """VERDICT r2 item #4: with duplicate volume above max_broadcast_keys
+    the collectors must switch to the distributed shuffle path
+    automatically (not raise) and produce identical output; under the
+    bound, auto == broadcast."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import exact_dedup, exact_duplicate_groups
+    from jsschema_ray.stages.referential import referential_violations
+    from jsschema_ray.stages.uniqueness import uniqueness_violations
+
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(60)
+    dup = pdf.head(30).copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000
+    both = pd.concat([pdf, dup], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(3)
+
+    # exact_dedup: 30 duplicated hashes > bound of 5 -> shuffle, same rows
+    want = sorted(exact_dedup(ds, "text", "doc_id",
+                              strategy="broadcast").to_pandas()["doc_id"])
+    got = sorted(exact_dedup(ds, "text", "doc_id", strategy="auto",
+                             max_broadcast_keys=5).to_pandas()["doc_id"])
+    assert got == want == sorted(pdf["doc_id"])
+
+    # uniqueness_violations over the bound
+    uv_b = uniqueness_violations(ds, "text", keep_columns=["doc_id", "text"],
+                                 strategy="broadcast")
+    uv_a = uniqueness_violations(ds, "text", keep_columns=["doc_id", "text"],
+                                 strategy="auto", max_broadcast_keys=5)
+    assert sorted(uv_a.to_pandas()["doc_id"]) == \
+        sorted(uv_b.to_pandas()["doc_id"])
+
+    # exact_duplicate_groups: auto ALWAYS returns a Dataset, content equal
+    # to collect on both sides of the bound
+    coll = exact_duplicate_groups(ds, "text", "doc_id").to_pylist()
+    for bound in (5, 5_000_000):
+        auto = exact_duplicate_groups(
+            ds, "text", "doc_id", strategy="auto", max_broadcast_keys=bound
+        )
+        assert hasattr(auto, "to_pandas") and not isinstance(auto, pa.Table)
+        rows = auto.to_pandas().to_dict("records")
+        assert sorted(tuple(sorted(r["keys"])) for r in rows) == \
+            sorted(tuple(r["keys"]) for r in coll)
+
+    # referential: ref side over the bound -> distributed anti-join
+    cust_pdf = pq.read_table(f"{SF}/customer.parquet",
+                             columns=["c_custkey"]).to_pandas()
+    # drop half the customers so real orphans exist
+    cust = rd.from_pandas(cust_pdf[cust_pdf["c_custkey"] % 2 == 0])
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    rv_b = referential_violations(orders, "o_custkey", cust, "c_custkey",
+                                  strategy="broadcast")
+    rv_a = referential_violations(orders, "o_custkey", cust, "c_custkey",
+                                  strategy="auto", max_broadcast_keys=10)
+    assert sorted(rv_a.to_pandas()["o_orderkey"]) == \
+        sorted(rv_b.to_pandas()["o_orderkey"])
+
+
+def test_distributed_kmeans_parity_and_recall(ray_session):
+    """VERDICT r2 item #5: Lloyd iterations as map_batches partial-sum
+    reduces. On well-separated clusters the distributed fit must match the
+    driver-side fit (same seeded init, same point set -> same assignments;
+    float64 partial sums vs float32 driver means differ only in summation
+    order). And IVF with train='distributed' keeps recall on the real
+    embeddings."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.similarity import (_normalize, knn_brute,
+                                                knn_ivf, train_centroids,
+                                                train_centroids_distributed)
+
+    # 8 well-separated clusters in 16-d
+    rng = np.random.default_rng(21)
+    centers = _normalize(rng.normal(size=(8, 16)).astype(np.float32))
+    X = np.repeat(centers, 150, axis=0) + \
+        rng.normal(scale=0.02, size=(1200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(1200),
+                        "embedding": list(X.astype(np.float32))})
+    ds = rd.from_pandas(pdf).repartition(4)
+
+    Cd = train_centroids_distributed(ds, 8, iters=5, seed=5,
+                                     batch_size=256)
+    Cs = train_centroids(ds, 8, sample_rows=10_000, iters=5, seed=5)
+    # match rows by nearest (driver/distributed may order equally)
+    sim = Cd @ Cs.T
+    match = sim.max(axis=1)
+    assert (match > 0.9999).all(), f"centroid parity broken: {match}"
+
+    # behavioral: distributed-trained IVF keeps recall on real embeddings
+    epdf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    eds = rd.from_pandas(epdf).repartition(4)
+    EQ = np.stack(epdf["embedding"].to_numpy()).astype(np.float32)[:5]
+    brute = knn_brute(eds, EQ, k=10, batch_size=256).to_pandas()
+    ivf = knn_ivf(eds, EQ, k=10, n_centroids=16, n_probe=8,
+                  batch_size=256, train="distributed").to_pandas()
+    hits = total = 0
+    for qid in range(5):
+        want = set(brute.loc[brute["query_id"] == qid, "key"])
+        have = set(ivf.loc[ivf["query_id"] == qid, "key"])
+        hits += len(want & have)
+        total += len(want)
+    assert hits / total >= 0.7, f"distributed-IVF recall {hits/total:.2f}"
+
+
+def test_simhash_two_band_guarantee_boundary(ray_session, monkeypatch):
+    """VERDICT r2 item #6: pin the n_bands=2 (32-bit chunk) guarantee
+    boundary for 10^9+-doc corpora. Pigeonhole: Hamming <= n_bands-1 = 1
+    pairs ALWAYS share a chunk and must be found; a Hamming-2 pair with
+    one flipped bit in EACH 32-bit chunk shares neither chunk and is
+    deterministically missed at n_bands=2 — but found at n_bands=4 with
+    max_hamming=3 (the inherent tradeoff the docstring states). Exact
+    hashes are injected via a stub SimHash stage that parses them from the
+    text column."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsschema_ray.stages import dedup as dd
+
+    class HashFromText:
+        def __init__(self, column="text", out_column="simhash"):
+            self.column = column
+            self.out_column = out_column
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = [int(t) for t in batch.column(self.column).to_pylist()]
+            return batch.append_column(
+                self.out_column, pa.array(vals, type=pa.int64()))
+
+    monkeypatch.setattr(dd, "SimHash", HashFromText)
+
+    base = 0x0123456789ABCDEF
+    h_a = base
+    h_b = base ^ (1 << 7)                 # Hamming 1, flip in chunk 0
+    h_c = base ^ (1 << 40)                # Hamming 1, flip in chunk 1
+    h_d = base ^ (1 << 7) ^ (1 << 40)     # Hamming 2, one flip per chunk
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [str(h_a), str(h_b), str(h_c), str(h_d), str(h_a)],
+    })
+    ds = rd.from_pandas(pdf).repartition(2)
+
+    def pairs(n_bands, max_hamming):
+        out = dd.simhash_verified_pairs(
+            ds, "text", "doc_id", max_hamming=max_hamming,
+            batch_size=4, n_bands=n_bands).to_pandas()
+        return set(map(tuple, out[["a", "b"]].to_numpy()))
+
+    got2 = pairs(2, 1)
+    assert (1, 2) in got2           # Hamming 1 within chunk 0: guaranteed
+    assert (1, 3) in got2           # Hamming 1 within chunk 1: guaranteed
+    assert (1, 5) in got2           # Hamming 0 (exact dup): guaranteed
+    assert (1, 4) not in got2       # Hamming 2 split across both chunks:
+    assert (2, 3) not in got2       # (verified Hamming 2 > max_hamming=1
+                                    #  anyway — the banding miss and the
+                                    #  verification cut agree here)
+    # the same split pair IS caught by 4x16-bit banding with
+    # max_hamming=3 (bits 7 and 40 leave chunks 1,3 of 4 untouched)
+    got4 = pairs(4, 3)
+    assert (1, 4) in got4 and (1, 2) in got4 and (1, 3) in got4
+
+    # guard-rail: asking for max_hamming beyond the pigeonhole bound raises
+    with pytest.raises(ValueError, match="guarantees Hamming"):
+        dd.simhash_verified_pairs(ds, "text", "doc_id", max_hamming=2,
+                                  n_bands=2)

@@ -86,6 +86,21 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _doc_batch(sf_dir: str, table: str = "documents",
+               cap: int = 4096) -> int:
+    """Adaptive batch size for per-document stages: Ray Data bundles map
+    task inputs up to >= batch_size rows, so a 5k-row corpus with the
+    4096 default runs as TWO tasks no matter how many cores exist (measured
+    3.4 s -> 2.3 s for minhash_dedup at sf0.1 just by right-sizing). Target
+    >= ~5 concurrent tasks on small corpora from the parquet row count (a
+    metadata read, no scan); the ``cap`` wins at web scale where
+    parallelism is abundant and coarse batches amortize per-task cost."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    return max(512, min(cap, n // 5))
+
+
 def _round_away(arr):
     """pc.round with SQL ROUND semantics (half away from zero) — DuckDB's
     ROUND is half-away while pyarrow defaults to half-to-even; every
@@ -736,7 +751,7 @@ def q_minhash_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     res = minhash_dedup(ds, "text", "doc_id", threshold=0.7, num_perm=64,
-                        bands=16)
+                        bands=16, batch_size=_doc_batch(sf_dir))
     import json as _json
 
     # members as JSON strings: flat column types survive any downstream
@@ -756,6 +771,7 @@ def q_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         SimHash(column="text"), batch_format="pyarrow",
+        batch_size=_doc_batch(sf_dir),
     ).select_columns(["doc_id", "simhash"]).sort(["doc_id"])
 
 
@@ -763,7 +779,7 @@ def q_fingerprint(sf_dir: str):
     from jsschema_ray.stages.text import fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return fingerprint(ds).select_columns(
+    return fingerprint(ds, batch_size=_doc_batch(sf_dir)).select_columns(
         ["doc_id", "fp_winnow", "fp_content"]
     ).sort(["doc_id"])
 

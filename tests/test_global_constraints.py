@@ -154,3 +154,24 @@ def test_uniqueness_shuffle_strategy_matches_broadcast(ray_session):
         for r in df.itertuples() if (df["k"] == r.k).sum() > 1
     )
     assert rows("shuffle") == rows("broadcast") == want
+
+
+def test_stats_partition_grouping_arrow_native(ray_session):
+    """r3: partition grouping is Arrow dictionary-encode + argsort (no
+    pandas round-trip); null partition keys drop, matching the old pandas
+    groupby semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import StatsSpec, collect_stats
+
+    t = pa.table({
+        "p": ["a", "b", None, "a", "b", None, "a"],
+        "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+    })
+    spec = StatsSpec(columns=["x"], partition_col="p")
+    out = collect_stats(rd.from_arrow(t).repartition(2), spec)
+    parts = {k[0] for k in out}
+    assert parts == {"a", "b"}  # null keys dropped
+    a = out[("a", "x")]
+    assert a.count == 3 and a.min == 1.0 and a.max == 7.0 and a.sum == 12.0

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 import ray
 
-from jsschema_ray.state.hll import hash64
+from jsschema_ray.state.hll import hash64, normalize_zeros
 
 _JOIN_TYPE = {
     "inner": "inner",
@@ -136,6 +136,14 @@ def broadcast_join(ds, small, key: str, how: str = "inner",
             # silently truncating)
             i = sm.column_names.index(key)
             sm = sm.set_column(i, key, sm.column(key).cast(bt, safe=True))
+        bcol = batch.column(key).combine_chunks()
+        nb = normalize_zeros(bcol)
+        if nb is not bcol:  # float key: -0.0 == +0.0 per SQL, but Acero
+            batch = batch.set_column(  # hashes them apart
+                batch.column_names.index(key), key, nb)
+            i = sm.column_names.index(key)
+            sm = sm.set_column(
+                i, key, normalize_zeros(sm.column(key).combine_chunks()))
         return batch.join(sm, keys=key, join_type=join_type)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
@@ -218,10 +226,11 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
             for cname, ctype in ((key, key_type), (ts, ts_type)):
                 ccol = out.column(cname).combine_chunks()
                 if ccol.type != ctype:
-                    out = out.set_column(
-                        out.column_names.index(cname), cname,
-                        _cast_key_column(ccol, ctype)
-                    )
+                    ccol = _cast_key_column(ccol, ctype)
+                ccol = normalize_zeros(ccol)  # -0.0 keys bucket as +0.0
+                out = out.set_column(
+                    out.column_names.index(cname), cname, ccol
+                )
             col = out.column(key).combine_chunks()
             bucket = (hash64(col) % np.uint64(num_buckets)).astype(np.int32)
             for c in union_cols:
@@ -437,6 +446,10 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
             kcol = out.column(key).combine_chunks()
             if kcol.type != key_type:
                 kcol = _cast_key_column(kcol, key_type)
+                out = out.set_column(out.column_names.index(key), key, kcol)
+            norm = normalize_zeros(kcol)
+            if norm is not kcol:  # float key: -0.0/+0.0 must bucket AND
+                kcol = norm       # Acero-join as one key (SQL semantics)
                 out = out.set_column(out.column_names.index(key), key, kcol)
             bucket = (hash64(kcol) % np.uint64(num_buckets)).astype(np.int32)
             # pad to the combined schema (typed nulls) so union is clean

@@ -27,7 +27,10 @@ def _ref_key_array(ref, ref_column: Optional[str], batch_size: int) -> pa.Array:
     if isinstance(ref, (list, tuple)):
         return pa.array(list(dict.fromkeys(ref)))
     if isinstance(ref, (pa.Array, pa.ChunkedArray)):
-        return pc.unique(ref if isinstance(ref, pa.Array) else ref.combine_chunks())
+        from jsschema_ray.state.hll import normalize_zeros
+
+        return pc.unique(normalize_zeros(
+            ref if isinstance(ref, pa.Array) else ref.combine_chunks()))
     # ray Dataset: per-batch unique partials, union on the driver (the ref
     # side is small by contract; no all-to-all `unique` shuffle needed)
     assert ref_column is not None, "ref_column required for a Dataset ref side"
@@ -40,7 +43,10 @@ def _ref_key_array(ref, ref_column: Optional[str], batch_size: int) -> pa.Array:
     merged = pa.concat_tables(
         parts.iter_batches(batch_size=batch_size, batch_format="pyarrow")
     )
-    return pc.unique(merged.column(ref_column).combine_chunks())
+    from jsschema_ray.state.hll import normalize_zeros
+
+    return pc.unique(
+        normalize_zeros(merged.column(ref_column).combine_chunks()))
 
 
 def referential_violations(
@@ -116,8 +122,10 @@ def referential_violations(
         # stateless task: ray.get on a shared object is a zero-copy plasma
         # read, so there is no per-actor state worth a pool spin-up, and
         # tasks scale to every core instead of a fixed pool of 8
+        from jsschema_ray.state.hll import normalize_zeros
+
         keys = ray.get(key_ref)
-        col = batch.column(column).combine_chunks()
+        col = normalize_zeros(batch.column(column).combine_chunks())
         hit = pc.is_in(col, value_set=keys)
         bad = pc.invert(pc.fill_null(hit, False))
         if allow_null:
@@ -140,7 +148,9 @@ def referential_check(ds, column: str, ref, ref_column: Optional[str] = None,
     key_ref = ray.put(keys)
 
     def count_bad(batch: pa.Table) -> pa.Table:
-        col = batch.column(column).combine_chunks()
+        from jsschema_ray.state.hll import normalize_zeros
+
+        col = normalize_zeros(batch.column(column).combine_chunks())
         hit = pc.is_in(col, value_set=ray.get(key_ref))
         bad = pc.and_(pc.invert(pc.fill_null(hit, False)), col.is_valid())
         missing = pc.unique(col.filter(bad))

@@ -269,10 +269,10 @@ def _topk_partials(ds, column: str, local_m: int, width: int, depth: int,
 
     from jsschema_ray.stages.uniqueness import _pack, _unpack
     from jsschema_ray.state.cms import CountMinSketch
-    from jsschema_ray.state.hll import hash64
+    from jsschema_ray.state.hll import hash64, normalize_zeros
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(column).combine_chunks()
+        col = normalize_zeros(batch.column(column).combine_chunks())
         vc = pc.value_counts(col)
         values = vc.field("values")
         counts = vc.field("counts").cast(pa.int64())
@@ -409,7 +409,9 @@ def top_k_exact(ds, column: str, k: int = 10, local_m: Optional[int] = None,
     key_ref = ray.put(keys)  # already a flat Array (unique() output)
 
     def exact_partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(column).combine_chunks()
+        from jsschema_ray.state.hll import normalize_zeros
+
+        col = normalize_zeros(batch.column(column).combine_chunks())
         m = pc.is_in(col, value_set=ray.get(key_ref))
         vc = pc.value_counts(col.filter(pc.fill_null(m, False)))
         return pa.table({"key": vc.field("values"),

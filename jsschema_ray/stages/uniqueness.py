@@ -44,10 +44,13 @@ def _unpack(b: bytes) -> pa.Table:
 
 
 def _precount(column: str, num_buckets: int):
-    from jsschema_ray.state.hll import hash64
+    from jsschema_ray.state.hll import hash64, normalize_zeros
 
     def fn(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column(column).combine_chunks())
+        # -0.0/+0.0 float keys must count as ONE key (SQL GROUP BY merges
+        # them; value_counts hashes them apart)
+        vc = pc.value_counts(
+            normalize_zeros(batch.column(column).combine_chunks()))
         values = vc.field("values")
         counts = vc.field("counts").cast(pa.int64())
         bucket = (hash64(values) % np.uint64(num_buckets)).astype(np.int32)
@@ -111,12 +114,13 @@ def duplicate_keys_multi(ds, columns: list[str], batch_size: int = 262144,
     each column's partial counts are packed per (column, bucket) and the
     bucket reduce handles all columns — halves the fixed all-to-all cost
     when a schema checks uniqueness on multiple keys (image_id + phash)."""
-    from jsschema_ray.state.hll import hash64
+    from jsschema_ray.state.hll import hash64, normalize_zeros
 
     def fn(batch: pa.Table) -> pa.Table:
         out_b, out_c, out_blob = [], [], []
         for ci, column in enumerate(columns):
-            vc = pc.value_counts(batch.column(column).combine_chunks())
+            vc = pc.value_counts(
+                normalize_zeros(batch.column(column).combine_chunks()))
             values = vc.field("values")
             counts = vc.field("counts").cast(pa.int64())
             bucket = (hash64(values) % np.uint64(num_buckets)).astype(np.int32)

@@ -14,6 +14,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+def normalize_zeros(col):
+    """-0.0 -> +0.0 for float Arrow arrays (other types pass through).
+
+    `pc.equal(-0.0, 0.0)` is True, but every HASH-based kernel — Acero
+    joins, `pc.is_in`, `pc.value_counts`, and `hash64` itself — splits the
+    two bit patterns, silently diverging from SQL join / GROUP BY semantics
+    (DuckDB matches and merges them). Adding 0.0 canonicalizes:
+    -0.0 + 0.0 == +0.0 exactly; every other value (incl. NaN and null) is
+    unchanged. Apply to any float column that feeds a hash-based key op."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)) and \
+            pa.types.is_floating(col.type):
+        import pyarrow.compute as pc
+
+        return pc.add(col, pa.scalar(0.0, col.type))
+    return col
+
+
 def hash64(values) -> np.ndarray:
     """Vectorized 64-bit hash of a column (numpy array / pyarrow array /
     pandas Series) -> uint64. pandas' hash_array is deterministic across

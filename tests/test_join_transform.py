@@ -357,3 +357,36 @@ def test_asof_join_mixed_key_types_unified(ray_session):
         key="k", ts="t", num_buckets=4,
     ).to_pandas().sort_values("lv").reset_index(drop=True)
     assert got["price"].tolist() == [100, 200, 300]
+
+
+def test_signed_zero_float_keys_match_sql_semantics(ray_session):
+    """r3 adversarial find (same class as the r2 enum -0.0 bug): every
+    hash-based key op — Acero joins, pc.is_in, value_counts — splits
+    -0.0/+0.0 even though pc.equal says they are equal, silently diverging
+    from SQL (DuckDB joins and GROUP-BY-merges them). All key paths now
+    normalize via `normalize_zeros` (x + 0.0)."""
+    import numpy as np
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import broadcast_join, hash_join
+    from jsschema_ray.stages.referential import referential_violations
+    from jsschema_ray.stages.uniqueness import duplicate_keys
+
+    left = pd.DataFrame({"k": np.array([0.0, 1.0]), "lv": ["a", "b"]})
+    right = pd.DataFrame({"k": np.array([-0.0, 1.0]), "rv": ["x", "y"]})
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right), key="k",
+                    num_buckets=8).to_pandas()
+    assert sorted(zip(got["lv"], got["rv"])) == [("a", "x"), ("b", "y")]
+
+    got = broadcast_join(rd.from_pandas(left), right, key="k").to_pandas()
+    assert sorted(zip(got["lv"], got["rv"])) == [("a", "x"), ("b", "y")]
+
+    # GROUP BY: 0.0 and -0.0 are ONE key (appears twice -> duplicated)
+    ds = rd.from_pandas(pd.DataFrame({"k": np.array([0.0, -0.0, 2.0])}))
+    dup = duplicate_keys(ds, "k").to_pandas()
+    assert len(dup) == 1 and dup["dup_count"].iloc[0] == 2
+
+    # referential: -0.0 in data vs 0.0 in the ref set is NOT a violation
+    data = rd.from_pandas(pd.DataFrame({"fk": np.array([-0.0, 5.0])}))
+    viol = referential_violations(data, "fk", [0.0, 1.0]).to_pandas()
+    assert viol["fk"].tolist() == [5.0]

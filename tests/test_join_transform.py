@@ -390,3 +390,43 @@ def test_signed_zero_float_keys_match_sql_semantics(ray_session):
     data = rd.from_pandas(pd.DataFrame({"fk": np.array([-0.0, 5.0])}))
     viol = referential_violations(data, "fk", [0.0, 1.0]).to_pandas()
     assert viol["fk"].tolist() == [5.0]
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_duckdb_differential_adversarial_keys(ray_session, how):
+    """Randomized join differential vs DuckDB over an adversarial float key
+    domain: signed zeros, NaN, nulls, ordinary values. DuckDB treats NaN as
+    a joinable value and -0.0 = +0.0; NULL never matches. Our hash_join
+    must agree for every join mode."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(17)
+    dom = np.array([0.0, -0.0, 1.5, 2.5, np.nan, 7.0, -3.25])
+    lk = dom[rng.integers(0, len(dom), 150)].copy()
+    rk = dom[rng.integers(0, len(dom), 60)].copy()
+    left = pd.DataFrame({"k": lk, "lv": np.arange(150)})
+    right = pd.DataFrame({"k": rk, "rv": np.arange(60)})
+    # nulls (None) on both sides: never match
+    left.loc[::17, "k"] = None
+    right.loc[::13, "k"] = None
+
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right), key="k",
+                    num_buckets=8, how=how).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    sql = {
+        "inner": "SELECT l.lv, r.rv FROM l JOIN r ON l.k = r.k",
+        "left": "SELECT l.lv, r.rv FROM l LEFT JOIN r ON l.k = r.k",
+        "semi": "SELECT l.lv FROM l SEMI JOIN r ON l.k = r.k",
+        "anti": "SELECT l.lv FROM l ANTI JOIN r ON l.k = r.k",
+    }[how]
+    want = con.execute(sql).df()
+    cols = list(want.columns)
+    ga = sorted(map(tuple, got[cols].fillna(-1).to_numpy()))
+    wa = sorted(map(tuple, want[cols].fillna(-1).to_numpy()))
+    assert ga == wa, f"{how}: {len(ga)} vs {len(wa)}"

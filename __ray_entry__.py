@@ -861,6 +861,73 @@ def q_quality(sf_dir: str):
     return out.map_batches(fn, batch_format="pyarrow").sort(["doc_id"])
 
 
+def _sampling_oracle_sql() -> dict[str, str]:
+    """SQL mirrors of the mix32 sample selections, built from the SAME
+    constants/thresholds the engine uses."""
+    from jsschema_ray.stages.sampling import KNUTH_A, sample_threshold
+
+    mix = f"((doc_id + 1) * {KNUTH_A}) % 4294967296"
+    cases = " ".join(
+        f"WHEN lang = '{lab}' THEN {sample_threshold(f)}"
+        for lab, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return {
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {mix} < {sample_threshold(_SAMPLE_FRACTION)}
+            ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {mix} < (CASE {cases}
+                           ELSE {sample_threshold(_STRATA_DEFAULT)} END)
+            ORDER BY doc_id
+        """,
+    }
+
+
+#: shared by the engine AND the SQL oracle: fractions are turned into ONE
+#: integer threshold so no float rounding can diverge between engines
+_SAMPLE_FRACTION = 0.25
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.2}
+_STRATA_DEFAULT = 0.05
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 25% sample of documents via the SQL-mirrorable Knuth
+    mix32 selection (stages/sampling.hash_sample) — dataset-curation
+    subsampling that any engine can reproduce bit-for-bit (r3 operator,
+    DuckDB-oracled)."""
+    from jsschema_ray.stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", _SAMPLE_FRACTION).sort(["doc_id"])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language mixture sampling (en 50% / de 100% / fr 20% / rest 5%)
+    — the mixture-construction primitive of training-data curation
+    (stages/sampling.stratified_hash_sample, DuckDB-oracled)."""
+    from jsschema_ray.stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_hash_sample(
+        ds, "doc_id", "lang", _STRATA_FRACTIONS,
+        default_fraction=_STRATA_DEFAULT,
+    ).sort(["doc_id"])
+
+
+def q_cap_per_source(sf_dir: str):
+    """At most 5 documents per source (smallest doc_ids win) — the
+    per-domain quota cap of dataset curation, as map-side pre-trim +
+    hash(key)-partitioned groupby-head (stages/sampling.cap_per_key,
+    DuckDB-oracled via QUALIFY ROW_NUMBER)."""
+    from jsschema_ray.stages.sampling import cap_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_key(ds, "source", 5, "doc_id").sort(["doc_id"])
+
+
 def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
     """Deterministic ANN query set: the embeddings with vec_id < n, read
     driver-side from the parquet footer+row-groups directly (no Ray stage,
@@ -970,6 +1037,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_source": q_cap_per_source,
         # image input_hint table (synthesized; rows-only)
         "image_validate": q_image_validate,
         "image_stats": q_image_stats,
@@ -1065,6 +1135,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(stop_ratio * 10000) AS BIGINT)
                        AS stop_ratio_x1e4
             FROM q ORDER BY doc_id
+        """,
+        # sampling/quota: the mix32 selection is exact int64 arithmetic, so
+        # the SQL mirror selects the IDENTICAL rows (threshold computed
+        # once in Python and interpolated — no independent float rounding)
+        "hash_sample": _sampling_oracle_sql()["hash_sample"],
+        "stratified_sample": _sampling_oracle_sql()["stratified_sample"],
+        "cap_per_source": """
+            SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                <= 5
+            ORDER BY doc_id
         """,
         # exact heavy hitters: the engine's two-scan candidate+exact-count
         # path must equal SQL's top-k by count with the same

@@ -1,0 +1,169 @@
+"""Deterministic sampling + per-key quota operators for training-data
+curation (the dataset-mixing half of a web-scale pipeline: fixed-seed
+subsampling, per-language mixture fractions, per-domain document caps).
+
+All three are driver-mandated training-data-operator additions with NO
+reference analogue (the reference is a single-value validator); they follow
+the repo's scale rules: scan-only where possible, pre-trim before any
+shuffle, never a per-key Ray aggregate.
+
+Design notes:
+  * `hash_sample` / `stratified_hash_sample` select by a Knuth
+    multiplicative hash of an integer key — ``((key + seed) * 2654435761)
+    mod 2^32 < floor(fraction * 2^32)``. This is deliberately NOT the
+    engine's hash64 (pandas hash_array): the arithmetic is exact in int64
+    (no overflow for keys < ~3.4e9 after the guard below), so a DuckDB
+    oracle can mirror the selection bit-for-bit — the sample is
+    reproducible across engines, runs, and block layouts, and the
+    correctness gate covers it. Pure map_batches filter: no shuffle, no
+    driver state, composes with any downstream stage.
+  * `cap_per_key` keeps the ``n`` first rows per key under a total order
+    (order_col asc, deterministic). Per-batch PRE-TRIM (a batch's rows
+    beyond its local top-n can never be in the global top-n) bounds the
+    shuffle payload at batches × keys-per-batch × n rows, then one
+    hash(key)-partitioned vectorized groupby-head per partition. The same
+    composition shape as uniqueness/dedup: the block is the salt.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: Knuth's 32-bit multiplicative hashing constant (public, TAOCP vol. 3)
+KNUTH_A = 2654435761
+_M32 = 1 << 32
+#: (key + seed) * A must stay under 2^63 for the int64/SQL mirror to be
+#: exact — guard keys at this bound
+_MAX_KEY = (1 << 63) // KNUTH_A - 1
+
+
+def _mix32(keys: np.ndarray, seed: int) -> np.ndarray:
+    """((key + seed) * A) mod 2^32 — exact in int64, SQL-mirrorable as
+    ``((key + seed) * 2654435761) % 4294967296``."""
+    if keys.size and (keys.max() > _MAX_KEY or keys.min() < 0):
+        raise ValueError(
+            f"hash_sample keys must be in [0, {_MAX_KEY}] for the exact "
+            f"int64/SQL-mirrorable mix; hash or remap larger keys first"
+        )
+    return ((keys.astype(np.int64) + np.int64(seed)) * np.int64(KNUTH_A)) \
+        % np.int64(_M32)
+
+
+def sample_threshold(fraction: float) -> int:
+    """floor(fraction * 2^32): the integer cutoff BOTH the engine and a SQL
+    oracle compare the mix against (compute once, share — never let two
+    engines round the float independently)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * _M32)
+
+
+def hash_sample(ds, key_column: str, fraction: float, seed: int = 1,
+                batch_size: int = 262144):
+    """Deterministic ``fraction``-rate sample: keep rows with
+    mix32(key) < floor(fraction * 2^32). Scan-only (no shuffle, no RNG
+    state); the same (key, seed, fraction) always selects the same rows on
+    any cluster/block layout. Null keys drop."""
+    thr = sample_threshold(fraction)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).combine_chunks()
+        k = keys.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if keys.null_count == 0 else \
+            keys.cast(pa.int64()).fill_null(-1).to_numpy(zero_copy_only=False)
+        valid = k >= 0 if keys.null_count else np.ones(len(k), dtype=bool)
+        keep = np.zeros(len(k), dtype=bool)
+        if valid.any():
+            keep[valid] = _mix32(k[valid], seed) < thr
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def stratified_hash_sample(ds, key_column: str, strata_col: str,
+                           fractions: dict, default_fraction: float = 0.0,
+                           seed: int = 1, batch_size: int = 262144):
+    """Per-stratum deterministic sampling (mixture construction: e.g.
+    {'en': 0.5, 'de': 1.0} with default 0.1). Same mix32 selection, with a
+    per-stratum threshold looked up via one dictionary-encode per batch —
+    no shuffle, no per-row Python. Rows with a null stratum use
+    ``default_fraction``."""
+    thr_map = {k: sample_threshold(v) for k, v in fractions.items()}
+    default_thr = sample_threshold(default_fraction)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).combine_chunks()
+        k = keys.cast(pa.int64()).fill_null(-1).to_numpy(
+            zero_copy_only=False)
+        strata = batch.column(strata_col).combine_chunks()
+        enc = strata.dictionary_encode()
+        labels = enc.dictionary.to_pylist()
+        lab_thr = np.array(
+            [thr_map.get(lab, default_thr) for lab in labels] + [default_thr],
+            dtype=np.int64,
+        )
+        codes = enc.indices.fill_null(len(labels)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        thr = lab_thr[codes]
+        valid = k >= 0
+        keep = np.zeros(len(k), dtype=bool)
+        if valid.any():
+            keep[valid] = _mix32(k[valid], seed) < thr[valid]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def cap_per_key(ds, key_column: str, n: int, order_col: str,
+                num_parts: int = 64, batch_size: int = 262144,
+                keep_columns: Optional[list[str]] = None):
+    """At most ``n`` rows per distinct ``key_column`` value — the rows with
+    the ``n`` smallest ``order_col`` values (ties broken by order_col then
+    input order inside a partition, made total by choosing a unique
+    order_col such as a row id). The per-domain / per-source quota cap of
+    dataset curation, as a two-stage composition:
+
+      1. map-side pre-trim: each batch keeps only its local first-n per
+         key (global first-n ⊆ union of per-batch first-n — monotone), so
+         the shuffle moves at most batches × keys-per-batch × n rows;
+      2. hash(key) co-partition + ONE vectorized groupby-head per
+         partition (never per-key groups).
+
+    Partitioning assumption (documented): one partition's pre-trimmed rows
+    fit a worker; raise num_parts with cluster size."""
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    proj = keep_columns or None
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        if proj is not None:
+            batch = batch.select(
+                list(dict.fromkeys(proj + [key_column, order_col]))
+            )
+        df = batch.to_pandas()
+        trimmed = df.sort_values(order_col, kind="stable").groupby(
+            key_column, sort=False, dropna=False
+        ).head(n)
+        out = pa.Table.from_pandas(trimmed, preserve_index=False,
+                                   schema=batch.schema)
+        kcol = normalize_zeros(out.column(key_column).combine_chunks())
+        part = (hash64(kcol) % np.uint64(num_parts)).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def cap_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(order_col, kind="stable").groupby(
+            key_column, sort=False, dropna=False
+        ).head(n)
+        return out.drop(columns=["__part"])
+
+    return ds.map_batches(
+        pretrim, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(cap_part, batch_format="pandas")

@@ -612,3 +612,49 @@ def test_simhash_two_band_guarantee_boundary(ray_session, monkeypatch):
     with pytest.raises(ValueError, match="guarantees Hamming"):
         dd.simhash_verified_pairs(ds, "text", "doc_id", max_hamming=2,
                                   n_bands=2)
+
+
+def test_sampling_and_quota_operators(ray_session):
+    """r3 curation operators: mix32 sampling is layout-independent and
+    bit-reproducible; stratified thresholds apply per stratum (null
+    stratum -> default); cap_per_key keeps exactly the n smallest
+    order-col rows per key regardless of partitioning; out-of-range keys
+    refuse loudly (the SQL-mirror bound)."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.sampling import (_MAX_KEY, cap_per_key,
+                                              hash_sample,
+                                              stratified_hash_sample)
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(2000),
+        "lang": np.array(["en", "de", "fr", None], dtype=object)[
+            np.arange(2000) % 4],
+        "source": [f"src{i % 7}" for i in range(2000)],
+    })
+
+    got1 = hash_sample(rd.from_pandas(pdf).repartition(2), "doc_id",
+                       0.3).to_pandas()
+    got2 = hash_sample(rd.from_pandas(pdf).repartition(7), "doc_id",
+                       0.3).to_pandas()
+    assert sorted(got1["doc_id"]) == sorted(got2["doc_id"])  # layout-free
+    assert 0.2 < len(got1) / len(pdf) < 0.4
+
+    strat = stratified_hash_sample(
+        rd.from_pandas(pdf).repartition(3), "doc_id", "lang",
+        {"en": 1.0, "de": 0.0}, default_fraction=0.5,
+    ).to_pandas()
+    langs = strat["lang"].fillna("null")
+    assert (langs != "de").all()                      # de fraction 0
+    assert len(strat[langs == "en"]) == 500           # en fraction 1.0
+    # fr + null strata get the 0.5 default, applied via the same mix
+    assert 0.3 < len(strat[langs.isin(["fr", "null"])]) / 1000 < 0.7
+
+    capped = cap_per_key(rd.from_pandas(pdf).repartition(5), "source", 3,
+                         "doc_id").to_pandas()
+    want = pdf.sort_values("doc_id").groupby("source").head(3)
+    assert sorted(capped["doc_id"]) == sorted(want["doc_id"])
+
+    bad = pd.DataFrame({"doc_id": [0, _MAX_KEY + 1], "lang": ["en", "en"]})
+    with pytest.raises(Exception, match="mirrorable|remap"):
+        hash_sample(rd.from_pandas(bad), "doc_id", 0.5).to_pandas()

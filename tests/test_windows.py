@@ -3,6 +3,7 @@ key count (15k) where any per-key dispatch would dominate — the stage must
 produce O(num_partitions) Ray groups regardless of key count
 (stages/windows.py). bench.py --scaling measures the wall-clock shape."""
 
+import pytest
 import numpy as np
 import pandas as pd
 
@@ -43,3 +44,57 @@ def test_session_windows_many_keys(ray_session):
         for r in got.itertuples()
     )
     assert got_t == _reference_sessions(df, 600.0)
+
+
+@pytest.mark.parametrize("seed,gap", [(3, 60.0), (11, 600.0), (29, 5.0)])
+def test_session_windows_randomized_differential(ray_session, seed, gap):
+    """Randomized sessionization differential vs an independent per-key
+    pandas reference: random keys, duplicate timestamps, varied gaps —
+    parameterizations the fixed DuckDB oracle never exercises."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.stages.windows import session_windows
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 97, size=n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 200_000, size=n), unit="s"
+        ),
+        "value": np.round(rng.normal(50, 10, size=n), 2),
+    })
+    got = session_windows(
+        rd.from_pandas(pdf).repartition(4), gap_seconds=gap,
+        num_partitions=8,
+    ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(
+        drop=True)
+
+    # independent reference: per-key loop (intentionally naive)
+    rows = []
+    for uid, g in pdf.sort_values("ts", kind="stable").groupby("user_id"):
+        sess, start, cnt, vx = -1, None, 0, 0
+        prev = None
+        out_g = []
+        for _, r in g.iterrows():
+            t = r["ts"].timestamp()
+            if prev is None or (t - prev) > gap:
+                if sess >= 0:
+                    out_g.append((uid, sess, int(start), cnt, vx))
+                sess += 1
+                start, cnt, vx = t, 0, 0
+            cnt += 1
+            vx += int(np.sign(r["value"]) * np.floor(abs(r["value"]) * 100 + 0.5))
+            prev = t
+        out_g.append((uid, sess, int(start), cnt, vx))
+        rows.extend(out_g)
+    want = pd.DataFrame(
+        rows, columns=["user_id", "session_id", "session_start",
+                       "n_events", "value_sum_x100"]
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64")
+    )

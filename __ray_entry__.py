@@ -928,6 +928,35 @@ def q_cap_per_source(sf_dir: str):
     return cap_per_key(ds, "source", 5, "doc_id").sort(["doc_id"])
 
 
+def q_multikey_join(sf_dir: str):
+    """Composite-key partitioned hash join (r3: hash_join accepts a column
+    LIST — bucket on a combined rolling hash, Acero-join on the full key
+    list): annotate every lineitem row with its (l_orderkey, l_returnflag)
+    group size. DuckDB-oracled."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag"])
+    g = grouped_sums(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]),
+        ["l_orderkey", "l_returnflag"], {}, count_alias="grp_n",
+    )
+    out = hash_join(li, g, key=["l_orderkey", "l_returnflag"],
+                    num_buckets=32)
+    return out.sort(["l_orderkey", "l_linenumber"])
+
+
+def q_distinct_lang_source(sf_dir: str):
+    """SELECT DISTINCT (lang, source): map-side drop_duplicates pre-trim +
+    hash co-partition (stages/uniqueness.distinct_rows, r3 set-op
+    completion). DuckDB-oracled."""
+    from jsschema_ray.stages.uniqueness import distinct_rows
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return distinct_rows(ds).sort(["lang", "source"])
+
+
 def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
     """Deterministic ANN query set: the embeddings with vec_id < n, read
     driver-side from the parquet footer+row-groups directly (no Ray stage,
@@ -1040,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
+        "multikey_join": q_multikey_join,
+        "distinct_lang_source": q_distinct_lang_source,
         # image input_hint table (synthesized; rows-only)
         "image_validate": q_image_validate,
         "image_stats": q_image_stats,
@@ -1146,6 +1177,20 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
                 <= 5
             ORDER BY doc_id
+        """,
+        "multikey_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, g.grp_n
+            FROM lineitem l
+            JOIN (SELECT l_orderkey, l_returnflag,
+                         COUNT(*) AS grp_n
+                  FROM lineitem GROUP BY 1, 2) g
+              ON l.l_orderkey = g.l_orderkey
+             AND l.l_returnflag = g.l_returnflag
+            ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        "distinct_lang_source": """
+            SELECT DISTINCT lang, source FROM documents
+            ORDER BY lang, source
         """,
         # exact heavy hitters: the engine's two-scan candidate+exact-count
         # path must equal SQL's top-k by count with the same

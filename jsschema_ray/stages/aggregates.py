@@ -33,12 +33,15 @@ def grouped_sums(
     def partial(batch: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in in_cols]
         if count_alias:
-            aggs.append((in_cols[0], "count"))
+            # ([], "count_all") is pyarrow's COUNT(*): row count per group,
+            # independent of any column's nulls (and valid when sum_cols
+            # is empty — a pure count-per-group aggregate)
+            aggs.append(([], "count_all"))
         g = batch.select(keys + in_cols).group_by(keys).aggregate(aggs)
-        # rename pyarrow's col_sum/col_count to target names
+        # rename pyarrow's col_sum/count_all to target names
         renames = {f"{c}_sum": out for out, c in sum_cols.items()}
         if count_alias:
-            renames[f"{in_cols[0]}_count"] = count_alias
+            renames["count_all"] = count_alias
         return g.rename_columns(
             [renames.get(name, name) for name in g.column_names]
         )

@@ -390,22 +390,34 @@ def range_join(left, right, value: str, lo: str, hi: str,
     )
 
 
-def hash_join(left, right, key: str, num_buckets: int = 64,
+def hash_join(left, right, key, num_buckets: int = 64,
               how: str = "inner", batch_size: int = 65536,
-              right_key: Optional[str] = None):
-    """Partitioned hash join of two Datasets on ``key``: bucket both sides,
-    union, one shuffle, per-bucket `pa.Table.join`."""
+              right_key=None):
+    """Partitioned hash join of two Datasets on ``key`` (a column name or a
+    LIST of names — composite keys bucket on a combined rolling hash and
+    join on the full column list): bucket both sides, union, one shuffle,
+    per-bucket `pa.Table.join`."""
     if how not in _JOIN_TYPE:
         raise ValueError(f"unknown join how={how!r}; one of {list(_JOIN_TYPE)}")
-    rk = right_key or key
+    keys = [key] if isinstance(key, str) else list(key)
+    rks = (keys if right_key is None
+           else ([right_key] if isinstance(right_key, str)
+                 else list(right_key)))
+    if len(keys) != len(rks):
+        raise ValueError(
+            f"key/right_key arity mismatch: {len(keys)} vs {len(rks)}"
+        )
     lcols = list(left.columns())
     rcols_raw = list(right.columns())
-    if key not in lcols:
-        raise ValueError(f"join key {key!r} not in left columns {lcols}")
-    if rk not in rcols_raw:
-        raise ValueError(f"join key {rk!r} not in right columns {rcols_raw}")
-    rcols = [key if c == rk else c for c in rcols_raw]
-    overlap = (set(lcols) & set(rcols)) - {key}
+    for k in keys:
+        if k not in lcols:
+            raise ValueError(f"join key {k!r} not in left columns {lcols}")
+    for k in rks:
+        if k not in rcols_raw:
+            raise ValueError(f"join key {k!r} not in right columns {rcols_raw}")
+    ren = dict(zip(rks, keys))
+    rcols = [ren.get(c, c) for c in rcols_raw]
+    overlap = (set(lcols) & set(rcols)) - set(keys)
     if overlap:
         raise ValueError(
             f"non-key column names must be disjoint, overlapping: {overlap}"
@@ -413,7 +425,7 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
     if how in ("semi", "anti"):
         all_cols = lcols
     else:
-        all_cols = lcols + [c for c in rcols if c != key]
+        all_cols = lcols + [c for c in rcols if c not in keys]
 
     def _types(ds) -> dict:
         s = ds.schema()
@@ -429,29 +441,36 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         return {f.name: f.type for f in sample.schema}
 
     ltypes, rtypes = _types(left), _types(right)
-    key_type = _unified_key_type(ltypes[key], rtypes[rk])
+    key_types = {k: _unified_key_type(ltypes[k], rtypes[rk_])
+                 for k, rk_ in zip(keys, rks)}
     col_types = dict(ltypes)
     for name, t in rtypes.items():
-        col_types[key if name == rk else name] = t
-    col_types[key] = key_type
-    union_cols = lcols + [c for c in rcols if c != key]
+        col_types[ren.get(name, name)] = t
+    col_types.update(key_types)
+    union_cols = lcols + [c for c in rcols if c not in keys]
 
-    def tag(side: int, colname: str):
+    def tag(side: int, colnames: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             out = batch
-            if colname != key:
+            rmap = dict(zip(colnames, keys))
+            if rmap and any(a != b for a, b in rmap.items()):
                 out = out.rename_columns(
-                    [key if c == colname else c for c in out.column_names]
+                    [rmap.get(c, c) for c in out.column_names]
                 )
-            kcol = out.column(key).combine_chunks()
-            if kcol.type != key_type:
-                kcol = _cast_key_column(kcol, key_type)
-                out = out.set_column(out.column_names.index(key), key, kcol)
-            norm = normalize_zeros(kcol)
-            if norm is not kcol:  # float key: -0.0/+0.0 must bucket AND
-                kcol = norm       # Acero-join as one key (SQL semantics)
-                out = out.set_column(out.column_names.index(key), key, kcol)
-            bucket = (hash64(kcol) % np.uint64(num_buckets)).astype(np.int32)
+            h = None
+            for k in keys:
+                kcol = out.column(k).combine_chunks()
+                if kcol.type != key_types[k]:
+                    kcol = _cast_key_column(kcol, key_types[k])
+                    out = out.set_column(out.column_names.index(k), k, kcol)
+                norm = normalize_zeros(kcol)
+                if norm is not kcol:  # float key: -0.0/+0.0 must bucket
+                    kcol = norm       # AND Acero-join as one key
+                    out = out.set_column(out.column_names.index(k), k, kcol)
+                hk = hash64(kcol)
+                with np.errstate(over="ignore"):
+                    h = hk if h is None else h * np.uint64(1000003) + hk
+            bucket = (h % np.uint64(num_buckets)).astype(np.int32)
             # pad to the combined schema (typed nulls) so union is clean
             for c in union_cols:
                 if c not in out.column_names:
@@ -467,9 +486,9 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
 
         return fn
 
-    tagged = left.map_batches(tag(0, key), batch_format="pyarrow",
+    tagged = left.map_batches(tag(0, keys), batch_format="pyarrow",
                               batch_size=batch_size).union(
-        right.map_batches(tag(1, rk), batch_format="pyarrow",
+        right.map_batches(tag(1, rks), batch_format="pyarrow",
                           batch_size=batch_size)
     )
 
@@ -485,7 +504,7 @@ def hash_join(left, right, key: str, num_buckets: int = 64,
         # output schemas are identical regardless of which side was empty
         # (the round-1 pandas path could emit int64 in one bucket and
         # float64 in another for how='left'/'outer')
-        out = l.join(r, keys=key, join_type=join_type,
+        out = l.join(r, keys=keys, join_type=join_type,
                      coalesce_keys=True)
         return out.select(all_cols).combine_chunks()
 

@@ -280,3 +280,48 @@ def uniqueness_report(ds, column: str, batch_size: int = 65536) -> dict[str, Any
         "dup_keys": len(rows),
         "dup_rows": int(sum(r["dup_count"] for r in rows)),
     }
+
+
+def distinct_rows(ds, columns: Optional[list[str]] = None,
+                  batch_size: int = 262144, num_parts: int = 64):
+    """SQL ``SELECT DISTINCT`` over ``columns`` (default: all columns) —
+    the set-op companion to duplicate_keys (r3 §2.D completion).
+
+    Scale shape: map-side `drop_duplicates` PRE-TRIM per batch (the
+    shuffle then moves at most batches × distinct-per-batch rows, the
+    block-is-the-salt pattern), hash co-partition on a combined rolling
+    key hash, and ONE vectorized drop_duplicates per partition. Float
+    columns are signed-zero-normalized first so -0.0/+0.0 collapse to one
+    row with a +0.0 output, matching DuckDB DISTINCT; NaNs merge to one
+    row on both sides (pandas and SQL agree)."""
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    cols = columns  # None -> all
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        sel = cols or batch.column_names
+        out = batch.select(sel)
+        for c in sel:
+            col = out.column(c).combine_chunks()
+            norm = normalize_zeros(col)
+            if norm is not col:
+                out = out.set_column(out.column_names.index(c), c, norm)
+        df = out.to_pandas().drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False,
+                                   schema=out.schema)
+        h = None
+        for c in sel:
+            hk = hash64(out.column(c).combine_chunks())
+            with np.errstate(over="ignore"):
+                h = hk if h is None else h * np.uint64(1000003) + hk
+        part = (h % np.uint64(num_parts)).astype(np.int32) if len(out) \
+            else np.empty(0, dtype=np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["__part"]).drop_duplicates()
+
+    return ds.map_batches(
+        pretrim, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(finish, batch_format="pandas")

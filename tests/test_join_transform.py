@@ -430,3 +430,58 @@ def test_hash_join_duckdb_differential_adversarial_keys(ray_session, how):
     ga = sorted(map(tuple, got[cols].fillna(-1).to_numpy()))
     wa = sorted(map(tuple, want[cols].fillna(-1).to_numpy()))
     assert ga == wa, f"{how}: {len(ga)} vs {len(wa)}"
+
+
+def test_hash_join_composite_keys(ray_session):
+    """r3: hash_join accepts a key LIST — composite keys bucket on a
+    combined rolling hash and Acero-join on the full list; per-column
+    dtype unification and null-key (never matches) semantics hold."""
+    import numpy as np
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import hash_join
+
+    left = pd.DataFrame({
+        "a": pd.array([1, 1, 2, 2, None], dtype="Int64"),
+        "b": [10.0, 20.0, 10.0, 30.0, 10.0],
+        "lv": list("vwxyz"),
+    })
+    right = pd.DataFrame({
+        "ra": pd.array([1, 2, 2, None], dtype="Int64"),
+        "rb": pd.array([10, 30, 40, 10], dtype="Int64"),  # int vs float b
+        "rv": list("PQRS"),
+    })
+    got = hash_join(
+        rd.from_pandas(left).repartition(2),
+        rd.from_pandas(right).repartition(2),
+        key=["a", "b"], right_key=["ra", "rb"], num_buckets=8,
+    ).to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    # expected: (1,10)->P, (2,30)->Q; null keys never match
+    assert sorted(zip(got["lv"], got["rv"])) == [("v", "P"), ("y", "Q")]
+
+    # left join keeps unmatched rows with typed nulls
+    lj = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                   key=["a", "b"], right_key=["ra", "rb"],
+                   how="left").to_pandas()
+    assert len(lj) == 5 and lj["rv"].notna().sum() == 2
+
+
+def test_distinct_rows_matches_sql_semantics(ray_session):
+    """r3 set-op: distinct_rows == SELECT DISTINCT — NaNs merge, signed
+    zeros merge to +0.0, layout-independent."""
+    import numpy as np
+    import ray.data as rd
+
+    from jsschema_ray.stages.uniqueness import distinct_rows
+
+    pdf = pd.DataFrame({
+        "x": [0.0, -0.0, np.nan, np.nan, 1.0, 1.0, 2.0],
+        "s": ["a", "a", "b", "b", "c", "c", None],
+    })
+    for parts in (2, 5):
+        got = distinct_rows(
+            rd.from_pandas(pdf).repartition(parts), num_parts=4
+        ).to_pandas().sort_values(["s", "x"]).reset_index(drop=True)
+        assert len(got) == 4
+        zero = got[got["x"] == 0.0]["x"]
+        assert len(zero) == 1 and not np.signbit(zero.iloc[0])

@@ -244,3 +244,152 @@ def decode_violations(ds, key_column: str = "image_id",
         kwargs["concurrency"] = concurrency
         return ds.map_batches(Check, **kwargs)
     return ds.map_batches(Check(), **kwargs)
+
+
+class FrameSample:
+    """Video frame sampling over an opaque ``binary`` column with typed
+    metadata (video_id, bytes, n_frames, fps) — the driver-mandated
+    frame-sample stage. The SAMPLING layout is real and vectorized: given a
+    policy ('uniform_k' -> k evenly spaced frames incl. first/last;
+    'every_s' -> one frame per ``every_s`` seconds via fps), frame indices
+    are computed batch-wide and the stage EXPLODES to one output row per
+    sampled frame: (video_id, frame_idx, frame_ts_s, frame_bytes).
+
+    The frame DECODE is stubbed (no video codecs in this container — same
+    policy as lossy image codecs): ``on_decode='fake'`` (default) emits a
+    deterministic per-(payload, frame) pseudo-frame so downstream plumbing
+    is exercised end-to-end; ``on_decode='fail'`` raises NotImplementedError
+    at the decode call site, marking exactly what a real deployment plugs a
+    codec into. Stateless tasks, small batches (payloads are wide)."""
+
+    def __init__(self, policy: str = "uniform_k", k: int = 4,
+                 every_s: float = 1.0, column: str = "bytes",
+                 key_column: str = "video_id", on_decode: str = "fake"):
+        if policy not in ("uniform_k", "every_s"):
+            raise ValueError(f"unknown policy {policy!r}")
+        if on_decode not in ("fake", "fail"):
+            raise ValueError(f"unknown on_decode {on_decode!r}")
+        self.policy = policy
+        self.k = k
+        self.every_s = every_s
+        self.column = column
+        self.key_column = key_column
+        self.on_decode = on_decode
+
+    def _indices(self, n_frames: int, fps: float) -> np.ndarray:
+        if n_frames <= 0:
+            return np.empty(0, dtype=np.int64)
+        if self.policy == "uniform_k":
+            k = min(self.k, n_frames)
+            # k evenly spaced indices including endpoints (k=1 -> frame 0)
+            return np.unique(
+                np.round(np.linspace(0, n_frames - 1, k)).astype(np.int64)
+            )
+        step = max(int(round(self.every_s * max(fps, 1e-9))), 1)
+        return np.arange(0, n_frames, step, dtype=np.int64)
+
+    def _decode_frame(self, payload: bytes, idx: int) -> bytes:
+        if self.on_decode == "fail":
+            raise NotImplementedError(
+                "video frame decode requires a codec library not present "
+                "in this container; plug a real decoder here"
+            )
+        # deterministic fake: seeded by (payload content length, index) —
+        # stable across runs/layouts, distinct per frame
+        rng = np.random.default_rng(
+            np.random.SeedSequence([len(payload), idx])
+        )
+        return rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_column).to_pylist()
+        payloads = batch.column(self.column).to_pylist()
+        n_frames = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        fps = batch.column("fps").to_numpy(zero_copy_only=False)
+        out_key, out_idx, out_ts, out_bytes = [], [], [], []
+        for i, (key, payload) in enumerate(zip(keys, payloads)):
+            if payload is None:
+                continue
+            idxs = self._indices(int(n_frames[i]), float(fps[i]))
+            for j in idxs:
+                out_key.append(key)
+                out_idx.append(int(j))
+                out_ts.append(float(j / max(fps[i], 1e-9)))
+                out_bytes.append(self._decode_frame(payload, int(j)))
+        return pa.table({
+            self.key_column: pa.array(out_key),
+            "frame_idx": pa.array(out_idx, type=pa.int64()),
+            "frame_ts_s": pa.array(out_ts, type=pa.float64()),
+            "frame_bytes": pa.array(out_bytes, type=pa.binary()),
+        })
+
+
+class AudioFeatures:
+    """Audio feature extraction over an opaque ``binary`` column with typed
+    metadata (audio_id, bytes, sr) — appended columns: duration_s, rms,
+    zero_cross_rate, clip_frac. The PCM DECODE is stubbed (``on_decode=
+    'fake'`` synthesizes deterministic int16 PCM seeded by the payload;
+    'fail' raises NotImplementedError at the decode call site); the feature
+    kernels over the decoded samples are REAL and vectorized numpy."""
+
+    def __init__(self, column: str = "bytes", key_column: str = "audio_id",
+                 on_decode: str = "fake"):
+        if on_decode not in ("fake", "fail"):
+            raise ValueError(f"unknown on_decode {on_decode!r}")
+        self.column = column
+        self.key_column = key_column
+        self.on_decode = on_decode
+
+    def _decode_pcm(self, payload: bytes, sr: int) -> np.ndarray:
+        if self.on_decode == "fail":
+            raise NotImplementedError(
+                "audio decode requires a codec library not present in this "
+                "container; plug a real decoder here"
+            )
+        rng = np.random.default_rng(np.random.SeedSequence([len(payload)]))
+        n = max(int(sr * (0.5 + (len(payload) % 97) / 97.0)), 1)
+        return (rng.normal(0, 4000, size=n)).clip(-32768, 32767).astype(
+            np.int16
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.column).to_pylist()
+        srs = batch.column("sr").to_numpy(zero_copy_only=False)
+        dur, rms, zcr, clip = [], [], [], []
+        for payload, sr in zip(payloads, srs):
+            if payload is None:
+                dur.append(None); rms.append(None)
+                zcr.append(None); clip.append(None)
+                continue
+            pcm = self._decode_pcm(payload, int(sr)).astype(np.float64)
+            dur.append(len(pcm) / max(int(sr), 1))
+            rms.append(float(np.sqrt(np.mean(pcm ** 2))))
+            s = np.sign(pcm)
+            zcr.append(float(np.mean(s[1:] != s[:-1])) if len(pcm) > 1
+                       else 0.0)
+            clip.append(float(np.mean(np.abs(pcm) >= 32767)))
+        return (
+            batch.drop_columns([self.column])
+            .append_column("duration_s", pa.array(dur, type=pa.float64()))
+            .append_column("rms", pa.array(rms, type=pa.float64()))
+            .append_column("zero_cross_rate",
+                           pa.array(zcr, type=pa.float64()))
+            .append_column("clip_frac", pa.array(clip, type=pa.float64()))
+        )
+
+
+def frame_sample(ds, policy: str = "uniform_k", k: int = 4,
+                 every_s: float = 1.0, batch_size: int = 256, **kw):
+    """FrameSample as a stage: small batches (wide payloads), stateless
+    tasks at full machine width."""
+    return ds.map_batches(
+        FrameSample(policy=policy, k=k, every_s=every_s),
+        batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kw,
+    )
+
+
+def audio_features(ds, batch_size: int = 256, **kw):
+    return ds.map_batches(
+        AudioFeatures(), batch_format="pyarrow", batch_size=batch_size,
+        num_cpus=1, **kw,
+    )

@@ -957,6 +957,40 @@ def q_distinct_lang_source(sf_dir: str):
     return distinct_rows(ds).sort(["lang", "source"])
 
 
+def q_curation_pipeline(sf_dir: str):
+    """END-TO-END curation composition — the operators are only useful if
+    they CHAIN: deterministic 50% sample (mix32) -> quality gate
+    (integer-scaled score >= 0.55) -> exact dedup on text (min doc_id
+    survives) -> at most 10 docs per source (smallest doc_ids). Every
+    stage has an exact SQL mirror, so the whole pipeline is
+    DuckDB-oracled as one query. Streaming end to end: filters are
+    map_batches, dedup broadcasts loser keys, the cap pre-trims before its
+    one co-shuffle."""
+    from jsschema_ray.stages.dedup import exact_dedup
+    from jsschema_ray.stages.sampling import cap_per_key, hash_sample
+    from jsschema_ray.stages.text import text_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    sampled = hash_sample(ds, "doc_id", 0.5)
+    scored = text_stats(sampled)
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.round(pc.multiply(batch.column("quality_score"), 10000.0),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return batch.filter(pc.greater_equal(q, 5500)).select(
+            ["doc_id", "text", "lang", "source"]
+        )
+
+    gated = scored.map_batches(quality_gate, batch_format="pyarrow")
+    deduped = exact_dedup(gated, "text", "doc_id")
+    capped = cap_per_key(deduped, "source", 10, "doc_id",
+                         keep_columns=["doc_id", "lang", "source"])
+    return capped.sort(["doc_id"])
+
+
 def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
     """Deterministic ANN query set: the embeddings with vec_id < n, read
     driver-side from the parquet footer+row-groups directly (no Ray stage,
@@ -1071,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": q_cap_per_source,
         "multikey_join": q_multikey_join,
         "distinct_lang_source": q_distinct_lang_source,
+        "curation_pipeline": q_curation_pipeline,
         # image input_hint table (synthesized; rows-only)
         "image_validate": q_image_validate,
         "image_stats": q_image_stats,
@@ -1096,6 +1131,9 @@ def oracle_sql() -> dict[str, str]:
 
     def _inlist(words) -> str:
         return ", ".join(f"'{w}'" for w in sorted(words))
+
+    from jsschema_ray.stages.sampling import KNUTH_A as _KNUTH_A
+    from jsschema_ray.stages.sampling import sample_threshold as _sample_thr
 
     _tok = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
     _langtok = "regexp_extract_all(LOWER(text), '[a-zà-ÿ]+')"
@@ -1191,6 +1229,72 @@ def oracle_sql() -> dict[str, str]:
         "distinct_lang_source": """
             SELECT DISTINCT lang, source FROM documents
             ORDER BY lang, source
+        """,
+        # the full curation chain, every stage mirrored exactly: mix32
+        # sample -> quality gate (same float64 op order as the quality
+        # oracle, integer-scaled) -> min-doc_id dedup on text -> per-source
+        # cap via QUALIFY
+        "curation_pipeline": f"""
+            WITH sampled AS (
+                SELECT doc_id, text, lang, source FROM documents
+                WHERE ((doc_id + 1) * {_KNUTH_A}) % 4294967296
+                      < {_sample_thr(0.5)}
+            ),
+            qt AS (
+                SELECT doc_id,
+                       CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                       CAST(LEN({_tok}) AS DOUBLE) AS n_tokens,
+                       CAST(LEN(LIST_FILTER({_tok},
+                            x -> x IN ({_inlist(_LANG_PROFILES["en"])})))
+                            AS DOUBLE) AS hits,
+                       CAST(LEN(regexp_extract_all(text,
+                            '[^0-9A-Za-z_ \t\n\r\f]')) AS DOUBLE) AS n_punct,
+                       CAST(LEN(regexp_extract_all(text, '[A-Z]'))
+                            AS DOUBLE) AS n_upper
+                FROM sampled),
+            qr AS (
+                SELECT doc_id,
+                       CASE WHEN n_tokens > 0
+                            THEN hits / GREATEST(n_tokens, CAST(1 AS DOUBLE))
+                            ELSE CAST(0 AS DOUBLE) END AS stop_ratio,
+                       n_punct / GREATEST(n_chars, CAST(1 AS DOUBLE))
+                           AS punct_ratio,
+                       n_upper / GREATEST(n_chars, CAST(1 AS DOUBLE))
+                           AS upper_ratio,
+                       LEAST(GREATEST(n_tokens / CAST(20.0 AS DOUBLE),
+                                      CAST(0 AS DOUBLE)),
+                             CAST(1 AS DOUBLE)) AS length_score
+                FROM qt),
+            qq AS (
+                SELECT doc_id,
+                       CAST(0.4 AS DOUBLE) * length_score
+                       + CAST(0.3 AS DOUBLE) * LEAST(GREATEST(
+                             stop_ratio * CAST(5 AS DOUBLE),
+                             CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))
+                       + CAST(0.2 AS DOUBLE) * (CAST(1 AS DOUBLE)
+                           - LEAST(GREATEST(punct_ratio * CAST(4 AS DOUBLE),
+                             CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)))
+                       + CAST(0.1 AS DOUBLE) * (CAST(1 AS DOUBLE)
+                           - LEAST(GREATEST(upper_ratio * CAST(4 AS DOUBLE),
+                             CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)))
+                           AS quality
+                FROM qr),
+            gated AS (
+                SELECT s.doc_id, s.text, s.lang, s.source
+                FROM sampled s JOIN qq ON s.doc_id = qq.doc_id
+                WHERE CAST(ROUND(qq.quality * 10000) AS BIGINT) >= 5500
+            ),
+            deduped AS (
+                SELECT g.doc_id, g.lang, g.source
+                FROM gated g
+                JOIN (SELECT text, MIN(doc_id) AS keep FROM gated
+                      GROUP BY text) m
+                  ON g.text = m.text AND g.doc_id = m.keep
+            )
+            SELECT doc_id, lang, source FROM deduped
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                <= 10
+            ORDER BY doc_id
         """,
         # exact heavy hitters: the engine's two-scan candidate+exact-count
         # path must equal SQL's top-k by count with the same

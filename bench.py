@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "lang_id",
     "knn_brute",
     "embedding_dedup",
+    # composed curation chain (sample -> quality gate -> dedup -> cap)
+    "curation_pipeline",
 ]
 
 

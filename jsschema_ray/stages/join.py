@@ -108,43 +108,55 @@ def _to_arrow(obj) -> pa.Table:
     return obj
 
 
-def broadcast_join(ds, small, key: str, how: str = "inner",
-                   batch_size: int = 65536, small_key: Optional[str] = None):
+def broadcast_join(ds, small, key, how: str = "inner",
+                   batch_size: int = 65536, small_key=None):
     """Join a Dataset against a small pandas/arrow table (or small Dataset)
-    by broadcasting the small side. ``how`` ∈ {'inner', 'left', 'semi',
-    'anti'} — the modes a per-batch join can express exactly."""
+    by broadcasting the small side. ``key`` is a column name or a LIST of
+    names (composite keys, matching hash_join's surface). ``how`` ∈
+    {'inner', 'left', 'semi', 'anti'} — the modes a per-batch join can
+    express exactly."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
             f"broadcast_join supports how in ('inner','left','semi','anti'), "
             f"got {how!r}; a right/full-outer needs the partitioned hash_join"
         )
+    keys = [key] if isinstance(key, str) else list(key)
+    sks = (keys if small_key is None
+           else ([small_key] if isinstance(small_key, str)
+                 else list(small_key)))
+    if len(keys) != len(sks):
+        raise ValueError(
+            f"key/small_key arity mismatch: {len(keys)} vs {len(sks)}"
+        )
     small = _to_arrow(small)
-    if small_key and small_key != key:
+    ren = dict(zip(sks, keys))
+    if any(a != b for a, b in ren.items()):
         small = small.rename_columns(
-            [key if c == small_key else c for c in small.column_names]
+            [ren.get(c, c) for c in small.column_names]
         )
     ref = ray.put(small.combine_chunks())
     join_type = _JOIN_TYPE[how]
 
     def fn(batch: pa.Table) -> pa.Table:
         sm = ray.get(ref)  # zero-copy from the object store
-        bt = batch.schema.field(key).type
-        st = sm.schema.field(key).type
-        if bt != st:
-            # mismatched key types never match in Acero; cast the small
-            # side (safe cast: a lossy float->int raises instead of
-            # silently truncating)
-            i = sm.column_names.index(key)
-            sm = sm.set_column(i, key, sm.column(key).cast(bt, safe=True))
-        bcol = batch.column(key).combine_chunks()
-        nb = normalize_zeros(bcol)
-        if nb is not bcol:  # float key: -0.0 == +0.0 per SQL, but Acero
-            batch = batch.set_column(  # hashes them apart
-                batch.column_names.index(key), key, nb)
-            i = sm.column_names.index(key)
-            sm = sm.set_column(
-                i, key, normalize_zeros(sm.column(key).combine_chunks()))
-        return batch.join(sm, keys=key, join_type=join_type)
+        for k in keys:
+            bt = batch.schema.field(k).type
+            st = sm.schema.field(k).type
+            if bt != st:
+                # mismatched key types never match in Acero; cast the small
+                # side (safe cast: a lossy float->int raises instead of
+                # silently truncating)
+                i = sm.column_names.index(k)
+                sm = sm.set_column(i, k, sm.column(k).cast(bt, safe=True))
+            bcol = batch.column(k).combine_chunks()
+            nb = normalize_zeros(bcol)
+            if nb is not bcol:  # float key: -0.0 == +0.0 per SQL, but
+                batch = batch.set_column(  # Acero hashes them apart
+                    batch.column_names.index(k), k, nb)
+                i = sm.column_names.index(k)
+                sm = sm.set_column(
+                    i, k, normalize_zeros(sm.column(k).combine_chunks()))
+        return batch.join(sm, keys=keys, join_type=join_type)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)

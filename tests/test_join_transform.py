@@ -485,3 +485,18 @@ def test_distinct_rows_matches_sql_semantics(ray_session):
         assert len(got) == 4
         zero = got[got["x"] == 0.0]["x"]
         assert len(zero) == 1 and not np.signbit(zero.iloc[0])
+
+
+def test_broadcast_join_composite_keys(ray_session):
+    """r3: broadcast_join matches hash_join's composite-key surface."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import broadcast_join
+
+    big = rd.from_pandas(pd.DataFrame({
+        "a": [1, 1, 2], "b": [10, 20, 10], "v": ["x", "y", "z"],
+    }))
+    small = pd.DataFrame({"ka": [1, 2], "kb": [10, 10], "name": ["p", "q"]})
+    got = broadcast_join(big, small, key=["a", "b"],
+                         small_key=["ka", "kb"]).to_pandas()
+    assert sorted(zip(got["v"], got["name"])) == [("x", "p"), ("z", "q")]

@@ -302,6 +302,13 @@ def distinct_rows(ds, columns: Optional[list[str]] = None,
         sel = cols or batch.column_names
         out = batch.select(sel)
         for c in sel:
+            t = out.schema.field(c).type
+            if pa.types.is_nested(t):
+                raise ValueError(
+                    f"distinct_rows supports primitive columns only; "
+                    f"{c!r} is {t} — hash or serialize nested values first"
+                )
+        for c in sel:
             col = out.column(c).combine_chunks()
             norm = normalize_zeros(col)
             if norm is not col:

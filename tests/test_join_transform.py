@@ -500,3 +500,16 @@ def test_broadcast_join_composite_keys(ray_session):
     got = broadcast_join(big, small, key=["a", "b"],
                          small_key=["ka", "kb"]).to_pandas()
     assert sorted(zip(got["v"], got["name"])) == [("x", "p"), ("z", "q")]
+
+
+def test_distinct_rows_nested_columns_refused(ray_session):
+    """distinct_rows on nested (list/struct/map) columns refuses loudly —
+    pandas drop_duplicates would raise an opaque unhashable-type error."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsschema_ray.stages.uniqueness import distinct_rows
+
+    t = pa.table({"x": [[1, 2], [1, 2], [3]]})
+    with pytest.raises(Exception, match="primitive columns"):
+        distinct_rows(rd.from_arrow(t)).to_pandas()

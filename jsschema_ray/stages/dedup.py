@@ -454,6 +454,10 @@ class Shingles:
         n = len(texts)
         g, gdoc = _batch_shingles(texts, self.k)
         h = (g >> np.uint64(1)).astype("<i8")
+        if len(h) == 0:  # empty batch: np.r_[True, ...] would emit a
+            return batch.append_column(  # 1-long mask for 0 grams
+                self.out_column, pa.array([], type=pa.binary())
+            )
         # per-doc sorted unique, batch-wide: one lexsort + adjacent-dup mask
         order = np.lexsort((h, gdoc))
         hs, ds_ = h[order], gdoc[order]

@@ -658,3 +658,32 @@ def test_sampling_and_quota_operators(ray_session):
     bad = pd.DataFrame({"doc_id": [0, _MAX_KEY + 1], "lang": ["en", "en"]})
     with pytest.raises(Exception, match="mirrorable|remap"):
         hash_sample(rd.from_pandas(bad), "doc_id", 0.5).to_pandas()
+
+
+def test_kernels_handle_empty_batches():
+    """Ray can hand any map_batches stage an EMPTY block; every per-doc
+    kernel must return a typed empty batch (caught live: Shingles'
+    adjacent-dup mask was 1-long for 0 grams)."""
+    import pyarrow as pa
+
+    from jsschema_ray.stages.dedup import MinHashSignatures, Shingles, SimHash
+    from jsschema_ray.stages.multimodal import AudioFeatures, FrameSample
+    from jsschema_ray.stages.text import Fingerprint, LangId, TextStats
+
+    empty_txt = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "text": pa.array([], type=pa.string())})
+    for stage in (MinHashSignatures(), Shingles(), SimHash(), TextStats(),
+                  LangId(), Fingerprint()):
+        out = stage(empty_txt)
+        assert out.num_rows == 0, type(stage).__name__
+    assert FrameSample()(pa.table({
+        "video_id": pa.array([], type=pa.string()),
+        "bytes": pa.array([], type=pa.binary()),
+        "n_frames": pa.array([], type=pa.int32()),
+        "fps": pa.array([], type=pa.float64()),
+    })).num_rows == 0
+    assert AudioFeatures()(pa.table({
+        "audio_id": pa.array([], type=pa.string()),
+        "bytes": pa.array([], type=pa.binary()),
+        "sr": pa.array([], type=pa.int32()),
+    })).num_rows == 0

@@ -78,9 +78,13 @@ def referential_violations(
     if strategy == "auto":
         import ray.data as rd
 
-        if isinstance(ref, rd.Dataset) and ref_column is not None \
-                and ref.count() > max_broadcast_keys:
-            strategy = "shuffle"
+        if isinstance(ref, rd.Dataset) and ref_column is not None:
+            # project + materialize ONCE: the count and the chosen path
+            # (broadcast key-collect or shuffle join) then reuse the same
+            # blocks instead of re-executing the ref-side lineage
+            ref = ref.select_columns([ref_column]).materialize()
+            strategy = ("shuffle" if ref.count() > max_broadcast_keys
+                        else "broadcast")
         else:
             strategy = "broadcast"
     if strategy == "shuffle":

@@ -210,6 +210,7 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
                         ("keys", pa.list_(pa.int64()))])
     hashed = add_content_hash(ds, column, batch_size=batch_size)
     dup = None
+    _wrap_dataset = False
     if strategy == "auto":
         from jsschema_ray.stages.uniqueness import duplicate_keys
 
@@ -221,11 +222,8 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
         if dup.count() > max_broadcast_keys:
             strategy = "shuffle"
         else:
-            return rd.from_arrow(
-                exact_duplicate_groups(ds, column, key_column, batch_size,
-                                       strategy="collect",
-                                       num_parts=num_parts)
-            )
+            strategy = "collect"
+            _wrap_dataset = True
     if strategy == "shuffle":
         from jsschema_ray.stages.join import hash_join
         from jsschema_ray.stages.uniqueness import duplicate_keys
@@ -271,9 +269,15 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
         ).groupby("part").map_groups(group_part, batch_format="pandas")
     if strategy != "collect":
         raise ValueError(f"unknown strategy {strategy!r}")
-    members = _dup_hash_members(hashed, [column], key_column, batch_size)
+    members = _dup_hash_members(hashed, [column], key_column, batch_size,
+                                dup=dup)
     if members is None:
-        return pa.Table.from_pylist([], schema=schema)
+        empty = pa.Table.from_pylist([], schema=schema)
+        if _wrap_dataset:
+            import ray.data as rd
+
+            return rd.from_arrow(empty)
+        return empty
     rows = [
         {"content_hash": int(g["content_hash"].iloc[0]), "n_rows": len(g),
          "keys": sorted(g[key_column].tolist())}
@@ -281,7 +285,12 @@ def exact_duplicate_groups(ds, column: str, key_column: str,
         if len(g) > 1  # hash collided but contents differ: not duplicates
     ]
     rows.sort(key=lambda r: (r["content_hash"], r["keys"]))
-    return pa.Table.from_pylist(rows, schema=schema)
+    out = pa.Table.from_pylist(rows, schema=schema)
+    if _wrap_dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(out)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -687,3 +687,32 @@ def test_kernels_handle_empty_batches():
         "bytes": pa.array([], type=pa.binary()),
         "sr": pa.array([], type=pa.int32()),
     })).num_rows == 0
+
+
+def test_hash_sample_randomized_params_vs_duckdb(ray_session):
+    """Randomized (fraction, seed) sweep of the mix32 sampler against the
+    DuckDB mirror — the selection must be IDENTICAL row sets for any
+    parameterization, not just the oracled one."""
+    import duckdb
+    import ray.data as rd
+
+    from jsschema_ray.stages.sampling import (KNUTH_A, hash_sample,
+                                              sample_threshold)
+
+    pdf = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang"]).to_pandas()
+    ds = rd.from_pandas(pdf).repartition(3)
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        frac = float(rng.uniform(0.05, 0.95))
+        seed = int(rng.integers(0, 10_000))
+        got = sorted(hash_sample(ds, "doc_id", frac, seed=seed)
+                     .to_pandas()["doc_id"])
+        thr = sample_threshold(frac)
+        want = sorted(con.execute(
+            f"SELECT doc_id FROM docs "
+            f"WHERE ((doc_id + {seed}) * {KNUTH_A}) % 4294967296 < {thr}"
+        ).df()["doc_id"])
+        assert got == want, (frac, seed, len(got), len(want))

@@ -36,7 +36,25 @@ def read_table(path: str, columns: Optional[list[str]] = None,
                 "where pylance is available (ray.data.read_lance)"
             ) from e
         return rd.read_lance(path, columns=columns, **kwargs)
+    if path.endswith((".jsonl", ".json")) or _dir_of(path, ".jsonl"):
+        # JSONL corpus (the reference's native input format is JSON docs);
+        # ray.data.read_json has no column pushdown, so project right
+        # after the read to keep downstream blocks narrow
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith(".csv") or _dir_of(path, ".csv"):
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _dir_of(path: str, ext: str) -> bool:
+    """True when ``path`` is a directory whose data files are all ``ext``
+    (mixed dirs fall through to the parquet reader)."""
+    if not os.path.isdir(path):
+        return False
+    files = [f for f in os.listdir(path) if not f.startswith((".", "_"))]
+    return bool(files) and all(f.endswith(ext) for f in files)
 
 
 def input_shards(path: str) -> list[str]:

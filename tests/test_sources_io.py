@@ -71,3 +71,37 @@ def test_versions_dir_detected_as_lance(tmp_path, monkeypatch, ray_session):
     d = tmp_path / "tbl"
     (d / "_versions").mkdir(parents=True)
     assert io_mod.read_table(str(d)).count() == 1
+
+
+def test_jsonl_and_csv_paths(tmp_path, ray_session):
+    """read_table dispatches JSONL and CSV corpora with post-read column
+    projection (ray.data.read_json/read_csv have no pushdown) and keeps
+    parquet as the default."""
+    import json
+
+    import pandas as pd
+
+    from jsschema_ray.sources.io import read_table
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "extra": i * 2}
+            for i in range(20)]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_table(str(jl), columns=["doc_id", "text"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text"] and len(df) == 20
+
+    cs = tmp_path / "docs.csv"
+    pd.DataFrame(rows).to_csv(cs, index=False)
+    ds = read_table(str(cs), columns=["doc_id", "extra"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["doc_id", "extra"] and len(df) == 20
+
+    # a directory of jsonl shards
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(2):
+        (d / f"part-{s}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows[s * 10:(s + 1) * 10]))
+    ds = read_table(str(d), columns=["doc_id"])
+    assert ds.count() == 20

@@ -404,13 +404,29 @@ def range_join(left, right, value: str, lo: str, hi: str,
 
 def hash_join(left, right, key, num_buckets: int = 64,
               how: str = "inner", batch_size: int = 65536,
-              right_key=None):
+              right_key=None, hot_keys=None, salt: int = 8):
     """Partitioned hash join of two Datasets on ``key`` (a column name or a
     LIST of names — composite keys bucket on a combined rolling hash and
     join on the full column list): bucket both sides, union, one shuffle,
-    per-bucket `pa.Table.join`."""
+    per-bucket `pa.Table.join`.
+
+    EXPLICIT SKEW SALTING (north_rule): pass ``hot_keys`` (values of the
+    FIRST key column identified by a heavy-hitter pass, e.g.
+    `stages/stats.top_k_exact`) to spread each hot key over ``salt``
+    buckets — left hot rows are striped round-robin across the salt range
+    (each row to exactly ONE salted bucket) while right hot rows are
+    REPLICATED into every salted bucket, so every left row still meets
+    every right row of its key exactly once. Exact for 'inner'/'left'
+    (the replication factor is salt × hot right rows — keep hot_keys to
+    the true heavy hitters); 'right'/'outer'/'semi'/'anti' would emit the
+    replicated right rows multiple times and are refused with hot_keys."""
     if how not in _JOIN_TYPE:
         raise ValueError(f"unknown join how={how!r}; one of {list(_JOIN_TYPE)}")
+    if hot_keys is not None and how not in ("inner", "left"):
+        raise ValueError(
+            "hot-key salting replicates right rows, which is only exact "
+            "for how in ('inner','left')"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     rks = (keys if right_key is None
            else ([right_key] if isinstance(right_key, str)
@@ -461,8 +477,16 @@ def hash_join(left, right, key, num_buckets: int = 64,
     col_types.update(key_types)
     union_cols = lcols + [c for c in rcols if c not in keys]
 
+    hot_arr = None
+    if hot_keys is not None:
+        hot_arr = normalize_zeros(
+            pa.array(list(hot_keys)).cast(key_types[keys[0]])
+        )
+
     def tag(side: int, colnames: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             out = batch
             rmap = dict(zip(colnames, keys))
             if rmap and any(a != b for a, b in rmap.items()):
@@ -482,6 +506,28 @@ def hash_join(left, right, key, num_buckets: int = 64,
                 hk = hash64(kcol)
                 with np.errstate(over="ignore"):
                     h = hk if h is None else h * np.uint64(1000003) + hk
+            if hot_arr is not None and len(out):
+                hot = pc.fill_null(
+                    pc.is_in(out.column(keys[0]).combine_chunks(),
+                             value_set=hot_arr), False
+                ).to_numpy(zero_copy_only=False)
+                if side == 0:
+                    # stripe left hot rows round-robin over the salt range
+                    salt_idx = np.where(
+                        hot, np.arange(len(out)) % salt, 0
+                    ).astype(np.uint64)
+                else:
+                    # replicate right hot rows into EVERY salted bucket
+                    rep = np.where(hot, salt, 1).astype(np.int64)
+                    take = np.repeat(np.arange(len(out)), rep)
+                    out = out.take(pa.array(take))
+                    h = h[take]
+                    salt_idx = (
+                        np.arange(int(rep.sum()))
+                        - np.repeat(np.cumsum(rep) - rep, rep)
+                    ).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    h = h + salt_idx * np.uint64(0x9E3779B97F4A7C15)
             bucket = (h % np.uint64(num_buckets)).astype(np.int32)
             # pad to the combined schema (typed nulls) so union is clean
             for c in union_cols:
@@ -493,7 +539,7 @@ def hash_join(left, right, key, num_buckets: int = 64,
             return out.append_column(
                 "__bucket", pa.array(bucket)
             ).append_column(
-                "__side", pa.array(np.full(len(batch), side, dtype=np.int8))
+                "__side", pa.array(np.full(len(out), side, dtype=np.int8))
             )
 
         return fn

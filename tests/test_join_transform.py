@@ -513,3 +513,35 @@ def test_distinct_rows_nested_columns_refused(ray_session):
     t = pa.table({"x": [[1, 2], [1, 2], [3]]})
     with pytest.raises(Exception, match="primitive columns"):
         distinct_rows(rd.from_arrow(t)).to_pandas()
+
+
+def test_hash_join_hot_key_salting(ray_session):
+    """north_rule skew salting: hot keys stripe the left side over `salt`
+    buckets with the right side's hot rows replicated to each — output is
+    IDENTICAL to the unsalted join for inner/left; other modes refuse."""
+    import numpy as np
+    import ray.data as rd
+
+    from jsschema_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(9)
+    # 60% of left rows share one Zipf-hot key
+    lk = np.where(rng.random(3000) < 0.6, 777, rng.integers(0, 500, 3000))
+    left = pd.DataFrame({"k": lk.astype(np.int64), "lv": np.arange(3000)})
+    right = pd.DataFrame({"k": np.arange(400, 800, dtype=np.int64),
+                          "rv": np.arange(400)})
+    ldf, rdf = rd.from_pandas(left).repartition(4), \
+        rd.from_pandas(right).repartition(2)
+
+    for how in ("inner", "left"):
+        plain = hash_join(ldf, rdf, key="k", how=how).to_pandas()
+        salted = hash_join(ldf, rdf, key="k", how=how,
+                           hot_keys=[777], salt=8).to_pandas()
+        pa_cols = sorted(plain.columns)
+        a = plain[pa_cols].sort_values(pa_cols).reset_index(drop=True)
+        b = salted[pa_cols].sort_values(pa_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.fillna(-1), b.fillna(-1),
+                                      check_dtype=False)
+
+    with pytest.raises(ValueError, match="salting"):
+        hash_join(ldf, rdf, key="k", how="outer", hot_keys=[777])

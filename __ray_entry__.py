@@ -861,6 +861,73 @@ def q_quality(sf_dir: str):
     return out.map_batches(fn, batch_format="pyarrow").sort(["doc_id"])
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition/boilerplate signals per document (total /
+    distinct \\w+ tokens, most-frequent-bigram count) — integer outputs
+    only, so the DuckDB list-lambda mirror hash-compares exactly
+    (stages/text.Repetition; r3 training-data operator)."""
+    from jsschema_ray.stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds).sort(["doc_id"])
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination scan: word-3-gram overlap of every document
+    against the broadcast gram set of the 'eval' slice (doc_id % 50 == 0)
+    — the train/test decontamination check of LLM data pipelines. Two
+    scans: eval grams collected + ray.put once, corpus streamed with a
+    sorted-array isin per batch (stages/text.contamination_check).
+    DuckDB-oracled via an UNNEST + join gram mirror."""
+    from jsschema_ray.stages.text import contamination_check
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_ds = _mod_filter(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          "doc_id", 50, [0])
+    return contamination_check(docs, eval_ds, n=3).sort(["doc_id"])
+
+
+def q_pii_redact(sf_dir: str):
+    """PII detection + redaction (email/phone/ipv4 regex classes, RE2-safe
+    pattern strings shared verbatim with the DuckDB oracle): counts per
+    class on the original text, then ordered redaction. PII substrings are
+    synthesized deterministically onto the corpus inside the query (the
+    testdata text is clean words), with the same concatenation mirrored in
+    SQL (stages/text.PiiRedact)."""
+    from jsschema_ray.stages.text import pii_redact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_pii(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        mod = df.doc_id % 10
+        suffix = np.where(
+            mod == 0,
+            " contact user" + df.doc_id.astype(str) + "@example.com",
+            np.where(
+                mod == 5,
+                " from 10.0." + (df.doc_id % 256).astype(str) + ".42",
+                np.where(
+                    mod == 7,
+                    " call 321-555-"
+                    + (df.doc_id % 10000).astype(str).str.zfill(4),
+                    "",
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array((df.text + suffix).to_numpy(dtype=object),
+                                 type=pa.string()),
+            }
+        )
+
+    return pii_redact(
+        ds.map_batches(add_pii, batch_format="pyarrow")
+    ).sort(["doc_id"])
+
+
 def _sampling_oracle_sql() -> dict[str, str]:
     """SQL mirrors of the mix32 sample selections, built from the SAME
     constants/thresholds the engine uses."""
@@ -1097,6 +1164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "stopword_counts": q_stopword_counts,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1128,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
     # stopword/lang-id oracles interpolate the SAME profile word lists the
     # engine uses (jsschema_ray/stages/text.py) so the two can never drift
     from jsschema_ray.stages.text import _LANG_PROFILES
+    from jsschema_ray.stages.text import PII_PATTERNS as _PII
 
     def _inlist(words) -> str:
         return ", ".join(f"'{w}'" for w in sorted(words))
@@ -1204,6 +1275,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(stop_ratio * 10000) AS BIGINT)
                        AS stop_ratio_x1e4
             FROM q ORDER BY doc_id
+        """,
+        # repetition signals: integer-only outputs over the \w+ tokenizer
+        # ([a-z0-9_]+ after LOWER — this corpus is pure ASCII, verified)
+        "repetition": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 b AS (SELECT doc_id,
+                              LIST_TRANSFORM(RANGE(1, LEN(w)),
+                                  i -> w[i] || ' ' || w[i+1]) AS bigs
+                       FROM t),
+                 e AS (SELECT doc_id, UNNEST(bigs) AS g FROM b),
+                 c AS (SELECT doc_id, g, COUNT(*) AS n FROM e GROUP BY 1, 2),
+                 m AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM c
+                       GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(LEN(w) AS BIGINT) AS n_tokens,
+                   CAST(LEN(LIST_DISTINCT(w)) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(m.top_bigram_n, 0) AS BIGINT)
+                       AS top_bigram_n
+            FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+            ORDER BY t.doc_id
+        """,
+        # contamination: gram STRINGS here vs the engine's 64-bit gram
+        # hashes — identical results unless the polynomial hash collides
+        # (odds ~grams^2/2^64; this gate would catch it)
+        "contamination": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                  AS grams
+                       FROM t),
+                 ev AS (SELECT DISTINCT UNNEST(grams) AS gr FROM g
+                        WHERE doc_id % 50 = 0),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 h AS (SELECT p.doc_id, COUNT(*) AS hits FROM p
+                       JOIN ev ON p.gr = ev.gr GROUP BY 1)
+            SELECT g.doc_id, CAST(LEN(grams) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.hits, 0) AS BIGINT) AS contam_hits
+            FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+            ORDER BY g.doc_id
+        """,
+        # PII: the SAME RE2-safe pattern strings the engine compiles
+        # (stages/text.PII_PATTERNS), same synthesis, same redaction order
+        "pii_redact": f"""
+            WITH t2 AS (
+                SELECT doc_id,
+                       text || CASE
+                         WHEN doc_id % 10 = 0 THEN ' contact user'
+                              || CAST(doc_id AS VARCHAR) || '@example.com'
+                         WHEN doc_id % 10 = 5 THEN ' from 10.0.'
+                              || CAST(doc_id % 256 AS VARCHAR) || '.42'
+                         WHEN doc_id % 10 = 7 THEN ' call 321-555-'
+                              || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS text
+                FROM documents)
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(text, '{_PII["email"]}'))
+                        AS BIGINT) AS n_email,
+                   CAST(LEN(regexp_extract_all(text, '{_PII["phone"]}'))
+                        AS BIGINT) AS n_phone,
+                   CAST(LEN(regexp_extract_all(text, '{_PII["ipv4"]}'))
+                        AS BIGINT) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII["email"]}', '<EMAIL>', 'g'),
+                       '{_PII["phone"]}', '<PHONE>', 'g'),
+                       '{_PII["ipv4"]}', '<IPV4>', 'g') AS redacted
+            FROM t2 ORDER BY doc_id
         """,
         # sampling/quota: the mix32 selection is exact int64 arithmetic, so
         # the SQL mirror selects the IDENTICAL rows (threshold computed

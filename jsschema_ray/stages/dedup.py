@@ -311,12 +311,17 @@ def _word_shingles(text: str, k: int) -> np.ndarray:
 _GRAM_P = np.uint64(1099511628211)
 
 
-def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _batch_shingles(texts, k: int,
+                    full_only: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Batch-wide word-k-gram shingle hashes: ONE regex findall + explode
     over the whole batch, ONE hash64 over all words, and the k-gram hash is
     a k-term polynomial of consecutive word hashes (vectorized adds) — no
     per-document Python loop, no gram-string joins (VERDICT r2 'what's
     wrong' #2; the same explode shape SimHash already uses).
+
+    ``full_only=True`` emits only complete k-grams (docs with < k words get
+    zero grams instead of the whole-run / empty-string fallbacks) — the
+    semantics SQL n-gram mirrors use (contamination_check).
 
     Returns (gram_hashes uint64, gram_doc_idx int64) with grams grouped by
     ascending doc index and >= 1 gram per doc. A gram hash identifies a
@@ -358,6 +363,8 @@ def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
         # short docs (one gram = the whole word run), one vectorized pass
         # per distinct length 1..k-1
         for m in range(1, k):
+            if full_only:
+                break
             sel = counts == m
             if not sel.any():
                 continue
@@ -369,7 +376,7 @@ def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
             gram_h.append(g)
             gram_doc.append(docs)
     # empty docs: sentinel == hash of the empty string
-    empty = counts == 0
+    empty = (counts == 0) & (not full_only)
     if empty.any():
         sent = hash64(np.array([""], dtype=object))[0]
         docs = np.flatnonzero(empty)

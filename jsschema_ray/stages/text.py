@@ -208,3 +208,205 @@ def fingerprint(ds, column: str = "text", batch_size: int = 4096, **kw):
         Fingerprint(column=column), batch_format="pyarrow",
         batch_size=batch_size, **kw,
     )
+
+
+# --------------------------------------------------------------------------
+# repetition / boilerplate scoring (Gopher-style repetition signals)
+# --------------------------------------------------------------------------
+
+class Repetition:
+    """Per-document repetition signals (the boilerplate detectors of the
+    Gopher/C4 data-quality rules, public): total \\w+ tokens, distinct
+    tokens, and the occurrence count of the most frequent bigram. All
+    integer outputs — no float ratio can hit a rounding boundary between
+    engines (callers derive ratios). Vectorized: one findall/explode per
+    batch, C-level groupby nunique/size — no per-row Python."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = batch.column(self.column).to_pandas().fillna("")
+        s = s.reset_index(drop=True)
+        toks = s.str.lower().str.findall(r"\w+")
+        n_tok = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        exploded = toks.explode().dropna()
+        n_distinct = (
+            exploded.groupby(level=0).nunique()
+            .reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
+        )
+        # most-frequent-bigram count: adjacent pairs within each doc
+        # (exact strings — C-level groupby size, then per-doc max)
+        top_big = np.zeros(len(s), dtype=np.int64)
+        if len(exploded):
+            nxt = exploded.groupby(level=0).shift(-1)
+            mask = nxt.notna()
+            if mask.any():
+                big = exploded[mask] + " " + nxt[mask]
+                vc = (
+                    pd.DataFrame({"d": big.index, "g": big.to_numpy()})
+                    .groupby(["d", "g"], sort=False).size()
+                )
+                mx = vc.groupby(level=0).max()
+                top_big[mx.index.to_numpy()] = mx.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "top_bigram_n": pa.array(top_big, type=pa.int64()),
+            }
+        )
+
+
+def repetition_stats(ds, column: str = "text", id_column: str = "doc_id",
+                     batch_size: int = 8192, **kw):
+    return ds.map_batches(
+        Repetition(column=column, id_column=id_column),
+        batch_format="pyarrow", batch_size=batch_size, **kw,
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark-contamination check (n-gram overlap vs a broadcast eval set)
+# --------------------------------------------------------------------------
+
+def collect_gram_set(ds, column: str = "text", n: int = 3,
+                     batch_size: int = 8192) -> np.ndarray:
+    """Distinct word-n-gram hashes of ``ds[column]`` (the benchmark/eval
+    side of a contamination check). Per-batch unique gram hashes are
+    blob-packed into one binary row each; the driver unions the partials.
+    Documented bound: the DISTINCT grams of the eval set fit the driver —
+    benchmark suites are tiny next to a training corpus by construction
+    (the corpus side streams; only this side is collected)."""
+    from jsschema_ray.stages.dedup import _batch_shingles
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).to_pylist()
+        g, _ = _batch_shingles(texts, n, full_only=True)
+        u = np.unique(g)
+        return pa.table({"grams": pa.array([u.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=batch_size).take_all()
+    arrs = [np.frombuffer(r["grams"], dtype=np.uint64) for r in parts]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
+class ContaminationCheck:
+    """Counts, per document, the word-n-gram POSITIONS whose n-gram appears
+    in the broadcast benchmark gram set (the standard train/test-overlap
+    decontamination scan). The eval set ships once via ``ray.put`` (read
+    zero-copy in every task, never re-serialized per batch); matching is a
+    sorted-array ``np.isin`` over the batch's gram hashes. Gram identity is
+    the 64-bit polynomial word-sequence hash (collision odds ~n_grams^2 /
+    2^64 — vanishing, and deterministic for a given corpus; the DuckDB
+    oracle matches gram STRINGS, so the parity gate would catch one)."""
+
+    def __init__(self, gram_ref, column: str = "text",
+                 id_column: str = "doc_id", n: int = 3):
+        self.gram_ref = gram_ref
+        self.column = column
+        self.id_column = id_column
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from jsschema_ray.stages.dedup import _batch_shingles
+
+        ev = ray.get(self.gram_ref)
+        texts = batch.column(self.column).to_pylist()
+        g, gdoc = _batch_shingles(texts, self.n, full_only=True)
+        n_rows = batch.num_rows
+        n_grams = np.bincount(gdoc, minlength=n_rows) if len(gdoc) else \
+            np.zeros(n_rows, dtype=np.int64)
+        if len(g) and len(ev):
+            hit = np.isin(g, ev)
+            hits = np.bincount(gdoc[hit], minlength=n_rows)
+        else:
+            hits = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                "n_grams": pa.array(n_grams.astype(np.int64)),
+                "contam_hits": pa.array(hits.astype(np.int64)),
+            }
+        )
+
+
+def contamination_check(ds, eval_ds, column: str = "text",
+                        id_column: str = "doc_id", n: int = 3,
+                        batch_size: int = 8192, **kw):
+    """Two-scan decontamination: scan 1 collects the eval set's distinct
+    n-gram hashes (small side, driver-unioned, broadcast once); scan 2
+    streams the corpus counting per-doc gram hits. Returns a Dataset of
+    (id, n_grams, contam_hits)."""
+    import ray
+
+    grams = collect_gram_set(eval_ds, column=column, n=n,
+                             batch_size=batch_size)
+    ref = ray.put(grams)
+    return ds.map_batches(
+        ContaminationCheck(ref, column=column, id_column=id_column, n=n),
+        batch_format="pyarrow", batch_size=batch_size, **kw,
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (regex classes, RE2-safe in BOTH engines)
+# --------------------------------------------------------------------------
+
+#: PII regex classes — written to the RE2-COMPATIBLE subset (no lookarounds,
+#: no backrefs) so the SAME pattern strings drive Python `re` here and
+#: DuckDB's RE2 in the oracle; interpolated into both from this one place
+#: so the two can never drift (same trick as the _LANG_PROFILES oracles).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+#: redaction order matters (email bodies contain dots/digits — redact them
+#: before the ipv4 class scans) and is mirrored by the oracle's nested
+#: regexp_replace
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+class PiiRedact:
+    """Counts each PII class on the ORIGINAL text, then redacts classes in
+    PII_ORDER (replacement = '<CLASS>'). Regexes are compiled once per
+    actor in ``__init__``; counting/replacing is pandas str.count/replace
+    (C loop over rows)."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+        self.compiled = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.column).to_pandas().fillna("")
+        cols: dict[str, Any] = {self.id_column: batch.column(self.id_column)}
+        for name in PII_ORDER:
+            cols[f"n_{name}"] = pa.array(
+                s.str.count(self.compiled[name]).to_numpy(dtype=np.int64)
+            )
+        red = s
+        for name in PII_ORDER:
+            red = red.str.replace(self.compiled[name], f"<{name.upper()}>",
+                                  regex=True)
+        cols["redacted"] = pa.array(red.to_numpy(dtype=object),
+                                    type=pa.string())
+        return pa.table(cols)
+
+
+def pii_redact(ds, column: str = "text", id_column: str = "doc_id",
+               batch_size: int = 8192, **kw):
+    return ds.map_batches(
+        PiiRedact(column=column, id_column=id_column),
+        batch_format="pyarrow", batch_size=batch_size, **kw,
+    )

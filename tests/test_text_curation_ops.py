@@ -1,0 +1,113 @@
+"""Unit semantics for the round-3 text-curation operators: repetition
+signals, benchmark-contamination scan, PII redaction. The DuckDB parity
+gate (test_oracle_parity) covers the full-corpus equality; these pin the
+edge cases SQL rows never hit (nulls, empties, ordering hazards)."""
+
+import numpy as np
+import pyarrow as pa
+
+from jsschema_ray.stages.dedup import _batch_shingles
+from jsschema_ray.stages.text import (
+    ContaminationCheck,
+    PiiRedact,
+    Repetition,
+    collect_gram_set,
+    contamination_check,
+)
+
+
+def _tbl(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+class TestRepetition:
+    def test_counts_and_top_bigram(self):
+        out = Repetition()(_tbl(["a b a b c", "x y z", "", None])).to_pandas()
+        assert out.n_tokens.tolist() == [5, 3, 0, 0]
+        assert out.n_distinct.tolist() == [3, 3, 0, 0]
+        # bigrams of doc0: (a b) x2, (b a), (b c) -> max 2
+        assert out.top_bigram_n.tolist() == [2, 1, 0, 0]
+
+    def test_single_token_doc_has_no_bigram(self):
+        out = Repetition()(_tbl(["word"])).to_pandas()
+        assert out.n_tokens.tolist() == [1]
+        assert out.top_bigram_n.tolist() == [0]
+
+    def test_case_folded(self):
+        out = Repetition()(_tbl(["The THE the"])).to_pandas()
+        assert out.n_distinct.tolist() == [1]
+        assert out.top_bigram_n.tolist() == [2]
+
+
+class TestBatchShinglesFullOnly:
+    def test_short_and_empty_docs_get_zero_grams(self):
+        g, gdoc = _batch_shingles(["a b c d", "a b", ""], 3, full_only=True)
+        assert len(g) == 2  # only doc 0's two full 3-grams
+        assert gdoc.tolist() == [0, 0]
+
+    def test_default_mode_unchanged(self):
+        g, gdoc = _batch_shingles(["a b c d", "a b", ""], 3)
+        # doc0: 2 grams, doc1: whole-run gram, doc2: empty sentinel
+        assert gdoc.tolist() == [0, 0, 1, 2]
+
+
+class TestContamination:
+    def test_hits_count_positions_with_multiplicity(self, ray_session):
+        import ray
+
+        ev, _ = _batch_shingles(["q w e"], 3, full_only=True)
+        ref = ray.put(np.unique(ev))
+        stage = ContaminationCheck(ref, n=3)
+        out = stage(_tbl(["q w e r q w e", "a b c", "xy"])).to_pandas()
+        # doc0 grams: qwe, wer, erq, rqw, qwe -> 2 hits of 'q w e'
+        assert out.n_grams.tolist() == [5, 1, 0]
+        assert out.contam_hits.tolist() == [2, 0, 0]
+
+    def test_end_to_end_on_datasets(self, ray_session):
+        import ray.data as rd
+
+        corpus = rd.from_arrow(_tbl(["a b c d", "z z z", "a b c"]))
+        eval_ds = rd.from_arrow(_tbl(["x a b c y"]))
+        out = contamination_check(corpus, eval_ds, n=3).to_pandas() \
+            .sort_values("doc_id")
+        assert out.contam_hits.tolist() == [1, 0, 1]
+
+    def test_empty_eval_set(self, ray_session):
+        import ray.data as rd
+
+        corpus = rd.from_arrow(_tbl(["a b c d"]))
+        eval_ds = rd.from_arrow(_tbl([""]))
+        out = contamination_check(corpus, eval_ds, n=3).to_pandas()
+        assert out.contam_hits.tolist() == [0]
+
+    def test_collect_gram_set_unions_batches(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_tbl(["a b c", "a b c", "d e f"]))
+        grams = collect_gram_set(ds, n=3, batch_size=1)
+        assert len(grams) == 2  # distinct across batches
+
+
+class TestPiiRedact:
+    def test_counts_on_original_redaction_ordered(self):
+        out = PiiRedact()(_tbl(
+            ["mail bob.x@ex.org or jo@a.io", "10.1.2.3 and 321-555-0042",
+             None]
+        )).to_pandas()
+        assert out.n_email.tolist() == [2, 0, 0]
+        assert out.n_phone.tolist() == [0, 1, 0]
+        assert out.n_ipv4.tolist() == [0, 1, 0]
+        assert out.redacted.tolist() == [
+            "mail <EMAIL> or <EMAIL>", "<IPV4> and <PHONE>", ""]
+
+    def test_email_redacted_before_ipv4_class_scans(self):
+        # 'a@b12.34.56.78.com' is ONE email; redacting email first means
+        # the dotted-quad inside it never surfaces as an ipv4 REDACTION,
+        # but the count (on the original text) still sees it — pinned
+        out = PiiRedact()(_tbl(["a@b12.34.56.78.com"])).to_pandas()
+        assert out.n_email.tolist() == [1]
+        assert out.n_ipv4.tolist() == [1]  # counted on original
+        assert out.redacted.tolist() == ["<EMAIL>"]  # but not re-redacted

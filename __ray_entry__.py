@@ -928,6 +928,30 @@ def q_pii_redact(sf_dir: str):
     ).sort(["doc_id"])
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (stages/packing.pack_sequences): tokenize ->
+    assign every document its (seq_id, seq_offset) in 256-token training
+    sequences laid out in doc_id order — the context-window packing step
+    of a pretraining pipeline, as a distributed two-scan prefix sum
+    (per-bin partial sums -> driver O(#bins) fold -> seeded in-partition
+    cumsum). Integer-only outputs; DuckDB-oracled via a window SUM."""
+    from jsschema_ray.stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        n = s.str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tokens": pa.array(n, type=pa.int64())}
+        )
+
+    weighted = ds.map_batches(tok, batch_format="pyarrow")
+    return pack_sequences(weighted, "doc_id", "n_tokens", budget=256,
+                          bin_width=64).sort(["doc_id"])
+
+
 def _sampling_oracle_sql() -> dict[str, str]:
     """SQL mirrors of the mix32 sample selections, built from the SAME
     constants/thresholds the engine uses."""
@@ -1167,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1348,6 +1373,21 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII["phone"]}', '<PHONE>', 'g'),
                        '{_PII["ipv4"]}', '<IPV4>', 'g') AS redacted
             FROM t2 ORDER BY doc_id
+        """,
+        # packing: pure int64 window-SUM mirror of the two-scan prefix sum
+        "pack_sequences": f"""
+            WITH w AS (SELECT doc_id,
+                              CAST(LEN({_tok}) AS BIGINT) AS n_tokens
+                       FROM documents),
+                 c AS (SELECT doc_id, n_tokens,
+                              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cum
+                       FROM w)
+            SELECT doc_id, n_tokens,
+                   CAST(cum // 256 AS BIGINT) AS seq_id,
+                   CAST(cum % 256 AS BIGINT) AS seq_offset
+            FROM c ORDER BY doc_id
         """,
         # sampling/quota: the mix32 selection is exact int64 arithmetic, so
         # the SQL mirror selects the IDENTICAL rows (threshold computed

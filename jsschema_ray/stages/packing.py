@@ -1,0 +1,108 @@
+"""Sequence packing for LLM training-data pipelines: assign each document
+to a fixed-token-budget training sequence, in a deterministic global order
+— the "concatenate documents into context-window-sized rows" step that
+follows tokenization in every large-scale pretraining pipeline.
+
+Semantics (greedy offset packing): documents are laid end-to-end in
+``order_col`` order; a document starts at global token offset
+``cum = sum of weights of all earlier documents`` and belongs to sequence
+``seq_id = cum // budget`` at ``seq_offset = cum % budget``. A document
+longer than the residual budget spills into the next sequence(s) — callers
+wanting strict no-straddle semantics filter ``weight > budget`` rows first
+or post-split. All arithmetic is int64, so a SQL window-SUM mirror is
+bit-exact (DuckDB-oracled: pack_sequences query).
+
+Distribution: a global ordered prefix-sum is the one shape neither
+map_batches nor groupby expresses alone, so it runs as TWO scans —
+  1. per-batch partial sums of ``weight_col`` grouped by coarse order bins
+     (``bin = order_col // bin_width``), folded on the driver into
+     per-bin exclusive offsets (driver state is O(#bins), NOT O(rows):
+     pick bin_width so #bins ~ 10^5-10^6 at 10^12 rows);
+  2. one hash co-partition on the bin + a vectorized in-partition sort +
+     cumsum seeded with the bin's offset.
+No stage ever materializes the corpus; the only all-to-all moves each row
+once, keyed by its bin. Partitioning assumption (documented): one bin's
+rows fit a worker — bin_width is the knob, exactly like num_parts in
+sampling.cap_per_key.
+
+No reference analogue (the reference validates single JSON values —
+/root/reference/schema.go); this is a driver-mandated training-data
+operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def pack_sequences(ds, order_col: str, weight_col: str, budget: int,
+                   bin_width: int = 4096, batch_size: int = 262144,
+                   keep_columns: list[str] | None = None):
+    """Append (seq_id, seq_offset) to each row per the greedy offset
+    packing over ``order_col`` (must be a unique, non-negative int total
+    order — same uniqueness SQL's ORDER BY needs for determinism).
+    Weights must be >= 0 int."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+
+    proj = None
+    if keep_columns is not None:
+        proj = list(dict.fromkeys(keep_columns + [order_col, weight_col]))
+
+    # ---- scan 1: per-batch (bin, weight-sum) partials -> driver fold ----
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.select([order_col, weight_col]).to_pandas()
+        o = df[order_col].to_numpy()
+        w = df[weight_col].to_numpy()
+        if len(o) and (o.min() < 0 or w.min() < 0):
+            raise ValueError(
+                "pack_sequences needs non-negative order and weights"
+            )
+        b = o // bin_width
+        g = pd.DataFrame({"b": b, "w": w}).groupby("b", sort=False)["w"].sum()
+        return pa.table(
+            {
+                "bin": pa.array(g.index.to_numpy(dtype=np.int64)),
+                "w_sum": pa.array(g.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(partials, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          zero_copy_batch=True).take_all()
+    totals: dict[int, int] = {}
+    for r in rows:
+        totals[r["bin"]] = totals.get(r["bin"], 0) + int(r["w_sum"])
+    offsets: dict[int, int] = {}
+    cum = 0
+    for b in sorted(totals):
+        offsets[b] = cum
+        cum += totals[b]
+
+    # ---- scan 2: co-partition by bin, seeded in-partition prefix sum ----
+    def add_bin(batch: pa.Table) -> pa.Table:
+        if proj is not None:
+            batch = batch.select(proj)
+        o = batch.column(order_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bin", pa.array((o // bin_width).astype(np.int64))
+        )
+
+    def pack_bin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        base = offsets[int(g["__bin"].iloc[0])]
+        cum = base + np.cumsum(w) - w
+        out = g.drop(columns=["__bin"]).copy()
+        out["seq_id"] = cum // budget
+        out["seq_offset"] = cum % budget
+        return out
+
+    return ds.map_batches(
+        add_bin, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__bin").map_groups(pack_bin, batch_format="pandas")

@@ -1120,6 +1120,19 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_similarity_join(sf_dir: str):
+    """Exact cosine similarity self-join at threshold 0.4 (pairs emitted
+    once, vec_a < vec_b) — the ground-truth audit op behind embedding
+    near-dup mining (stages/similarity.similarity_join: broadcast
+    normalized matrix + streamed per-batch matmul; quadratic by design,
+    with an in-op float-boundary guard). DuckDB-oracled via an inequality
+    self-join; threshold margins measured >= 1e-5 at every sf."""
+    from jsschema_ray.stages.similarity import similarity_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity_join(ds, threshold=0.4).sort(["vec_a", "vec_b"])
+
+
 def q_embedding_dedup(sf_dir: str):
     from jsschema_ray.stages.dedup import embedding_dedup
 
@@ -1195,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
+        "similarity_join": q_similarity_join,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
@@ -1505,6 +1519,16 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, "rank", key FROM r WHERE "rank" < 5
             ORDER BY query_id, "rank"
+        """,
+        # exact pair join: engine float64 matmul vs DuckDB's sequential
+        # list_cosine_similarity fold differ only in last-ulp summation
+        # order; measured min |score - 0.4| is 1e-5..5e-4 per sf (and the
+        # engine raises inside guard_margin), so the selections are equal
+        "similarity_join": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY vec_a, vec_b
         """,
         "lang_id": f"""
             WITH t AS (SELECT doc_id, {_langtok} AS w FROM documents),

@@ -259,3 +259,74 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 64,
         grouped["key"].append(r["key"])
         grouped["score"].append(r["score"])
     return _fold_topk([grouped], k, len(Q))
+
+
+def similarity_join(ds, threshold: float, emb_column: str = "embedding",
+                    key_column: str = "vec_id", max_rows: int = 200_000,
+                    batch_size: int = 1024, guard_margin: float = 1e-9):
+    """EXACT cosine similarity self-join: every unordered pair (a, b) with
+    cosine(a, b) >= threshold, emitted once as (vec_a < vec_b). The
+    ground-truth / threshold-audit backend of near-dup mining — the
+    sub-quadratic scale path is embedding_dedup (hyperplane LSH), whose
+    candidate recall this operator measures.
+
+    AUDIT-regime quadratic op (documented, like dedup.ngram_jaccard_matrix):
+    the corpus is materialized once as an L2-normalized float64 matrix and
+    broadcast via ``ray.put`` (read zero-copy by every task, never
+    re-shipped per batch); the same corpus then STREAMS, each batch doing
+    one (batch x n) matmul against the broadcast side. Compute is
+    O(n^2 d / cluster); per-task memory is O(batch_size x n) — the small
+    default batch_size is the memory knob. ``max_rows`` refuses corpora
+    where the broadcast side itself would not fit (use embedding_dedup
+    there).
+
+    Float-boundary guard: raises if any candidate pair's score lands
+    within ``guard_margin`` of the threshold — at that distance the result
+    would depend on summation order (engine matmul vs any oracle's
+    sequential fold), so the operator is LOUD instead of silently
+    layout-sensitive."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"similarity_join is the quadratic audit path ({n} rows > "
+            f"max_rows={max_rows}); use embedding_dedup for corpora at "
+            f"scale"
+        )
+    rows = ds.select_columns([key_column, emb_column]).take_all()
+    keys = np.array([r[key_column] for r in rows], dtype=np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    M = np.stack([rows[i][emb_column] for i in order]).astype(np.float64)
+    M = _normalize(M)
+    side_ref = ray.put((keys, M))
+    thr = float(threshold)
+    margin = float(guard_margin)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        K, Mm = ray.get(side_ref)
+        X = _normalize(list_col_to_matrix(batch.column(emb_column))
+                       .astype(np.float64))
+        kb = batch.column(key_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        S = X @ Mm.T
+        lt = kb[:, None] < K[None, :]
+        near = lt & (np.abs(S - thr) < margin)
+        if near.any():
+            ia, ib = np.nonzero(near)
+            raise ValueError(
+                f"similarity_join: pair ({kb[ia[0]]}, {K[ib[0]]}) scores "
+                f"within {margin} of threshold {thr} — result would be "
+                f"float-order-sensitive; nudge the threshold"
+            )
+        hit = lt & (S >= thr)
+        ia, ib = np.nonzero(hit)
+        return pa.table(
+            {
+                "vec_a": pa.array(kb[ia], type=pa.int64()),
+                "vec_b": pa.array(K[ib], type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([key_column, emb_column]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "lang_id",
     "knn_brute",
     "embedding_dedup",
+    "repetition",
+    "contamination",
+    "pii_redact",
+    "pack_sequences",
+    "similarity_join",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
 ]

@@ -952,6 +952,29 @@ def q_pack_sequences(sf_dir: str):
                           bin_width=64).sort(["doc_id"])
 
 
+def q_percentile_filter(sf_dir: str):
+    """Percentile-based curation gate with an EXACT, reproducible cut:
+    keep documents with n_chars >= the exact corpus median, computed
+    WITHOUT a sort shuffle by iterative histogram-refinement selection
+    (stages/quantiles.kth_smallest — O(log distinct) count-only scans,
+    driver holds O(bins)); then one streaming filter. Contrast with the
+    t-digest APPROXIMATE quantiles in stats (profiles/drift): a curation
+    threshold must be exact to be reproducible. DuckDB-oracled via
+    ORDER BY/OFFSET."""
+    from jsschema_ray.stages.quantiles import quantile_disc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    med = quantile_disc(ds, "n_chars", 0.5)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_chars"), pa.scalar(med))
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(["doc_id"])
+
+
 def _sampling_oracle_sql() -> dict[str, str]:
     """SQL mirrors of the mix32 sample selections, built from the SAME
     constants/thresholds the engine uses."""
@@ -1205,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
+        "percentile_filter": q_percentile_filter,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1402,6 +1426,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum // 256 AS BIGINT) AS seq_id,
                    CAST(cum % 256 AS BIGINT) AS seq_offset
             FROM c ORDER BY doc_id
+        """,
+        # exact-median gate: rank k = floor(0.5*(n-1)) + 1, 1-indexed ->
+        # OFFSET k-1 (same k the engine's quantile_disc computes)
+        "percentile_filter": """
+            WITH med AS (
+                SELECT n_chars AS v FROM documents ORDER BY n_chars
+                LIMIT 1 OFFSET (SELECT CAST(FLOOR(0.5 * (COUNT(*) - 1))
+                                       AS BIGINT) FROM documents)
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT v FROM med)
+            ORDER BY doc_id
         """,
         # sampling/quota: the mix32 selection is exact int64 arithmetic, so
         # the SQL mirror selects the IDENTICAL rows (threshold computed

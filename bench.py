@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "pack_sequences",
     "similarity_join",
+    "percentile_filter",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
 ]

@@ -1,0 +1,155 @@
+"""Exact distributed order statistics WITHOUT a sort shuffle: the k-th
+smallest value of a numeric column via iterative range-refinement
+histogram scans (the classic distributed selection algorithm — Blum et al.
+selection generalized to scan/fold rounds).
+
+Why not `ds.sort(col).limit(...)`: a global sort is an all-to-all exchange
+of EVERY row. Selection needs only counts: each round histograms the
+current candidate range into B bins with a map-side `np.bincount` partial
+per batch (tiny: one (B,) int row + per-bin min/max), the driver folds
+O(batches × B) partials, descends into the bin containing the target rank,
+and re-scans. The range provably shrinks to actual data values (bins snap
+to observed per-bin min/max), so rounds are O(log_B(distinct)) — 2-4 scans
+in practice; the final short range is collected exactly once it holds
+<= collect_limit rows.
+
+Complements the t-digest APPROXIMATE quantiles in stages/stats.py
+(sketches for profiles/drift; this op for exact thresholds — e.g.
+percentile-based curation gates where the cut must be reproducible).
+
+No reference analogue (single-value validator); driver-mandated
+training-data operator class (sorts/top-k/sampling — SURVEY §2.D).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _scan_partials(ds, column: str, lo: float, hi: float, bins: int,
+                   batch_size: int):
+    """One histogram round: per batch emit (counts[B], bmin[B], bmax[B],
+    n_below, n_in) packed as binary blobs; driver folds."""
+
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).to_numpy(zero_copy_only=False)
+        xf = x.astype(np.float64)
+        xf = xf[~np.isnan(xf)]
+        sel = (xf >= lo) & (xf <= hi)
+        v = xf[sel]
+        idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0,
+                      bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        bmin = np.full(bins, np.inf)
+        bmax = np.full(bins, -np.inf)
+        if len(v):
+            np.minimum.at(bmin, idx, v)
+            np.maximum.at(bmax, idx, v)
+        return pa.table(
+            {
+                "counts": pa.array([counts.tobytes()], type=pa.binary()),
+                "bmin": pa.array([bmin.tobytes()], type=pa.binary()),
+                "bmax": pa.array([bmax.tobytes()], type=pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True).take_all()
+    counts = np.zeros(bins, dtype=np.int64)
+    bmin = np.full(bins, np.inf)
+    bmax = np.full(bins, -np.inf)
+    for r in rows:
+        counts += np.frombuffer(r["counts"], dtype=np.int64)
+        bmin = np.minimum(bmin, np.frombuffer(r["bmin"], dtype=np.float64))
+        bmax = np.maximum(bmax, np.frombuffer(r["bmax"], dtype=np.float64))
+    return counts, bmin, bmax
+
+
+def kth_smallest(ds, column: str, k: int, bins: int = 1024,
+                 collect_limit: int = 65536, batch_size: int = 262144,
+                 max_rounds: int = 64):
+    """Exact k-th smallest (1-indexed, duplicates counted — SQL's
+    ORDER BY col LIMIT 1 OFFSET k-1) of a numeric column. NaNs/nulls are
+    ignored (SQL ORDER BY semantics for the OFFSET mirror require a
+    NaN-free column; nulls sort last in SQL and never reach rank k <= n).
+    Returns a Python number of the column's kind (int for integer
+    columns)."""
+    sch = ds.schema()  # Ray Data Schema wrapper: parallel names/types
+    col_type = dict(zip(sch.names, sch.types))[column]
+    is_int = pa.types.is_integer(col_type)
+
+    # round 0: global count / min / max
+    def mm(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).to_numpy(zero_copy_only=False)
+        xf = x.astype(np.float64)
+        xf = xf[~np.isnan(xf)]
+        if not len(xf):
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf]),
+                             "hi": pa.array([-np.inf])})
+        return pa.table({"n": pa.array([len(xf)], pa.int64()),
+                         "lo": pa.array([float(xf.min())]),
+                         "hi": pa.array([float(xf.max())])})
+
+    rows = ds.map_batches(mm, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in rows)
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} out of range for {n} non-null rows")
+    lo = min(r["lo"] for r in rows)
+    hi = max(r["hi"] for r in rows)
+    rank = k  # rank within [lo, hi]
+    in_range = n
+
+    for _ in range(max_rounds):
+        if lo == hi:
+            return int(lo) if is_int else lo
+        if in_range <= collect_limit:
+            break
+        counts, bmin, bmax = _scan_partials(
+            ds, column, lo, hi, bins, batch_size
+        )
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, rank, side="left"))
+        rank -= int(cum[b - 1]) if b else 0
+        lo, hi = float(bmin[b]), float(bmax[b])
+        in_range = int(counts[b])
+
+    # exact tail: collect the (small) candidate range once
+    def in_rng(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).to_numpy(zero_copy_only=False)
+        xf = x.astype(np.float64)
+        sel = (xf >= lo) & (xf <= hi) & ~np.isnan(xf)
+        return pa.table({column: pa.array(xf[sel])})
+
+    vals = np.sort(np.array(
+        [r[column] for r in ds.map_batches(
+            in_rng, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True).take_all()]
+    ))
+    v = float(vals[rank - 1])
+    return int(v) if is_int else v
+
+
+def quantile_disc(ds, column: str, q: float, **kw):
+    """Exact discrete quantile: the k-th smallest with
+    k = floor(q * (n-1)) + 1 over non-null rows (DuckDB QUANTILE_DISC's
+    lower-interpolation rank). Counts rows once, then selects."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        x = batch.column(column)
+        return pa.table(
+            {"n": pa.array([len(x) - x.null_count], pa.int64())}
+        )
+
+    n = sum(r["n"] for r in ds.map_batches(
+        cnt, batch_format="pyarrow", zero_copy_batch=True).take_all())
+    if n == 0:
+        raise ValueError("quantile of an all-null column")
+    k = int(q * (n - 1)) + 1
+    return kth_smallest(ds, column, k, **kw)

@@ -1,0 +1,72 @@
+"""stages/quantiles — exact distributed selection (k-th smallest /
+discrete quantile) via histogram-refinement scans. Differential-tested
+against np.sort on adversarial distributions; the ORDER BY/OFFSET SQL
+parity runs in test_oracle_parity (percentile_filter)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsschema_ray.stages.quantiles import kth_smallest, quantile_disc
+
+
+def _ds(values, n_blocks=4):
+    import ray.data as rd
+
+    t = pa.table({"x": pa.array(values)})
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_sorted_reference_ints(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    # heavy duplicates + skew: the hard case for range refinement
+    vals = np.concatenate([
+        rng.integers(0, 50, size=400),
+        np.full(300, 7),
+        rng.integers(10**6, 10**9, size=100),
+    ]).astype(np.int64)
+    rng.shuffle(vals)
+    ds = _ds(list(vals))
+    ref = np.sort(vals)
+    for k in (1, 2, 137, 400, len(vals) // 2, len(vals)):
+        got = kth_smallest(ds, "x", k, bins=16, collect_limit=8)
+        assert got == ref[k - 1], (k, got, ref[k - 1])
+        assert isinstance(got, int)
+
+
+def test_matches_sorted_reference_floats(ray_session):
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.normal(size=500),
+                           np.full(100, 0.25),
+                           [-0.0, 0.0, 1e300, -1e300]])
+    rng.shuffle(vals)
+    ds = _ds(list(vals.astype(np.float64)))
+    ref = np.sort(vals)
+    for k in (1, 50, 301, len(vals)):
+        got = kth_smallest(ds, "x", k, bins=8, collect_limit=4)
+        assert got == ref[k - 1]
+
+
+def test_nulls_ignored(ray_session):
+    ds = _ds([None, 5, None, 1, 3], n_blocks=2)
+    assert kth_smallest(ds, "x", 1) == 1
+    assert kth_smallest(ds, "x", 3) == 5
+    with pytest.raises(ValueError, match="out of range"):
+        kth_smallest(ds, "x", 4)
+
+
+def test_all_equal_terminates(ray_session):
+    ds = _ds([9] * 1000)
+    assert kth_smallest(ds, "x", 500, bins=4, collect_limit=2) == 9
+
+
+def test_quantile_disc_rank(ray_session):
+    vals = list(range(100))
+    ds = _ds(vals)
+    # k = floor(q*(n-1)) + 1: q=0 -> min, q=1 -> max, q=0.5 -> 50th (val 49)
+    assert quantile_disc(ds, "x", 0.0) == 0
+    assert quantile_disc(ds, "x", 1.0) == 99
+    assert quantile_disc(ds, "x", 0.5) == 49
+    with pytest.raises(ValueError):
+        quantile_disc(ds, "x", 1.5)

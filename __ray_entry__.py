@@ -884,7 +884,9 @@ def q_contamination(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     eval_ds = _mod_filter(_read(sf_dir, "documents", ["doc_id", "text"]),
                           "doc_id", 50, [0])
-    return contamination_check(docs, eval_ds, n=3).sort(["doc_id"])
+    return contamination_check(docs, eval_ds, n=3).select_columns(
+        ["doc_id", "n_grams", "contam_hits"]
+    ).sort(["doc_id"])
 
 
 def q_pii_redact(sf_dir: str):
@@ -973,6 +975,50 @@ def q_percentile_filter(sf_dir: str):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True).sort(["doc_id"])
+
+
+def q_top_doc_frequency(sf_dir: str):
+    """Vocabulary / IDF builder: corpus-wide document frequency per token
+    (stages/text.doc_frequency — explode + per-doc distinct + map-side
+    token counts, ONE token-sized shuffle), top 50 by (df DESC, token ASC).
+    DuckDB-oracled."""
+    from jsschema_ray.stages.text import doc_frequency
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_frequency(ds).sort(
+        ["df", "token"], descending=[True, False]
+    ).limit(50)
+
+
+def q_decontam_pack_pipeline(sf_dir: str):
+    """Composed chain of the round-3 operators — decontaminate then pack:
+    contamination scan (3-gram overlap vs the doc_id % 50 == 0 eval slice)
+    -> keep ONLY clean docs (contam_hits = 0) -> tokenize -> pack into
+    256-token training sequences over the surviving doc_id order. Fully
+    streaming (two broadcast-side scans + the packing prefix-sum); every
+    stage has an exact SQL mirror so the chain is DuckDB-oracled
+    end-to-end."""
+    from jsschema_ray.stages.packing import pack_sequences
+    from jsschema_ray.stages.text import contamination_check
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_ds = _mod_filter(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          "doc_id", 50, [0])
+    scanned = contamination_check(docs, eval_ds, n=3)
+
+    def clean_tok(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("contam_hits"), pa.scalar(0))
+        kept = batch.filter(keep)
+        s = kept.column("text").to_pandas().fillna("")
+        n = s.str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+        return pa.table(
+            {"doc_id": kept.column("doc_id"),
+             "n_tokens": pa.array(n, type=pa.int64())}
+        )
+
+    weighted = scanned.map_batches(clean_tok, batch_format="pyarrow")
+    return pack_sequences(weighted, "doc_id", "n_tokens", budget=256,
+                          bin_width=64).sort(["doc_id"])
 
 
 def _sampling_oracle_sql() -> dict[str, str]:
@@ -1229,6 +1275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "percentile_filter": q_percentile_filter,
+        "top_doc_frequency": q_top_doc_frequency,
+        "decontam_pack_pipeline": q_decontam_pack_pipeline,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1411,6 +1459,46 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII["phone"]}', '<PHONE>', 'g'),
                        '{_PII["ipv4"]}', '<IPV4>', 'g') AS redacted
             FROM t2 ORDER BY doc_id
+        """,
+        "top_doc_frequency": """
+            WITH t AS (SELECT doc_id,
+                              UNNEST(LIST_DISTINCT(regexp_extract_all(
+                                  LOWER(text), '[a-z0-9_]+'))) AS token
+                       FROM documents)
+            SELECT token, COUNT(*) AS df FROM t
+            GROUP BY token ORDER BY df DESC, token LIMIT 50
+        """,
+        # decontaminate -> pack, chained: the contamination CTEs feed the
+        # packing window SUM over the surviving doc_id order
+        "decontam_pack_pipeline": f"""
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id, text,
+                              LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                  AS grams
+                       FROM t),
+                 ev AS (SELECT DISTINCT UNNEST(grams) AS gr FROM g
+                        WHERE doc_id % 50 = 0),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 h AS (SELECT p.doc_id, COUNT(*) AS hits FROM p
+                       JOIN ev ON p.gr = ev.gr GROUP BY 1),
+                 clean AS (
+                     SELECT g.doc_id,
+                            CAST(LEN({_tok}) AS BIGINT) AS n_tokens
+                     FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+                     WHERE COALESCE(h.hits, 0) = 0),
+                 c AS (SELECT doc_id, n_tokens,
+                              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cum
+                       FROM clean)
+            SELECT doc_id, n_tokens,
+                   CAST(cum // 256 AS BIGINT) AS seq_id,
+                   CAST(cum % 256 AS BIGINT) AS seq_offset
+            FROM c ORDER BY doc_id
         """,
         # packing: pure int64 window-SUM mirror of the two-scan prefix sum
         "pack_sequences": f"""

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "similarity_join",
     "percentile_filter",
+    "top_doc_frequency",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
 ]

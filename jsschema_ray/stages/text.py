@@ -331,13 +331,10 @@ class ContaminationCheck:
             hits = np.bincount(gdoc[hit], minlength=n_rows)
         else:
             hits = np.zeros(n_rows, dtype=np.int64)
-        return pa.table(
-            {
-                self.id_column: batch.column(self.id_column),
-                "n_grams": pa.array(n_grams.astype(np.int64)),
-                "contam_hits": pa.array(hits.astype(np.int64)),
-            }
-        )
+        # append (pass-through) so the scan composes into pipelines
+        return batch.append_column(
+            "n_grams", pa.array(n_grams.astype(np.int64))
+        ).append_column("contam_hits", pa.array(hits.astype(np.int64)))
 
 
 def contamination_check(ds, eval_ds, column: str = "text",
@@ -410,3 +407,46 @@ def pii_redact(ds, column: str = "text", id_column: str = "doc_id",
         PiiRedact(column=column, id_column=id_column),
         batch_format="pyarrow", batch_size=batch_size, **kw,
     )
+
+
+# --------------------------------------------------------------------------
+# corpus document frequency (the IDF side of TF-IDF / vocabulary builder)
+# --------------------------------------------------------------------------
+
+def doc_frequency(ds, column: str = "text", batch_size: int = 8192):
+    """Corpus-wide document frequency per token: how many documents
+    contain each distinct \\w+ token at least once — the vocabulary / IDF
+    builder of text featurization. Returns a Dataset of (token, df).
+
+    Scale shape: per batch, ONE findall/explode + per-doc distinct
+    (drop_duplicates) + a LOCAL token count — the map-side combine — so
+    the only shuffle moves (distinct-tokens-per-batch) rows of
+    (token, partial_df), never the corpus; the final groupby-sum runs over
+    token-sized rows (stages/aggregates.grouped_sums)."""
+    import pandas as pd
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).to_pandas().fillna("")
+        s = s.reset_index(drop=True)
+        toks = s.str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "df_part": pa.array([], type=pa.int64())}
+            )
+        per_doc = pd.DataFrame({"d": ex.index, "t": ex.to_numpy()}) \
+            .drop_duplicates()
+        vc = per_doc["t"].value_counts()
+        return pa.table(
+            {"token": pa.array(vc.index.to_numpy(dtype=object),
+                               type=pa.string()),
+             "df_part": pa.array(vc.to_numpy(dtype=np.int64))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    return grouped_sums(parts, ["token"], {"df": "df_part"},
+                        count_alias=None)

@@ -977,6 +977,19 @@ def q_percentile_filter(sf_dir: str):
                           zero_copy_batch=True).sort(["doc_id"])
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact word-5-gram Jaccard pairs at threshold 0.7 — the inverted-
+    index set-similarity join (stages/dedup.exact_jaccard_pairs: gram
+    co-partition, output-size-bound pair emission, integer-exact threshold)
+    that grounds what minhash_dedup approximates. DuckDB-oracled."""
+    from jsschema_ray.stages.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_jaccard_pairs(ds, threshold=0.7, k=5).sort(
+        ["doc_a", "doc_b"]
+    )
+
+
 def q_top_doc_frequency(sf_dir: str):
     """Vocabulary / IDF builder: corpus-wide document frequency per token
     (stages/text.doc_frequency — explode + per-doc distinct + map-side
@@ -1277,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_filter": q_percentile_filter,
         "top_doc_frequency": q_top_doc_frequency,
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
+        "jaccard_pairs": q_jaccard_pairs,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1459,6 +1473,35 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII["phone"]}', '<PHONE>', 'g'),
                        '{_PII["ipv4"]}', '<IPV4>', 'g') AS redacted
             FROM t2 ORDER BY doc_id
+        """,
+        # exact set-similarity join: integer-exact threshold both sides
+        # (inter * 10000 >= 7000 * union — no float division anywhere)
+        "jaccard_pairs": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_DISTINCT(LIST_TRANSFORM(
+                                  RANGE(1, LEN(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                       w[i+2] || ' ' || w[i+3] || ' ' ||
+                                       w[i+4])) AS grams
+                       FROM t),
+                 sz AS (SELECT doc_id, LEN(grams) AS s FROM g),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               COUNT(*) AS n_inter
+                        FROM p a JOIN p b
+                          ON a.gr = b.gr AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(sa.s + sb.s - n_inter AS BIGINT) AS n_union
+            FROM co
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE n_inter * 10000 >= 7000 * (sa.s + sb.s - n_inter)
+            ORDER BY doc_a, doc_b
         """,
         "top_doc_frequency": """
             WITH t AS (SELECT doc_id,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "similarity_join",
     "percentile_filter",
     "top_doc_frequency",
+    "jaccard_pairs",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
 ]

@@ -951,6 +951,131 @@ def simhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
 # n-gram jaccard (exact, small-corpus / verification operator)
 # --------------------------------------------------------------------------
 
+def exact_jaccard_pairs(ds, threshold: float, column: str = "text",
+                        id_column: str = "doc_id", k: int = 5,
+                        num_parts: int = 64, batch_size: int = 4096,
+                        max_gram_df: int = 65536):
+    """EXACT word-k-gram Jaccard similarity pairs over the whole corpus —
+    the inverted-index set-similarity join (SSJoin/prefix-filter family,
+    public literature) that grounds what MinHash approximates: every
+    unordered doc pair with |A∩B| / |A∪B| >= threshold, no LSH recall loss.
+
+    Distribution (never all-pairs): one scan emits per-doc DISTINCT gram
+    hashes with the doc's set size attached; grams co-partition by
+    hash(gram) % num_parts; each partition emits co-occurring doc pairs
+    (intersections accumulate as counts — work is OUTPUT-size bound,
+    sum_g C(df_g, 2), not corpus^2) with a map-side pair combine; one
+    grouped_sums shuffle of (pair, partial_inter) rows finishes the
+    intersections, and the union comes free from the carried set sizes
+    (|A|+|B|-inter) — no join back to the corpus. The threshold compare is
+    integer-exact (inter * 10000 >= thr_x10000 * union), SQL-mirrorable.
+
+    Stop-gram hazard (inherent to exact set-similarity): a gram contained
+    in df docs costs C(df, 2) pair emissions; ``max_gram_df`` makes the
+    operator REFUSE loudly past the bound instead of silently melting a
+    worker — dedup stop-grams upstream or fall back to minhash_dedup."""
+    import pandas as pd
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    thr_x = int(threshold * 10000)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).to_pylist()
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        g, gd = _batch_shingles(texts, k, full_only=True)
+        if not len(g):
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "doc": pa.array([], pa.int64()),
+                 "size": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        order = np.lexsort((g, gd))
+        gs, dds = g[order], gd[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = (gs[1:] != gs[:-1]) | (dds[1:] != dds[:-1])
+        g2, d2 = gs[keep], dds[keep]
+        sizes = np.bincount(d2, minlength=len(texts))
+        return pa.table(
+            {
+                "gram": pa.array(g2.view(np.int64)),
+                "doc": pa.array(ids[d2].astype(np.int64)),
+                "size": pa.array(sizes[d2].astype(np.int64)),
+                "__part": pa.array(
+                    (g2 % np.uint64(num_parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def emit_pairs(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.sort_values(["gram", "doc"], kind="stable")
+        gr = gdf["gram"].to_numpy()
+        doc = gdf["doc"].to_numpy()
+        sz = gdf["size"].to_numpy()
+        seg = np.flatnonzero(np.concatenate([[True], gr[1:] != gr[:-1]]))
+        counts = np.diff(np.concatenate([seg, [len(gr)]]))
+        a_idx, b_idx = [], []
+        for st, c in zip(seg, counts):
+            if c < 2:
+                continue
+            if c > max_gram_df:
+                raise ValueError(
+                    f"exact_jaccard_pairs: gram with df={c} exceeds "
+                    f"max_gram_df={max_gram_df} (C(df,2) pair blowup); "
+                    f"filter stop-grams or use minhash_dedup"
+                )
+            iu, ju = np.triu_indices(c, k=1)
+            a_idx.append(st + iu)
+            b_idx.append(st + ju)
+        if not a_idx:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "size_a": pd.Series([], dtype="int64"),
+                 "size_b": pd.Series([], dtype="int64"),
+                 "inter_part": pd.Series([], dtype="int64")}
+            )
+        ia = np.concatenate(a_idx)
+        ib = np.concatenate(b_idx)
+        # doc order within a segment is sorted -> doc[ia] < doc[ib]
+        out = pd.DataFrame(
+            {"doc_a": doc[ia], "doc_b": doc[ib],
+             "size_a": sz[ia], "size_b": sz[ib]}
+        )
+        # map-side combine: collapse this partition's repeated pairs
+        out = out.groupby(["doc_a", "doc_b", "size_a", "size_b"],
+                          sort=False).size().reset_index(name="inter_part")
+        return out
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+    partials = grams.groupby("__part").map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    summed = grouped_sums(partials, ["doc_a", "doc_b", "size_a", "size_b"],
+                          {"n_inter": "inter_part"}, count_alias=None)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = batch.column("n_inter").to_numpy(zero_copy_only=False)
+        sa = batch.column("size_a").to_numpy(zero_copy_only=False)
+        sb = batch.column("size_b").to_numpy(zero_copy_only=False)
+        union = sa + sb - inter
+        keep = inter * 10000 >= thr_x * union
+        out = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "n_inter": batch.column("n_inter"),
+                "n_union": pa.array(union.astype(np.int64)),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def ngram_jaccard_matrix(ds, column: str = "text", key_column: str = "doc_id",
                          shingle_k: int = 3, threshold: float = 0.5,
                          batch_size: int = 4096) -> pa.Table:

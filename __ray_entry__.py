@@ -990,6 +990,26 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact per-language median document length — grouped order
+    statistics with DuckDB QUANTILE_DISC rank parity (k = ceil(q*n),
+    verified incl. duplicate ties): per-batch (group, value) histogram
+    pre-agg, hash(group) co-partition of COUNT rows only, one weighted
+    selection per stratum (stages/quantiles.grouped_quantile_disc)."""
+    from jsschema_ray.stages.quantiles import grouped_quantile_disc
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_quantile_disc(ds, "lang", "n_chars", 0.5)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": batch.column("lang"),
+             "p50_chars": batch.column("q_value").cast(pa.int64())}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(["lang"])
+
+
 def q_top_doc_frequency(sf_dir: str):
     """Vocabulary / IDF builder: corpus-wide document frequency per token
     (stages/text.doc_frequency — explode + per-doc distinct + map-side
@@ -1291,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_frequency": q_top_doc_frequency,
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
+        "group_quantiles": q_group_quantiles,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1502,6 +1523,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON doc_b = sb.doc_id
             WHERE n_inter * 10000 >= 7000 * (sa.s + sb.s - n_inter)
             ORDER BY doc_a, doc_b
+        """,
+        "group_quantiles": """
+            SELECT lang, CAST(QUANTILE_DISC(n_chars, 0.5) AS BIGINT)
+                       AS p50_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "top_doc_frequency": """
             WITH t AS (SELECT doc_id,

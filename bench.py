@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "percentile_filter",
     "top_doc_frequency",
     "jaccard_pairs",
+    "group_quantiles",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
 ]

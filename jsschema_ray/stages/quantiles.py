@@ -136,8 +136,11 @@ def kth_smallest(ds, column: str, k: int, bins: int = 1024,
 
 def quantile_disc(ds, column: str, q: float, **kw):
     """Exact discrete quantile: the k-th smallest with
-    k = floor(q * (n-1)) + 1 over non-null rows (DuckDB QUANTILE_DISC's
-    lower-interpolation rank). Counts rows once, then selects."""
+    k = floor(q * (n-1)) + 1 over non-null rows (numpy/pandas
+    interpolation='lower' rank; NOTE DuckDB's QUANTILE_DISC uses
+    ceil(q*n) instead — grouped_quantile_disc mirrors THAT; the
+    percentile_filter oracle mirrors this one via ORDER BY/OFFSET).
+    Counts rows once, then selects."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
 
@@ -153,3 +156,66 @@ def quantile_disc(ds, column: str, q: float, **kw):
         raise ValueError("quantile of an all-null column")
     k = int(q * (n - 1)) + 1
     return kth_smallest(ds, column, k, **kw)
+
+
+def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
+                          num_parts: int = 32, batch_size: int = 262144):
+    """Exact per-group discrete quantile with DuckDB QUANTILE_DISC rank
+    semantics (k-th smallest, k = max(1, ceil(q * n_group)), verified
+    empirically incl. duplicate ties). Returns a Dataset of
+    (group_col, q_value).
+
+    Scale shape — raw rows never shuffle: each batch pre-aggregates to
+    (group, value, count) rows (bounded by DISTINCT values per group, the
+    histogram trick), those count rows hash(group)-co-partition, and each
+    partition does one weighted selection per group (sorted values +
+    cumsum >= k). Intended for LOW-cardinality strata (languages, sources,
+    format tags — the per-group loop is per STRATUM, not per key); for
+    10^5+ groups use the t-digest per-group sketches in stages/stats, or
+    kth_smallest on a filtered stratum for one exact cut.
+
+    Rank-parity caveat (documented): k is computed as ceil(q * n) in
+    float64 exactly as SQL engines do; q values exactly representable in
+    binary (0.5, 0.25, 0.75...) are boundary-safe, arbitrary q may differ
+    at ceil boundaries between float implementations."""
+    import math
+
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        df = df[df[column].notna()]
+        g = (df.groupby([group_col, column], sort=False, dropna=False)
+             .size().reset_index(name="cnt"))
+        gcol = normalize_zeros(
+            pa.Table.from_pandas(g, preserve_index=False)
+            .column(group_col).combine_chunks()
+        )
+        part = (hash64(gcol) % np.uint64(num_parts)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False).append_column(
+            "__part", pa.array(part)
+        )
+
+    def select_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["__part"])
+        out_g, out_v = [], []
+        # per STRATUM loop (documented low-cardinality contract)
+        for key, sub in gdf.groupby(group_col, sort=False, dropna=False):
+            sub = sub.sort_values(column, kind="stable")
+            cnt = sub["cnt"].to_numpy(dtype=np.int64)
+            n = int(cnt.sum())
+            k = max(1, math.ceil(q * n))
+            pos = int(np.searchsorted(np.cumsum(cnt), k, side="left"))
+            out_g.append(key)
+            out_v.append(sub[column].iloc[pos])
+        return pd.DataFrame({group_col: out_g, "q_value": out_v})
+
+    return ds.map_batches(
+        pre, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(select_part, batch_format="pandas")

@@ -61,6 +61,46 @@ def test_all_equal_terminates(ray_session):
     assert kth_smallest(ds, "x", 500, bins=4, collect_limit=2) == 9
 
 
+class TestGroupedQuantileDisc:
+    def _run(self, groups, vals, q, n_blocks=3):
+        import ray.data as rd
+
+        from jsschema_ray.stages.quantiles import grouped_quantile_disc
+
+        t = pa.table({"g": pa.array(groups), "x": pa.array(vals)})
+        ds = rd.from_arrow(t).repartition(n_blocks)
+        out = grouped_quantile_disc(ds, "g", "x", q).to_pandas()
+        return dict(zip(out.g, out.q_value))
+
+    def test_duckdb_rank_semantics_on_ties(self, ray_session):
+        # [5, 5, 7]: QUANTILE_DISC(0.75) = 7 (k = ceil(0.75*3) = 3), while
+        # lower-interpolation would give 5 — the distinction that matters
+        got = self._run(["a", "a", "a", "b"], [5, 5, 7, 9], 0.75)
+        assert got == {"a": 7, "b": 9}
+        got = self._run(["a", "a", "a"], [5, 5, 7], 0.5)
+        assert got == {"a": 5}
+
+    def test_null_values_dropped_null_group_kept(self, ray_session):
+        got = self._run(["a", "a", None, None], [1, None, 3, 4], 0.5)
+        # pandas groupby key for the null group round-trips as NaN/None
+        vals = {(k if isinstance(k, str) else None): v
+                for k, v in got.items()}
+        assert vals == {"a": 1, None: 3}
+
+    def test_layout_independent(self, ray_session):
+        rng = np.random.default_rng(8)
+        groups = list(rng.choice(["x", "y", "z"], size=300))
+        vals = list(rng.integers(0, 40, size=300))
+        a = self._run(groups, vals, 0.5, n_blocks=1)
+        b = self._run(groups, vals, 0.5, n_blocks=9)
+        assert a == b
+        # cross-check each group against the serial ceil(q*n) rank
+        import math
+        for g in ("x", "y", "z"):
+            sv = np.sort([v for gg, v in zip(groups, vals) if gg == g])
+            assert a[g] == sv[max(1, math.ceil(0.5 * len(sv))) - 1]
+
+
 def test_quantile_disc_rank(ray_session):
     vals = list(range(100))
     ds = _ds(vals)

@@ -68,15 +68,16 @@ def _scan_partials(ds, column: str, lo: float, hi: float, bins: int,
     return counts, bmin, bmax
 
 
-def kth_smallest(ds, column: str, k: int, bins: int = 1024,
+def kth_smallest(ds, column: str, k, bins: int = 1024,
                  collect_limit: int = 65536, batch_size: int = 262144,
                  max_rounds: int = 64):
     """Exact k-th smallest (1-indexed, duplicates counted — SQL's
     ORDER BY col LIMIT 1 OFFSET k-1) of a numeric column. NaNs/nulls are
     ignored (SQL ORDER BY semantics for the OFFSET mirror require a
     NaN-free column; nulls sort last in SQL and never reach rank k <= n).
-    Returns a Python number of the column's kind (int for integer
-    columns)."""
+    ``k`` may be a callable(n) -> rank, resolved from the same scan that
+    counts the column (one fewer pass for quantile wrappers). Returns a
+    Python number of the column's kind (int for integer columns)."""
     sch = ds.schema()  # Ray Data Schema wrapper: parallel names/types
     col_type = dict(zip(sch.names, sch.types))[column]
     is_int = pa.types.is_integer(col_type)
@@ -97,6 +98,8 @@ def kth_smallest(ds, column: str, k: int, bins: int = 1024,
     rows = ds.map_batches(mm, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True).take_all()
     n = sum(r["n"] for r in rows)
+    if callable(k):
+        k = k(n)
     if not 1 <= k <= n:
         raise ValueError(f"k={k} out of range for {n} non-null rows")
     lo = min(r["lo"] for r in rows)
@@ -143,19 +146,7 @@ def quantile_disc(ds, column: str, q: float, **kw):
     Counts rows once, then selects."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
-
-    def cnt(batch: pa.Table) -> pa.Table:
-        x = batch.column(column)
-        return pa.table(
-            {"n": pa.array([len(x) - x.null_count], pa.int64())}
-        )
-
-    n = sum(r["n"] for r in ds.map_batches(
-        cnt, batch_format="pyarrow", zero_copy_batch=True).take_all())
-    if n == 0:
-        raise ValueError("quantile of an all-null column")
-    k = int(q * (n - 1)) + 1
-    return kth_smallest(ds, column, k, **kw)
+    return kth_smallest(ds, column, lambda n: int(q * (n - 1)) + 1, **kw)
 
 
 def grouped_quantile_disc(ds, group_col: str, column: str, q: float,

@@ -990,6 +990,31 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_dedup_components(sf_dir: str):
+    """Near-dup CLUSTERS, fully distributed end-to-end: exact word-5-gram
+    Jaccard pairs (stages/dedup.exact_jaccard_pairs, already oracled as
+    jaccard_pairs) feed distributed connected components
+    (stages/graph.connected_components — pointer-doubling label
+    propagation, O(log diameter) rounds, driver holds one int64 checksum
+    per round). Replaces the driver union-find of
+    dedup._clusters_from_pairs for corpora whose verified-pair set
+    outgrows one machine. Output: (doc_id, component) where component is
+    the smallest doc_id in the cluster, one row per doc in >= 1 pair.
+    DuckDB-oracled via a recursive transitive-closure CTE."""
+    from jsschema_ray.stages.dedup import exact_jaccard_pairs
+    from jsschema_ray.stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, threshold=0.7, k=5)
+    comp = connected_components(pairs, num_buckets=32)
+
+    def rename(b):
+        return b.rename_columns(["doc_id", "component"])
+
+    return comp.map_batches(rename, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-language median document length — grouped order
     statistics with DuckDB QUANTILE_DISC rank parity (k = ceil(q*n),
@@ -1311,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_frequency": q_top_doc_frequency,
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_components": q_dedup_components,
         "group_quantiles": q_group_quantiles,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
@@ -1528,6 +1554,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(QUANTILE_DISC(n_chars, 0.5) AS BIGINT)
                        AS p50_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # connected components of the jaccard-pair graph: transitive
+        # closure by recursive CTE (UNION dedups -> terminates), then
+        # MIN(reachable) per node == smallest id in the component
+        "dedup_components": """
+            WITH RECURSIVE
+                 t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_DISTINCT(LIST_TRANSFORM(
+                                  RANGE(1, LEN(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                       w[i+2] || ' ' || w[i+3] || ' ' ||
+                                       w[i+4])) AS grams
+                       FROM t),
+                 sz AS (SELECT doc_id, LEN(grams) AS s FROM g),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               COUNT(*) AS n_inter
+                        FROM p a JOIN p b
+                          ON a.gr = b.gr AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+                 pr AS (SELECT doc_a, doc_b
+                        FROM co
+                        JOIN sz sa ON doc_a = sa.doc_id
+                        JOIN sz sb ON doc_b = sb.doc_id
+                        WHERE n_inter * 10000
+                              >= 7000 * (sa.s + sb.s - n_inter)),
+                 e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                       UNION
+                       SELECT doc_b, doc_a FROM pr),
+                 walk(node, lab) AS (
+                     SELECT s, s FROM e
+                     UNION
+                     SELECT e.d, w.lab FROM walk w JOIN e ON e.s = w.node
+                 )
+            SELECT node AS doc_id, MIN(lab) AS component
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         "top_doc_frequency": """
             WITH t AS (SELECT doc_id,

@@ -592,6 +592,20 @@ def q_session_windows(sf_dir: str):
     )
 
 
+def q_rolling_windows(sf_dir: str):
+    """Per-user rolling 10-minute RANGE-frame aggregate over the events
+    log (stages/windows.rolling_windows): one row per distinct (user, ts)
+    with the windowed sum (x100 integer-exact) and event count. Computed
+    with NO per-key loop — hash partition, block-encoded searchsorted,
+    one cumsum difference. DuckDB-oracled against the native window
+    frame."""
+    from jsschema_ray.stages.windows import rolling_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return rolling_windows(ds, key="user_id", ts="ts",
+                           window_seconds=600.0).sort(["user_id", "ts"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1309,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_acctbal": q_range_join_acctbal,
         "apply_defaults": q_apply_defaults,
         "session_windows": q_session_windows,
+        "rolling_windows": q_rolling_windows,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2012,6 +2027,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # RANGE frame == rolling_windows semantics: rows sharing (user,
+        # ts) share a frame, so the per-(user, ts) collapse is lossless;
+        # x100 pre-rounding makes the windowed sum integer-exact
+        "rolling_windows": """
+            WITH per AS (
+                SELECT user_id, ts,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vx,
+                       COUNT(*) AS c
+                FROM events GROUP BY user_id, ts
+            )
+            SELECT user_id, ts,
+                   CAST(SUM(vx) OVER w AS BIGINT) AS w_sum_x100,
+                   CAST(SUM(c) OVER w AS BIGINT) AS w_n
+            FROM per
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY user_id, ts
         """,
         "hopping_windows": """
             WITH h AS (SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)

@@ -71,6 +71,83 @@ def hopping_windows(ds, ts: str = "ts", length_s: int = 7200,
     return out.sort(["window_start", group_col])
 
 
+def rolling_windows(ds, key: str = "user_id", ts: str = "ts",
+                    value: str | None = "value",
+                    window_seconds: float = 600.0,
+                    num_partitions: int = 64):
+    """Per-key rolling time-RANGE aggregate — SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL W
+    PRECEDING AND CURRENT ROW)``.  Output one row per DISTINCT (key, ts):
+    ``w_sum_x100`` (int64, x100 half-away scaling so the sum is
+    integer-exact on both engines) and ``w_n`` (events in the window).
+    Rows sharing (key, ts) have identical RANGE frames by definition, so
+    collapsing them first is lossless AND makes the frame math peer-safe.
+
+    Scale shape (same contract as session_windows): keys hash-partition
+    into ``num_partitions`` coarse groups; each partition is computed in
+    ONE vectorized pass with NO per-key loop — collapse to per-(key, ts)
+    rows, sort, then block-encode (key_rank * span + ts_offset) so a
+    single ``np.searchsorted`` finds every row's window start inside its
+    own key's block (the W-clamp keeps queries from crossing key
+    boundaries), and the windowed sums fall out of one global cumsum
+    difference.  The block encoding bounds keys-per-partition x time-span
+    to int64; the guard RAISES loudly (raise num_partitions) instead of
+    wrapping."""
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    w_ns = int(round(window_seconds * 1e9))
+    cols = [key, ts] + ([value] if value else [])
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        g["__vx"] = (round_half_away(g[value].to_numpy() * 100)
+                     .astype("int64") if value else 0)
+        col = (g.groupby([key, ts], sort=True)
+               .agg(vx=("__vx", "sum"), c=("__vx", "size")).reset_index())
+        if not len(col):  # empty partition: typed empty output
+            return pd.DataFrame({
+                key: g[key].iloc[:0], ts: g[ts].iloc[:0],
+                "w_sum_x100": np.array([], dtype="int64"),
+                "w_n": np.array([], dtype="int64"),
+            })
+        tnum = col[ts].to_numpy().astype("datetime64[ns]").astype("int64")
+        kr = pd.factorize(col[key], sort=False)[0].astype("int64")
+        n_keys = int(kr.max()) + 1 if len(kr) else 0
+        tmin = int(tnum.min()) if len(tnum) else 0
+        span = (int(tnum.max()) - tmin + w_ns + 2) if len(tnum) else 1
+        if n_keys and span > (2 ** 62) // n_keys:
+            raise ValueError(
+                f"rolling_windows block encoding would overflow int64: "
+                f"{n_keys} keys x {span} ns span in one partition — "
+                f"raise num_partitions (got {num_partitions})"
+            )
+        off = tnum - tmin
+        comp = kr * span + off
+        compq = kr * span + np.maximum(off - w_ns, 0)
+        left = np.searchsorted(comp, compq, side="left")
+        cs = np.concatenate([[0], np.cumsum(col["vx"].to_numpy())])
+        cn = np.concatenate([[0], np.cumsum(col["c"].to_numpy())])
+        idx = np.arange(len(col))
+        out = pd.DataFrame({
+            key: col[key].to_numpy(),
+            ts: col[ts].to_numpy(),
+            "w_sum_x100": (cs[idx + 1] - cs[left]).astype("int64"),
+            "w_n": (cn[idx + 1] - cn[left]).astype("int64"),
+        })
+        return out
+
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
                     value: str | None = "value",

@@ -98,3 +98,64 @@ def test_session_windows_randomized_differential(ray_session, seed, gap):
     pd.testing.assert_frame_equal(
         got[want.columns].astype("int64"), want.astype("int64")
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_windows_vs_naive_reference():
+    """rolling_windows vs an intentionally-naive per-row double loop,
+    including duplicate (key, ts) rows (RANGE-frame peers) and events
+    exactly ON the window boundary (ts - W is INCLUDED, SQL RANGE
+    semantics)."""
+    import ray.data
+
+    from jsschema_ray.stages.windows import rolling_windows
+
+    rng = np.random.default_rng(11)
+    n, w = 400, 600.0
+    base = pd.Timestamp("2024-01-01")
+    ts = base + pd.to_timedelta(
+        rng.integers(0, 3600, n) * 10, unit="s"  # 10s grid -> many ties
+    )
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 7, n).astype("int64"),
+        "ts": ts,
+        "value": rng.normal(0, 10, n).round(3),
+    })
+    ds = ray.data.from_pandas(pdf)
+    got = rolling_windows(ds, window_seconds=w, num_partitions=4).to_pandas()
+    got = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    vx = (np.sign(pdf["value"]) *
+          np.floor(np.abs(pdf["value"]) * 100 + 0.5)).astype("int64")
+    rows = []
+    for (uid, t), _ in pdf.groupby(["user_id", "ts"]):
+        m = (pdf["user_id"] == uid) & (pdf["ts"] <= t) & (
+            pdf["ts"] >= t - pd.Timedelta(seconds=w))
+        rows.append((uid, t, int(vx[m].sum()), int(m.sum())))
+    want = pd.DataFrame(
+        rows, columns=["user_id", "ts", "w_sum_x100", "w_n"]
+    ).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"w_sum_x100": "int64", "w_n": "int64"}),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_windows_overflow_guard():
+    """The block-encoding guard must refuse loudly, not wrap: two keys
+    spread over a ~150-year span in ONE partition exceeds int64."""
+    import ray.data
+
+    from jsschema_ray.stages.windows import rolling_windows
+
+    pdf = pd.DataFrame({
+        "user_id": np.arange(4, dtype="int64"),
+        "ts": pd.to_datetime(
+            [0, 2**61, 2**61 + 1, 2**61 + 2]  # ns epoch, huge span
+        ),
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    ds = ray.data.from_pandas(pdf)
+    with pytest.raises(Exception, match="overflow|num_partitions"):
+        rolling_windows(ds, num_partitions=1).take_all()

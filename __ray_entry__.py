@@ -406,6 +406,82 @@ def q_join_orders_customers(sf_dir: str):
     ).sort(["o_orderkey"])
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-join analytic rollup (TPC-H-Q5 family): 1996 orders'
+    lineitem revenue rolled up to the customer's nation. Shuffle-lean
+    composition of the repo's own primitives — lineitem pre-aggregates to
+    per-orderkey revenue partials BEFORE any join (grouped_sums map-side
+    combine), joins the date-filtered orders and customer keys via
+    partitioned hash_join, re-aggregates per nationkey, and only then
+    broadcast-joins the 25-row nation table for names. Revenue is
+    integer-exact: rev_x10000 = round(extprice*100) * (100 -
+    round(discount*100)), summed as int64 on both engines."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import broadcast_join, hash_join
+    from jsschema_ray.stages.windows import round_half_away as _round_half_away
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revx(batch: pa.Table) -> pa.Table:
+        ext = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dis = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        ex100 = _round_half_away(ext * 100).astype(np.int64)
+        d100 = _round_half_away(dis * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev": pa.array(ex100 * (100 - d100)),
+        })
+
+    per_order = grouped_sums(
+        li.map_batches(revx, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], {"rev_x10000": "rev"}, count_alias=None,
+    )
+
+    def orders_1996(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        lo = pa.scalar(datetime.datetime(1996, 1, 1)).cast(d.type)
+        hi = pa.scalar(datetime.datetime(1997, 1, 1)).cast(d.type)
+        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_1996, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(per_order, orders, key="l_orderkey",
+                   right_key="o_orderkey", num_buckets=32)
+    per_cust = grouped_sums(j1, ["o_custkey"],
+                            {"rev_x10000": "rev_x10000"}, count_alias=None)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(per_cust, cust, key="o_custkey", right_key="c_custkey",
+                   num_buckets=32)
+    per_nation = grouped_sums(j2, ["c_nationkey"],
+                              {"rev_x10000": "rev_x10000"},
+                              count_alias=None)
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def cast_key(batch: pa.Table) -> pa.Table:
+        # nation key is int32 in parquet; unify before the broadcast join
+        return batch.set_column(
+            batch.column_names.index("c_nationkey"), "c_nationkey",
+            pc.cast(batch.column("c_nationkey"), pa.int32()),
+        )
+
+    out = broadcast_join(
+        per_nation.map_batches(cast_key, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        nation, key="c_nationkey", small_key="n_nationkey",
+    )
+    return out.select_columns(["n_name", "rev_x10000"]).sort("n_name")
+
+
 def _mod_filter(ds, col: str, k: int, want):
     """Keep rows where col % k ∈ want (vectorized; pc has no modulo kernel,
     so x - (x // k) * k on the positive integer keys)."""
@@ -1361,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
         "multikey_join": q_multikey_join,
+        "revenue_by_nation": q_revenue_by_nation,
         "distinct_lang_source": q_distinct_lang_source,
         "curation_pipeline": q_curation_pipeline,
         # image input_hint table (synthesized; rows-only)
@@ -1701,6 +1778,22 @@ def oracle_sql() -> dict[str, str]:
         "distinct_lang_source": """
             SELECT DISTINCT lang, source FROM documents
             ORDER BY lang, source
+        """,
+        # TPC-H-Q5-family rollup; revenue integer-scaled x10000 =
+        # round(extprice*100) * (100 - round(discount*100)), exact under
+        # any summation order so the hash compare cannot float-drift
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_x10000
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
         """,
         # the full curation chain, every stage mirrored exactly: mix32
         # sample -> quality gate (same float64 op order as the quality

@@ -33,6 +33,18 @@ import ray
 
 from jsschema_ray.state.hll import hash64, normalize_zeros
 
+def _columns(ds) -> list:
+    """Column names of ``ds``. `Dataset.columns()` returns None when the
+    lazy schema is unknowable without execution (e.g. an Aggregate over a
+    map_groups output); fall back to materializing ONE row — bounded work,
+    and only on that rare path."""
+    cols = ds.columns()
+    if cols is None:
+        sample = ds.limit(1).to_pandas()
+        cols = list(sample.columns)
+    return list(cols)
+
+
 _JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
@@ -187,8 +199,8 @@ def asof_join(left, right, key: str, ts: str, num_buckets: int = 64,
         raise ValueError("asof_join supports how in ('left','inner')")
     rk = right_key or key
     rts = right_ts or ts
-    lcols = list(left.columns())
-    rcols_raw = list(right.columns())
+    lcols = _columns(left)
+    rcols_raw = _columns(right)
     for name, side_cols, side in ((key, lcols, "left"), (ts, lcols, "left"),
                                   (rk, rcols_raw, "right"),
                                   (rts, rcols_raw, "right")):
@@ -314,8 +326,8 @@ def range_join(left, right, value: str, lo: str, hi: str,
     (intervals per bin × left rows per bin is the per-bin work)."""
     import pandas as pd
 
-    lcols = list(left.columns())
-    rcols = list(right.columns())
+    lcols = _columns(left)
+    rcols = _columns(right)
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column names must be disjoint, overlapping: {overlap}")
@@ -435,8 +447,8 @@ def hash_join(left, right, key, num_buckets: int = 64,
         raise ValueError(
             f"key/right_key arity mismatch: {len(keys)} vs {len(rks)}"
         )
-    lcols = list(left.columns())
-    rcols_raw = list(right.columns())
+    lcols = _columns(left)
+    rcols_raw = _columns(right)
     for k in keys:
         if k not in lcols:
             raise ValueError(f"join key {k!r} not in left columns {lcols}")

@@ -1105,6 +1105,25 @@ def q_dedup_components(sf_dir: str):
                             zero_copy_batch=True).sort("doc_id")
 
 
+def q_near_dedup_corpus(sf_dir: str):
+    """The SURVIVING corpus after exact near-dedup — the end-to-end
+    keep-one-per-cluster pipeline (stages/dedup.near_dedup_corpus):
+    exact word-5-gram Jaccard pairs -> distributed connected components
+    -> hash-partitioned ANTI join dropping every cluster member except
+    the smallest doc_id. Zero LSH recall loss; minhash_dedup is the
+    approximate regime of this contract. DuckDB-oracled (recursive
+    transitive-closure CTE + NOT IN)."""
+    from jsschema_ray.stages.dedup import near_dedup_corpus
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source", "n_chars"])
+    out = near_dedup_corpus(ds, threshold=0.7, k=5, num_parts=32,
+                            num_buckets=16)
+    return out.select_columns(
+        ["doc_id", "lang", "source", "n_chars"]
+    ).sort("doc_id")
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-language median document length — grouped order
     statistics with DuckDB QUANTILE_DISC rank parity (k = ceil(q*n),
@@ -1428,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_components": q_dedup_components,
+        "near_dedup_corpus": q_near_dedup_corpus,
         "group_quantiles": q_group_quantiles,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
@@ -1686,6 +1706,49 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT node AS doc_id, MIN(lab) AS component
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        # near-dedup survivors: the components CTE again, then drop every
+        # node whose component label (min id in cluster) is smaller
+        "near_dedup_corpus": """
+            WITH RECURSIVE
+                 t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_DISTINCT(LIST_TRANSFORM(
+                                  RANGE(1, LEN(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                       w[i+2] || ' ' || w[i+3] || ' ' ||
+                                       w[i+4])) AS grams
+                       FROM t),
+                 sz AS (SELECT doc_id, LEN(grams) AS s FROM g),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               COUNT(*) AS n_inter
+                        FROM p a JOIN p b
+                          ON a.gr = b.gr AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+                 pr AS (SELECT doc_a, doc_b
+                        FROM co
+                        JOIN sz sa ON doc_a = sa.doc_id
+                        JOIN sz sb ON doc_b = sb.doc_id
+                        WHERE n_inter * 10000
+                              >= 7000 * (sa.s + sb.s - n_inter)),
+                 e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                       UNION
+                       SELECT doc_b, doc_a FROM pr),
+                 walk(node, lab) AS (
+                     SELECT s, s FROM e
+                     UNION
+                     SELECT e.d, w.lab FROM walk w JOIN e ON e.s = w.node
+                 ),
+                 losers AS (SELECT node FROM walk
+                            GROUP BY node HAVING MIN(lab) < node)
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
+            ORDER BY doc_id
         """,
         "top_doc_frequency": """
             WITH t AS (SELECT doc_id,

@@ -1190,3 +1190,51 @@ def embedding_dedup(ds, emb_column: str = "embedding",
     drop = sorted(k for m in clusters.values() for k in m if k != min(m))
     return {"clusters": sorted(clusters.values()), "drop_keys": drop,
             "n_pairs": n}
+
+
+def near_dedup_corpus(ds, threshold: float, column: str = "text",
+                      id_column: str = "doc_id", k: int = 5,
+                      num_parts: int = 64, num_buckets: int = 32,
+                      keep_columns=None):
+    """END-TO-END exact near-dedup: the surviving corpus after removing
+    every near-duplicate except one canonical representative per cluster.
+
+    Fully distributed composition of three already-exact stages —
+    `exact_jaccard_pairs` (inverted-index set-similarity join) ->
+    `graph.connected_components` (pointer-doubling min-label BSP) -> a
+    hash-partitioned ANTI join of the corpus against the cluster losers
+    (every member except the smallest id, which IS the component label).
+    Nothing touches the driver but the components' per-round convergence
+    checksum; document text never re-shuffles (the anti join moves only
+    id-keyed rows of the projected corpus).
+
+    This is the deduplication semantics of the large-scale corpus
+    pipelines in the public literature (SSJoin + union of clusters,
+    keep-one), with ZERO LSH recall loss — `minhash_dedup` is the
+    approximate/cheaper regime of the same contract.  Distinct from
+    `exact_dedup` (byte-identical content only).
+
+    Returns the surviving rows of ``ds`` (projected to ``keep_columns``
+    if given), exactly one per near-dup cluster plus all singletons.
+    """
+    from jsschema_ray.stages.graph import connected_components
+    from jsschema_ray.stages.join import hash_join
+
+    if keep_columns is not None:
+        ds = ds.select_columns(
+            list(dict.fromkeys([id_column, *keep_columns]))
+        )
+    pairs = exact_jaccard_pairs(ds, threshold=threshold, column=column,
+                                id_column=id_column, k=k,
+                                num_parts=num_parts)
+    comp = connected_components(pairs, num_buckets=num_buckets)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("node"),
+                                  batch.column("component")))
+        return batch.filter(keep).select(["node"])
+
+    drop = comp.map_batches(losers, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hash_join(ds, drop, key=id_column, right_key="node",
+                     how="anti", num_buckets=num_buckets)

@@ -110,3 +110,41 @@ def test_stop_gram_refusal(ray_session):
                        match="max_gram_df"):
         exact_jaccard_pairs(rd.from_arrow(t), threshold=0.9, k=5,
                             max_gram_df=10).to_pandas()
+
+
+def test_near_dedup_corpus_keeps_one_per_cluster(ray_session):
+    """End-to-end survivor semantics: survivors = corpus minus every
+    cluster member except the smallest id, verified against a serial
+    union-find over the serial pair reference; singletons all survive."""
+    import ray.data as rd
+
+    t = _corpus()
+    want_pairs = _serial_pairs(t, 0.6, k=3)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in want_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+    losers = {x for root, m in clusters.items() for x in m if x != min(m)}
+    all_ids = set(t.column("doc_id").to_pylist())
+    want_survivors = all_ids - losers
+
+    from jsschema_ray.stages.dedup import near_dedup_corpus
+
+    for blocks in (1, 5):
+        out = near_dedup_corpus(rd.from_arrow(t).repartition(blocks),
+                                threshold=0.6, k=3, num_parts=8,
+                                num_buckets=4).to_pandas()
+        assert set(out.doc_id) == want_survivors
+        # output carries the input columns for surviving rows
+        assert set(out.columns) == {"doc_id", "text"}

@@ -246,6 +246,41 @@ def q_image_unique_phash(sf_dir: str):
     ).limit(50)
 
 
+def q_phash_near_dup(sf_dir: str):
+    """Perceptual-hash NEAR-duplicate mining on the flagship image table:
+    every pair of distinct phash values within Hamming distance 3
+    (stages/dedup.hamming_pairs — pigeonhole banding as a complete
+    candidate generator, exact popcount(xor) verification inside the
+    partition reduce, distinct-value pass first so the Zipf-skewed dup
+    counts never C(n,2)-explode). DuckDB-oracled via bit_count(xor())."""
+    from jsschema_ray.stages.dedup import hamming_pairs
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
+
+    def with_probe(b):
+        """Each phash plus a deterministic 1-bit-flipped probe variant —
+        the near-duplicate a re-encoded/resized image would produce
+        (the synthesized corpus has exact phash dups but no near ones);
+        bit index ((phash % 63)+63)%63 stays off the sign bit and is
+        mirrored verbatim in the oracle SQL."""
+        import numpy as np
+        import pyarrow as _pa
+
+        h = b.column("phash").to_numpy(zero_copy_only=False)
+        bit = ((h % 63) + 63) % 63
+        probe = np.bitwise_xor(h, np.int64(1) << bit)
+        return _pa.table({"phash": _pa.array(np.concatenate([h, probe]))})
+
+    out = hamming_pairs(ds.map_batches(with_probe, batch_format="pyarrow"),
+                        column="phash", max_distance=3, num_parts=32)
+
+    def rename(b):
+        return b.rename_columns(["phash_a", "phash_b", "hamming"])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["phash_a", "phash_b"])
+
+
 def q_image_exact_dedup(sf_dir: str):
     """Exact dedup over the BINARY payload column (multimodal dedup: one
     surviving row per distinct image bytes, min image_id wins) — the
@@ -1466,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_unique_phash": q_image_unique_phash,
         "image_stats_exact": q_image_stats_exact,
         "image_exact_dedup": q_image_exact_dedup,
+        "phash_near_dup": q_phash_near_dup,
         "approx_top_phash": q_approx_top_phash,
         "image_decode": q_image_decode,
         "image_drift": q_image_drift,
@@ -1986,6 +2022,24 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{meta}')
             GROUP BY phash HAVING COUNT(*) > 1
             ORDER BY dup_count DESC, phash LIMIT 50
+        """,
+        # exact Hamming near-dup pairs over distinct phash values: the
+        # quadratic SQL self-join the banded engine path avoids
+        "phash_near_dup": f"""
+            WITH base AS (SELECT phash FROM read_parquet('{meta}')),
+                 probed AS (
+                     SELECT phash FROM base
+                     UNION ALL
+                     SELECT xor(phash,
+                                1::BIGINT << (((phash % 63) + 63) % 63))
+                     FROM base),
+                 v AS (SELECT DISTINCT phash FROM probed)
+            SELECT a.phash AS phash_a, b.phash AS phash_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM v a JOIN v b ON a.phash < b.phash
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ORDER BY phash_a, phash_b
         """,
         "image_exact_dedup": f"""
             SELECT d.image_id FROM read_parquet('{img}/*.parquet') d

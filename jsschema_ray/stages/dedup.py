@@ -1238,3 +1238,154 @@ def near_dedup_corpus(ds, threshold: float, column: str = "text",
                             zero_copy_batch=True)
     return hash_join(ds, drop, key=id_column, right_key="node",
                      how="anti", num_buckets=num_buckets)
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (numpy<2 has no bitwise_count):
+    four 16-bit table lookups."""
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    out = _POP16[(x & m).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        out += _POP16[((x >> np.uint64(s)) & m).astype(np.int64)]
+    return out
+
+
+def hamming_pairs(ds, column: str = "phash", max_distance: int = 3,
+                  num_parts: int = 64, batch_size: int = 65536,
+                  max_band_members: int = 65536):
+    """EXACT near-duplicate value pairs of an int64 hash column: every
+    unordered pair of DISTINCT values within bitwise Hamming distance
+    <= ``max_distance`` (perceptual-hash near-dup mining on the image
+    table's Zipf-skewed ``phash``; same contract as a BK-tree index,
+    expressed as two shuffles).
+
+    Exactness: the 64-bit word is split into ``max_distance + 1`` bit
+    bands — by pigeonhole any pair within the distance agrees on at least
+    one whole band — so banding is a complete candidate generator, and an
+    exact vectorized popcount(xor) INSIDE the partition reduce verifies
+    every candidate before it leaves. Operating on distinct VALUES (one
+    distributed distinct pass first) keeps duplicate-heavy hash columns
+    from C(dup_count, 2) pair blowup; join ids back on the value when
+    row pairs are needed.
+
+    Scale shape: distinct pass = hash(value) co-partition of value rows
+    only; banding explodes each distinct value into max_distance+1 rows
+    co-partitioned by a mixed band key (collisions only ADD candidates,
+    never lose pairs — verification filters); per-segment emission
+    REFUSES loudly past ``max_band_members`` (C(n,2) blowup guard, same
+    contract as exact_jaccard_pairs.max_gram_df). Returns a Dataset of
+    (a, b, hamming) with a < b in signed int64 order, each pair once.
+    """
+    n_bands = max_distance + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError("max_distance must be in [0, 63]")
+    offs = [i * 64 // n_bands for i in range(n_bands + 1)]
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        u = np.unique(v)
+        part = (u.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({"val": pa.array(u), "vpart": pa.array(part)})
+
+    def part_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"val": np.unique(g["val"].to_numpy(dtype=np.int64))}
+        )
+
+    uniq = ds.select_columns([column]).map_batches(
+        local_unique, batch_format="pyarrow", batch_size=batch_size,
+    ).groupby("vpart").map_groups(part_unique, batch_format="pandas")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = batch.column("val").to_numpy(zero_copy_only=False)
+        u = v.astype(np.uint64)
+        bks = []
+        for c in range(n_bands):
+            width = offs[c + 1] - offs[c]
+            chunk = (u >> np.uint64(offs[c])) & np.uint64((1 << width) - 1)
+            # mixed band key: identical (band, chunk) always collide (the
+            # exactness requirement); cross-band collisions only add
+            # verified-away candidates
+            bks.append(
+                (chunk * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64((c + 1) * 0x100000001B3)).astype(np.int64)
+            )
+        bk_all = np.concatenate(bks)
+        tbl = pa.table({"bk": pa.array(bk_all),
+                        "val": pa.array(np.tile(v, n_bands))})
+        part = (bk_all.astype(np.uint64) % np.uint64(num_parts)).astype(
+            np.int32
+        )
+        return _pack_parted(tbl, part, num_parts)
+
+    exploded = uniq.map_batches(explode, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+    from jsschema_ray.stages.uniqueness import _unpack
+
+    def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if tbl.num_rows == 0:
+            return empty
+        bk = tbl.column("bk").to_numpy(zero_copy_only=False)
+        val = tbl.column("val").to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, bk))
+        bk, val = bk[order], val[order]
+        seg = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        counts = np.diff(np.concatenate([seg, [len(bk)]]))
+        ai, bi = [], []
+        for st, c in zip(seg, counts):
+            if c < 2:
+                continue
+            if c > max_band_members:
+                raise ValueError(
+                    f"hamming_pairs: band bucket with {c} members exceeds "
+                    f"max_band_members={max_band_members} (C(n,2) blowup); "
+                    "raise the bound or lower max_distance"
+                )
+            iu, ju = np.triu_indices(c, k=1)
+            ai.append(st + iu)
+            bi.append(st + ju)
+        if not ai:
+            return empty
+        va = val[np.concatenate(ai)]
+        vb = val[np.concatenate(bi)]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        d = _popcount64(np.bitwise_xor(lo.astype(np.uint64),
+                                       hi.astype(np.uint64)))
+        keep = d <= max_distance
+        out = pd.DataFrame({"a": lo[keep], "b": hi[keep],
+                            "hamming": d[keep]})
+        # local dedup (same pair via several bands in this partition);
+        # cross-partition band duplicates fall to _dedupe_pairs
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = exploded.groupby("part").map_groups(
+        emit_verified, batch_format="pandas"
+    )
+    deduped = _dedupe_pairs(pairs, num_parts=num_parts)
+    # typed empty survives a pair-free corpus: an empty groupby emits a
+    # schema-less sentinel block that would otherwise erase the columns
+    # (round-1 lesson); rewrite such blocks and seed the schema
+    empty_t = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+
+    def ensure_typed(batch: pa.Table) -> pa.Table:
+        return empty_t if batch.num_columns == 0 else batch
+
+    return ray.data.from_arrow(empty_t).union(
+        deduped.map_batches(ensure_typed, batch_format="pyarrow")
+    )

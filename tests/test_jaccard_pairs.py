@@ -148,3 +148,63 @@ def test_near_dedup_corpus_keeps_one_per_cluster(ray_session):
         assert set(out.doc_id) == want_survivors
         # output carries the input columns for surviving rows
         assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_hamming_pairs_exact_and_layout_independent(ray_session):
+    """Banding is a complete candidate generator: engine pairs equal a
+    brute-force popcount reference on every layout; duplicate values
+    collapse via the distinct pass; empty corpora keep a typed schema."""
+    import ray.data as rd
+    from jsschema_ray.stages.dedup import hamming_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(2 ** 62), 2 ** 62, size=40, dtype=np.int64)
+    # inject near pairs at distances 1..4 (4 must NOT surface at d<=3)
+    flips = [base[i] ^ np.int64(sum(1 << b for b in range(d)))
+             for i, d in zip(range(8), [1, 2, 3, 4] * 2)]
+    vals = np.concatenate([base, np.asarray(flips, dtype=np.int64),
+                           base[:5]])  # duplicates
+    uniq = np.unique(vals)
+    want = set()
+    for i in range(len(uniq)):
+        x = np.bitwise_xor(uniq[i].astype(np.uint64),
+                           uniq[i + 1:].astype(np.uint64))
+        d = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.flatnonzero(d <= 3):
+            want.add((int(uniq[i]), int(uniq[i + 1 + j])))
+    assert want, "corpus must contain near pairs"
+
+    t = pa.table({"phash": pa.array(vals, pa.int64())})
+    for blocks in (1, 6):
+        out = hamming_pairs(rd.from_arrow(t).repartition(blocks),
+                            column="phash", max_distance=3,
+                            num_parts=8).to_pandas()
+        got = set(zip(out.a.astype(int), out.b.astype(int)))
+        assert got == want
+        assert len(out) == len(out.drop_duplicates(["a", "b"]))
+        # verified distances are exact
+        for _, r in out.iterrows():
+            assert bin(int(r.a) ^ int(r.b)).count("1") == r.hamming <= 3
+
+    # pair-free corpus: the DATASET keeps a typed schema (Ray's to_pandas
+    # of a fully-empty dataset drops columns — a harness quirk, so the
+    # contract is pinned at the Dataset level where composition happens)
+    lone = pa.table({"phash": pa.array([0, -1], pa.int64())})  # ham 64
+    empty = hamming_pairs(rd.from_arrow(lone), column="phash",
+                          max_distance=3, num_parts=4)
+    assert [f.name for f in empty.schema().base_schema] \
+        == ["a", "b", "hamming"]
+    assert empty.count() == 0
+
+
+def test_hamming_pairs_band_blowup_refusal(ray_session):
+    import ray.data as rd
+    from jsschema_ray.stages.dedup import hamming_pairs
+
+    # 64 values identical in every band chunk except low bits -> one
+    # giant band bucket; bound must refuse loudly
+    vals = np.arange(64, dtype=np.int64)
+    t = pa.table({"phash": pa.array(vals)})
+    with pytest.raises(Exception, match="max_band_members"):
+        hamming_pairs(rd.from_arrow(t), column="phash", max_distance=3,
+                      num_parts=2, max_band_members=10).to_pandas()

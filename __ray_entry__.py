@@ -1159,6 +1159,32 @@ def q_near_dedup_corpus(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_except_customers(sf_dir: str):
+    """SQL EXCEPT as a distributed set op (stages/uniqueness.except_rows):
+    distinct customer keys that never produced an event — both sides
+    pre-trim map-side to per-batch distinct rows and co-partition on the
+    same normalized key hash, so the shuffle carries distinct rows only.
+    DuckDB-oracled against a native EXCEPT."""
+    from jsschema_ray.stages.uniqueness import except_rows
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    ev = _read(sf_dir, "events", ["user_id"])
+    return except_rows(cust, ev, columns=["c_custkey"],
+                       right_columns=["user_id"]).sort("c_custkey")
+
+
+def q_intersect_event_users(sf_dir: str):
+    """SQL INTERSECT as a distributed set op
+    (stages/uniqueness.intersect_rows): distinct event user ids that are
+    also customer keys. DuckDB-oracled against a native INTERSECT."""
+    from jsschema_ray.stages.uniqueness import intersect_rows
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return intersect_rows(ev, cust, columns=["user_id"],
+                          right_columns=["c_custkey"]).sort("user_id")
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-language median document length — grouped order
     statistics with DuckDB QUANTILE_DISC rank parity (k = ceil(q*n),
@@ -1483,6 +1509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_components": q_dedup_components,
         "near_dedup_corpus": q_near_dedup_corpus,
+        "except_customers": q_except_customers,
+        "intersect_event_users": q_intersect_event_users,
         "group_quantiles": q_group_quantiles,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
@@ -1785,6 +1813,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT node FROM losers)
             ORDER BY doc_id
+        """,
+        "except_customers": """
+            SELECT * FROM (
+                SELECT c_custkey FROM customer
+                EXCEPT
+                SELECT user_id FROM events
+            ) ORDER BY c_custkey
+        """,
+        "intersect_event_users": """
+            SELECT * FROM (
+                SELECT user_id FROM events
+                INTERSECT
+                SELECT c_custkey FROM customer
+            ) ORDER BY user_id
         """,
         "top_doc_frequency": """
             WITH t AS (SELECT doc_id,

@@ -332,3 +332,111 @@ def distinct_rows(ds, columns: Optional[list[str]] = None,
         pretrim, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(finish, batch_format="pandas")
+
+
+def _setop_rows(left, right, how: str, columns: Optional[list[str]] = None,
+                batch_size: int = 262144, num_parts: int = 64):
+    """Shared engine for SQL EXCEPT / INTERSECT (both DISTINCT set ops):
+    tag each side, reuse distinct_rows' map-side pre-trim + normalized
+    combined-key hash so equal rows from BOTH inputs co-locate in one
+    partition, then one vectorized pandas merge per partition (pandas
+    matches NULL/NaN keys to each other, the SQL set-op duplicate-
+    elimination semantics where NULLs compare equal)."""
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    cols = columns  # None -> all of LEFT's columns
+
+    def make_pretrim(side: int, sel_override=None):
+        def pretrim(batch: pa.Table) -> pa.Table:
+            sel = sel_override or cols or batch.column_names
+            out = batch.select(sel)
+            for c in sel:
+                t = out.schema.field(c).type
+                if pa.types.is_nested(t):
+                    raise ValueError(
+                        f"{how}_rows supports primitive columns only; "
+                        f"{c!r} is {t} — hash or serialize nested first"
+                    )
+            for c in sel:
+                col = out.column(c).combine_chunks()
+                norm = normalize_zeros(col)
+                if norm is not col:
+                    out = out.set_column(out.column_names.index(c), c,
+                                         norm)
+            df = out.to_pandas().drop_duplicates()
+            out = pa.Table.from_pandas(df, preserve_index=False,
+                                       schema=out.schema)
+            # RIGHT side aligns to the left's output column names so the
+            # union and per-partition merge see one schema
+            if sel_override is not None and cols is not None:
+                out = out.rename_columns(cols)
+            h = None
+            for c in out.column_names:
+                hk = hash64(out.column(c).combine_chunks())
+                with np.errstate(over="ignore"):
+                    h = hk if h is None else h * np.uint64(1000003) + hk
+            part = (h % np.uint64(num_parts)).astype(np.int32) \
+                if len(out) else np.empty(0, dtype=np.int32)
+            out = out.append_column("__part", pa.array(part))
+            return out.append_column(
+                "__side",
+                pa.array(np.full(len(out), side, dtype=np.int8)))
+        return pretrim
+
+    return left, right, make_pretrim
+
+
+def _run_setop(left, right, how: str, columns, right_columns,
+               batch_size: int, num_parts: int):
+    import pandas as pd
+
+    if right_columns is not None and columns is None:
+        raise ValueError(
+            "right_columns requires explicit left columns (the output "
+            "schema) so the right side can be renamed onto it"
+        )
+    left, right, make_pretrim = _setop_rows(
+        left, right, how, columns, batch_size, num_parts
+    )
+    lt = left.map_batches(make_pretrim(0), batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+    rt = right.map_batches(make_pretrim(1, right_columns),
+                           batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        sel = [c for c in g.columns if c not in ("__part", "__side")]
+        lf = g[g["__side"] == 0][sel].drop_duplicates()
+        rf = g[g["__side"] == 1][sel].drop_duplicates()
+        if how == "intersect":
+            return lf.merge(rf, on=sel, how="inner")
+        m = lf.merge(rf, on=sel, how="left", indicator=True)
+        return m[m["_merge"] == "left_only"][sel]
+
+    return lt.union(rt).groupby("__part").map_groups(
+        finish, batch_format="pandas"
+    )
+
+
+def except_rows(left, right, columns: Optional[list[str]] = None,
+                right_columns: Optional[list[str]] = None,
+                batch_size: int = 262144, num_parts: int = 64):
+    """SQL ``EXCEPT`` (set difference with DISTINCT output): the distinct
+    rows of ``left`` (projected to ``columns``) that do not appear in
+    ``right`` (projected to ``right_columns``, default the same names).
+    NULLs compare equal, floats signed-zero-normalized — DuckDB parity.
+
+    Scale shape: both sides pre-trim map-side to per-batch distinct rows,
+    co-partition on the same combined key hash, one merge per partition —
+    the shuffle carries at most distinct rows, never the raw inputs."""
+    return _run_setop(left, right, "except", columns, right_columns,
+                      batch_size, num_parts)
+
+
+def intersect_rows(left, right, columns: Optional[list[str]] = None,
+                   right_columns: Optional[list[str]] = None,
+                   batch_size: int = 262144, num_parts: int = 64):
+    """SQL ``INTERSECT`` (DISTINCT rows present in BOTH inputs); same
+    distribution and NULL/zero semantics as except_rows."""
+    return _run_setop(left, right, "intersect", columns, right_columns,
+                      batch_size, num_parts)

@@ -545,3 +545,53 @@ def test_hash_join_hot_key_salting(ray_session):
 
     with pytest.raises(ValueError, match="salting"):
         hash_join(ldf, rdf, key="k", how="outer", hot_keys=[777])
+
+
+def test_setops_differential_vs_duckdb(ray_session):
+    """except_rows / intersect_rows vs native DuckDB EXCEPT/INTERSECT on
+    adversarial keys: NULLs (equal under set-op dedup), NaN, signed
+    zeros, duplicate-heavy rows, multi-column — any layout."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from jsschema_ray.stages.uniqueness import except_rows, intersect_rows
+
+    rng = np.random.default_rng(23)
+
+    def side(n, hi):
+        k = rng.integers(0, hi, n).astype("float64")
+        k[rng.random(n) < 0.15] = np.nan
+        k[rng.random(n) < 0.1] = -0.0
+        k[rng.random(n) < 0.1] = 0.0
+        s = np.array(["x", "y", None, "z"], dtype=object)[
+            rng.integers(0, 4, n)
+        ]
+        return pd.DataFrame({"k": k, "s": s})
+
+    left, right = side(400, 40), side(300, 12)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+
+    for op, fn in (("EXCEPT", except_rows), ("INTERSECT", intersect_rows)):
+        want = con.execute(
+            f"SELECT * FROM (SELECT k, s FROM l {op} SELECT k, s FROM r) "
+            "ORDER BY k NULLS LAST, s NULLS LAST"
+        ).df()
+        got = fn(rd.from_pandas(left).repartition(3),
+                 rd.from_pandas(right).repartition(2),
+                 columns=["k", "s"], num_parts=8).to_pandas()
+        got = got.sort_values(["k", "s"], na_position="last").reset_index(
+            drop=True
+        )
+        assert len(got) == len(want), (op, len(got), len(want))
+        # DuckDB merges +-0.0 but keeps the FIRST-SEEN bit pattern as the
+        # representative; the engine canonicalizes to +0.0 — equal values,
+        # so normalize both before the string compare (x + 0.0 maps -0.0
+        # to +0.0, leaves NaN alone)
+        got["k"] = got["k"] + 0.0
+        want["k"] = want["k"] + 0.0
+        a = got.astype(str).reset_index(drop=True)
+        b = want.astype(str).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -1159,6 +1159,23 @@ def q_near_dedup_corpus(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 most distinctive terms per document (TF-IDF feature
+    extraction, stages/text.tfidf_top_terms): per-batch exact term
+    frequencies join the corpus doc-frequency vocabulary on token, then
+    one co-partitioned per-doc top-k under the integer-exact order
+    (tf DESC, df ASC, token) — the float tfidf column rides along but
+    never ranks. DuckDB-oracled with ROW_NUMBER over the same order
+    (the float column is projected out of the compare)."""
+    from jsschema_ray.stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=3, num_parts=16)
+    return out.select_columns(["doc_id", "token", "tf", "df"]).sort(
+        ["doc_id", "token"]
+    )
+
+
 def q_except_customers(sf_dir: str):
     """SQL EXCEPT as a distributed set op (stages/uniqueness.except_rows):
     distinct customer keys that never produced an event — both sides
@@ -1510,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": q_dedup_components,
         "near_dedup_corpus": q_near_dedup_corpus,
         "except_customers": q_except_customers,
+        "tfidf_terms": q_tfidf_terms,
         "intersect_event_users": q_intersect_event_users,
         "group_quantiles": q_group_quantiles,
         "knn_brute": q_knn_brute,
@@ -1813,6 +1831,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT node FROM losers)
             ORDER BY doc_id
+        """,
+        "tfidf_terms": """
+            WITH t AS (SELECT doc_id,
+                              UNNEST(regexp_extract_all(LOWER(text),
+                                     '[a-z0-9_]+')) AS token
+                       FROM documents),
+                 tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                        FROM t GROUP BY 1, 2),
+                 df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                        FROM t GROUP BY 1),
+                 j AS (SELECT tf.doc_id, tf.token,
+                              CAST(tf.tf AS BIGINT) AS tf,
+                              CAST(df.df AS BIGINT) AS df,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df, tf.token
+                              ) AS rn
+                       FROM tf JOIN df USING (token))
+            SELECT doc_id, token, tf, df FROM j
+            WHERE rn <= 3 ORDER BY doc_id, token
         """,
         "except_customers": """
             SELECT * FROM (

@@ -8,7 +8,7 @@ numpy kernels); regexes and stopword tables are compiled once per actor in
 from __future__ import annotations
 
 import re
-from typing import Any
+from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -450,3 +450,84 @@ def doc_frequency(ds, column: str = "text", batch_size: int = 8192):
                            batch_size=batch_size)
     return grouped_sums(parts, ["token"], {"df": "df_part"},
                         count_alias=None)
+
+
+def tfidf_top_terms(ds, k: int = 5, column: str = "text",
+                    id_column: str = "doc_id", num_parts: int = 32,
+                    batch_size: int = 8192, n_docs: Optional[int] = None):
+    """Top-``k`` most DISTINCTIVE terms per document — the TF-IDF feature
+    extraction of text curation, composed from the engine's existing
+    shapes: per-batch term frequencies (docs never span Ray blocks, so a
+    within-batch count per (doc, token) is exact), the corpus-wide
+    `doc_frequency` pass, a distributed hash join on token, and one
+    hash(doc) co-partitioned top-k selection per document.
+
+    Ranking is the integer-exact total order (tf DESC, df ASC, token
+    ASC) — "most frequent, rarest first" — so results are bit-reproducible
+    and SQL-mirrorable with ROW_NUMBER; the float ``tfidf`` column
+    (tf * ln(N/df), the classic smoothing-free form) rides along for
+    library users but never decides a rank.
+
+    Scale shape: the token join moves (doc, token, tf) rows and the
+    (token, df) vocabulary through one co-shuffle each — never document
+    text; the final selection pre-trims map-side (local top-k per doc per
+    batch is a superset of the global top-k).  Returns a Dataset of
+    (doc_id, token, tf, df, tfidf).
+    """
+    import math
+
+    import pandas as pd
+
+    from jsschema_ray.stages.join import hash_join
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).to_pandas().fillna("")
+        s = s.reset_index(drop=True)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        toks = s.str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {id_column: pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        grp = pd.DataFrame({"d": ids[ex.index.to_numpy()],
+                            "t": ex.to_numpy()})
+        vc = grp.groupby(["d", "t"], sort=False).size().reset_index(
+            name="tf"
+        )
+        return pa.table(
+            {id_column: pa.array(vc["d"].to_numpy(dtype=np.int64)),
+             "token": pa.array(vc["t"].to_numpy(dtype=object),
+                               type=pa.string()),
+             "tf": pa.array(vc["tf"].to_numpy(dtype=np.int64))}
+        )
+
+    tf = ds.select_columns([id_column, column]).map_batches(
+        tf_rows, batch_format="pyarrow", batch_size=batch_size,
+    )
+    df = doc_frequency(ds, column=column, batch_size=batch_size)
+    joined = hash_join(tf, df, key="token", how="inner",
+                       num_buckets=num_parts)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__p"])
+        g = g.sort_values([id_column, "tf", "df", "token"],
+                          ascending=[True, False, True, True],
+                          kind="stable")
+        out = g.groupby(id_column, sort=False).head(k).copy()
+        out["tfidf"] = out["tf"] * np.log(n_docs / out["df"])
+        return out
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column(id_column).to_numpy(zero_copy_only=False)
+        p = (d.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("__p", pa.array(p))
+
+    return joined.map_batches(part, batch_format="pyarrow").groupby(
+        "__p"
+    ).map_groups(topk, batch_format="pandas")

@@ -111,3 +111,37 @@ class TestPiiRedact:
         assert out.n_email.tolist() == [1]
         assert out.n_ipv4.tolist() == [1]  # counted on original
         assert out.redacted.tolist() == ["<EMAIL>"]  # but not re-redacted
+
+
+def test_tfidf_top_terms_layout_independent_and_scored(ray_session):
+    """tfidf_top_terms: rank order is the integer-exact (tf DESC, df ASC,
+    token) contract on every layout; the float tfidf column equals
+    tf * ln(N/df); k caps each doc's rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsschema_ray.stages.text import tfidf_top_terms
+
+    docs = [
+        "apple apple apple banana common common",
+        "banana banana cherry common common common",
+        "cherry cherry cherry cherry common",
+        "date common",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    outs = []
+    for blocks in (1, 3):
+        out = tfidf_top_terms(rd.from_arrow(t).repartition(blocks), k=2,
+                              num_parts=4).to_pandas()
+        out = out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+        outs.append(out)
+        assert out.groupby("doc_id").size().max() <= 2
+        # doc 0: apple tf=3 df=1 wins; common tf=2 df=4 over banana tf=1?
+        d0 = out[out.doc_id == 0]
+        assert list(d0.token) == ["apple", "common"]
+        np.testing.assert_allclose(
+            out.tfidf, out.tf * np.log(4 / out.df), rtol=0, atol=0
+        )
+    assert outs[0].astype(str).equals(outs[1].astype(str))

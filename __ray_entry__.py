@@ -1159,6 +1159,18 @@ def q_near_dedup_corpus(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_histogram_chars(sf_dir: str):
+    """Fixed-width document-length histogram (stages/stats.histogram):
+    one np.bincount per batch -> grouped partial sums — the shuffle moves
+    O(batches x nonzero-bins) tiny rows, never values. Integer-exact bin
+    edges, DuckDB-oracled via integer division."""
+    from jsschema_ray.stages.stats import histogram
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    out = histogram(ds, "n_chars", lo=0, hi=600, bins=24)
+    return out.select_columns(["bin", "bin_lo", "bin_hi", "n"]).sort("bin")
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-3 most distinctive terms per document (TF-IDF feature
     extraction, stages/text.tfidf_top_terms): per-batch exact term
@@ -1528,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_corpus": q_near_dedup_corpus,
         "except_customers": q_except_customers,
         "tfidf_terms": q_tfidf_terms,
+        "histogram_chars": q_histogram_chars,
         "intersect_event_users": q_intersect_event_users,
         "group_quantiles": q_group_quantiles,
         "knn_brute": q_knn_brute,
@@ -1831,6 +1844,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT node FROM losers)
             ORDER BY doc_id
+        """,
+        "histogram_chars": """
+            SELECT (n_chars - 0) // 25 AS bin,
+                   CAST(0 + ((n_chars - 0) // 25) * 25 AS BIGINT) AS bin_lo,
+                   CAST(0 + ((n_chars - 0) // 25 + 1) * 25 AS BIGINT)
+                       AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE n_chars >= 0 AND n_chars < 600
+            GROUP BY 1 ORDER BY bin
         """,
         "tfidf_terms": """
             WITH t AS (SELECT doc_id,

@@ -474,3 +474,55 @@ def collect_stats(ds, spec: StatsSpec, batch_size: int = 65536,
         cs = out.setdefault(key, ColumnStats(*key))
         cs.absorb(row)
     return out
+
+
+def histogram(ds, column: str, lo: int, hi: int, bins: int,
+              batch_size: int = 262144):
+    """Fixed-width histogram of an integer column over ``[lo, hi)`` —
+    the distribution profile behind drift dashboards, as a shuffle-light
+    aggregate: each batch folds its values into ONE ``np.bincount`` and
+    emits at most ``bins`` (bin, partial_count) rows (the map-side
+    combine), so the only shuffle moves O(batches x nonzero-bins) tiny
+    rows through grouped_sums. Bin edges are integer-exact
+    (``(v - lo) // width``, requiring ``(hi - lo) % bins == 0``) so the
+    result is bit-reproducible and SQL-mirrorable with integer division —
+    no float boundary hazards. Empty bins are omitted (SQL GROUP BY
+    parity). Returns (bin, bin_lo, bin_hi, n) sorted by the caller."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    if (hi - lo) % bins != 0:
+        raise ValueError(
+            f"(hi - lo) = {hi - lo} must be divisible by bins = {bins} "
+            "for integer-exact edges"
+        )
+    w = (hi - lo) // bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = v[(v >= lo) & (v < hi)]
+        if not len(v):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        b = (v - lo) // w
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n_part": pa.array(counts[nz].astype(np.int64))})
+
+    parts = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    summed = grouped_sums(parts, ["bin"], {"n": "n_part"},
+                          count_alias=None)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bin_lo", pa.array(lo + b * w)
+        ).append_column("bin_hi", pa.array(lo + (b + 1) * w))
+
+    return summed.map_batches(edges, batch_format="pyarrow",
+                              zero_copy_batch=True)

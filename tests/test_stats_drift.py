@@ -93,3 +93,29 @@ def test_drift_detects_shift(ray_session):
     # profile serialization round-trip
     p2 = DriftProfile.from_json(profile.to_json())
     assert p2.digests["w"].quantile(0.5) == profile.digests["w"].quantile(0.5)
+
+
+def test_histogram_exact_counts(ray_session):
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import histogram
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(-50, 250, 10_000)
+    v[:100] = -1_000  # below lo: dropped
+    v[100:200] = 9_999  # >= hi: dropped
+    t = pa.table({"x": v})
+    out = histogram(rd.from_arrow(t).repartition(8), "x",
+                    lo=0, hi=200, bins=8, batch_size=512).to_pandas()
+    out = out.sort_values("bin").reset_index(drop=True)
+
+    kept = v[(v >= 0) & (v < 200)]
+    want = np.bincount((kept - 0) // 25, minlength=8)
+    nz = np.flatnonzero(want)
+    assert list(out["bin"]) == list(nz)
+    assert list(out["n"]) == [int(want[b]) for b in nz]
+    assert list(out["bin_lo"]) == [int(b) * 25 for b in nz]
+    assert list(out["bin_hi"]) == [(int(b) + 1) * 25 for b in nz]
+
+    with pytest.raises(ValueError):
+        histogram(rd.from_arrow(t), "x", lo=0, hi=200, bins=7)

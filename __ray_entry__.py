@@ -717,6 +717,21 @@ def q_rolling_windows(sf_dir: str):
                            window_seconds=600.0).sort(["user_id", "ts"])
 
 
+def q_rolling_rows(sf_dir: str):
+    """Per-user rolling 5-row ROWS-frame aggregate over the events log
+    (stages/windows.rolling_rows_windows): one row per event with the
+    windowed sum (x100 integer-exact) and frame size, totally ordered by
+    (ts, event_id) so the frame is deterministic. Hash partition by
+    user, one lexsort + cumsum difference per partition — no per-key
+    loop. DuckDB-oracled against the native ROWS window frame."""
+    from jsschema_ray.stages.windows import rolling_rows_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return rolling_rows_windows(
+        ds, key="user_id", ts="ts", tiebreak="event_id", n_rows=5
+    ).sort(["user_id", "event_id"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1509,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_defaults": q_apply_defaults,
         "session_windows": q_session_windows,
         "rolling_windows": q_rolling_windows,
+        "rolling_rows": q_rolling_rows,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2359,6 +2375,16 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
                          AND CURRENT ROW)
             ORDER BY user_id, ts
+        """,
+        "rolling_rows": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_sum_x100,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
         """,
         "hopping_windows": """
             WITH h AS (SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)

@@ -148,6 +148,68 @@ def rolling_windows(ds, key: str = "user_id", ts: str = "ts",
     ).groupby("__part").map_groups(per_partition, batch_format="pandas")
 
 
+def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
+                         tiebreak: str = "event_id",
+                         value: str | None = "value", n_rows: int = 5,
+                         num_partitions: int = 64):
+    """Per-key rolling ROWS-frame aggregate — SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tiebreak
+    ROWS BETWEEN n_rows-1 PRECEDING AND CURRENT ROW)``.  Unlike the
+    RANGE frame (rolling_windows above), a ROWS frame is only
+    well-defined under a TOTAL order, so a unique ``tiebreak`` column is
+    required and becomes part of the output identity — one row per input
+    event, with ``w_sum_x100`` (int64, x100 half-away scaling) and
+    ``w_n`` (rows in the frame, < n_rows only near the key's start).
+
+    Scale shape: keys hash-partition into ``num_partitions`` coarse
+    groups (the only shuffle); each partition is one vectorized pass —
+    lexsort by (key, ts, tiebreak), find key-block starts from adjacent
+    inequality, then every frame is a cumsum difference with the left
+    edge ``max(i - (n_rows-1), key_start)``.  No per-key loop, no block
+    encoding needed (row offsets can't overflow)."""
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    if n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1, got {n_rows}")
+    cols = [key, ts, tiebreak] + ([value] if value else [])
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if not len(g):
+            return pd.DataFrame({
+                key: g[key].iloc[:0], tiebreak: g[tiebreak].iloc[:0],
+                "w_sum_x100": np.array([], dtype="int64"),
+                "w_n": np.array([], dtype="int64"),
+            })
+        order = np.lexsort((g[tiebreak].to_numpy(), g[ts].to_numpy(),
+                            g[key].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        vx = (round_half_away(g[value].to_numpy() * 100).astype("int64")
+              if value else np.zeros(len(g), dtype="int64"))
+        k = g[key].to_numpy()
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        key_start = np.repeat(starts, np.diff(np.r_[starts, len(k)]))
+        idx = np.arange(len(g))
+        left = np.maximum(idx - (n_rows - 1), key_start)
+        cs = np.concatenate([[0], np.cumsum(vx)])
+        return pd.DataFrame({
+            key: k, tiebreak: g[tiebreak].to_numpy(),
+            "w_sum_x100": (cs[idx + 1] - cs[left]).astype("int64"),
+            "w_n": (idx + 1 - left).astype("int64"),
+        })
+
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
                     value: str | None = "value",

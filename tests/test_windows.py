@@ -159,3 +159,50 @@ def test_rolling_windows_overflow_guard():
     ds = ray.data.from_pandas(pdf)
     with pytest.raises(Exception, match="overflow|num_partitions"):
         rolling_windows(ds, num_partitions=1).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_rows_vs_naive_reference():
+    """rolling_rows_windows vs a naive per-row loop under the same total
+    order (ts, tiebreak), including ts ties (the tiebreak decides the
+    frame) and keys with fewer than n_rows events (short frames)."""
+    import ray.data
+
+    from jsschema_ray.stages.windows import rolling_rows_windows
+
+    rng = np.random.default_rng(23)
+    n, nr = 300, 4
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 9, n).astype("int64"),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 50, n) * 10, unit="s"),  # heavy ties
+        "event_id": np.arange(n, dtype="int64"),
+        "value": rng.normal(0, 10, n).round(3),
+    })
+    ds = ray.data.from_pandas(pdf)
+    got = rolling_rows_windows(
+        ds, n_rows=nr, num_partitions=4
+    ).to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+    vx = (np.sign(pdf["value"]) *
+          np.floor(np.abs(pdf["value"]) * 100 + 0.5)).astype("int64")
+    ref = pdf.assign(vx=vx).sort_values(
+        ["user_id", "ts", "event_id"]).reset_index(drop=True)
+    rows = []
+    for _, g in ref.groupby("user_id", sort=True):
+        g = g.reset_index(drop=True)
+        for i in range(len(g)):
+            lo = max(i - (nr - 1), 0)
+            rows.append((g["user_id"][i], g["event_id"][i],
+                         int(g["vx"][lo:i + 1].sum()), i + 1 - lo))
+    want = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "w_sum_x100", "w_n"]
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "w_sum_x100", "w_n"]], want,
+        check_dtype=False,
+    )
+
+    with pytest.raises(ValueError, match="n_rows"):
+        rolling_rows_windows(ds, n_rows=0)

@@ -732,6 +732,50 @@ def q_rolling_rows(sf_dir: str):
     ).sort(["user_id", "event_id"])
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user cumulative running total over the full event history —
+    the unbounded-frame case of rolling_rows_windows (n_rows=None): the
+    per-partition left frame edge pins to the key-block start, so the
+    whole history is one cumsum difference. DuckDB-oracled against
+    ROWS UNBOUNDED PRECEDING."""
+    from jsschema_ray.stages.windows import rolling_rows_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return rolling_rows_windows(
+        ds, key="user_id", ts="ts", tiebreak="event_id", n_rows=None
+    ).sort(["user_id", "event_id"])
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user inter-arrival microseconds (stages/windows.event_deltas):
+    one row per event, NULL on each user's first — SQL LAG under the
+    (ts, event_id) total order. One hash shuffle + one lexsort + one
+    masked adjacent difference per partition. For the integer-exact
+    compare the NULL is sentinel-filled to -1 on BOTH sides (deltas are
+    always >= 0, so -1 is unambiguous; DuckDB's nullable BIGINT would
+    otherwise come back float64). DuckDB-oracled."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import event_deltas
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = event_deltas(ds, key="user_id", ts="ts", tiebreak="event_id")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # fresh table: drops the pandas-schema metadata that would
+        # otherwise resurrect the nullable Int64 dtype in to_pandas
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "delta_us": pc.fill_null(batch.column("delta_us"), -1),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(
+        ["user_id", "event_id"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1525,6 +1569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "rolling_windows": q_rolling_windows,
         "rolling_rows": q_rolling_rows,
+        "running_totals": q_running_totals,
+        "event_deltas": q_event_deltas,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2384,6 +2430,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
+        """,
+        "running_totals": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_sum_x100,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY user_id, event_id
+        """,
+        "event_deltas": """
+            SELECT user_id, event_id,
+                   CAST(COALESCE(EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id),
+                        -1) AS BIGINT) AS delta_us
+            FROM events
             ORDER BY user_id, event_id
         """,
         "hopping_windows": """

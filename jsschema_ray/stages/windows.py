@@ -150,7 +150,8 @@ def rolling_windows(ds, key: str = "user_id", ts: str = "ts",
 
 def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
                          tiebreak: str = "event_id",
-                         value: str | None = "value", n_rows: int = 5,
+                         value: str | None = "value",
+                         n_rows: int | None = 5,
                          num_partitions: int = 64):
     """Per-key rolling ROWS-frame aggregate — SQL's
     ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tiebreak
@@ -160,6 +161,9 @@ def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
     required and becomes part of the output identity — one row per input
     event, with ``w_sum_x100`` (int64, x100 half-away scaling) and
     ``w_n`` (rows in the frame, < n_rows only near the key's start).
+    ``n_rows=None`` makes the frame UNBOUNDED PRECEDING — per-key
+    running totals (the cumulative-history feature), same single pass
+    with the left edge pinned to the key-block start.
 
     Scale shape: keys hash-partition into ``num_partitions`` coarse
     groups (the only shuffle); each partition is one vectorized pass —
@@ -171,8 +175,8 @@ def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
 
     from jsschema_ray.state.hll import hash64
 
-    if n_rows < 1:
-        raise ValueError(f"n_rows must be >= 1, got {n_rows}")
+    if n_rows is not None and n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1 or None, got {n_rows}")
     cols = [key, ts, tiebreak] + ([value] if value else [])
 
     def add_part(batch: "pa.Table") -> "pa.Table":
@@ -197,12 +201,61 @@ def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
         starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
         key_start = np.repeat(starts, np.diff(np.r_[starts, len(k)]))
         idx = np.arange(len(g))
-        left = np.maximum(idx - (n_rows - 1), key_start)
+        left = (key_start if n_rows is None
+                else np.maximum(idx - (n_rows - 1), key_start))
         cs = np.concatenate([[0], np.cumsum(vx)])
         return pd.DataFrame({
             key: k, tiebreak: g[tiebreak].to_numpy(),
             "w_sum_x100": (cs[idx + 1] - cs[left]).astype("int64"),
             "w_n": (idx + 1 - left).astype("int64"),
+        })
+
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
+def event_deltas(ds, key: str = "user_id", ts: str = "ts",
+                 tiebreak: str = "event_id", num_partitions: int = 64):
+    """Per-key inter-arrival time — SQL's
+    ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` as an
+    int64 microsecond delta (NULL on each key's first event).  The
+    sessionization/burst-detection feature primitive, exposed as its own
+    per-event operator.  Same scale shape as rolling_rows_windows: one
+    hash(key) shuffle, then per partition a single lexsort and one
+    adjacent difference masked at key-block boundaries — no per-key
+    loop."""
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    cols = [key, ts, tiebreak]
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if not len(g):
+            return pd.DataFrame({
+                key: g[key].iloc[:0], tiebreak: g[tiebreak].iloc[:0],
+                "delta_us": pd.array([], dtype="Int64"),
+            })
+        order = np.lexsort((g[tiebreak].to_numpy(), g[ts].to_numpy(),
+                            g[key].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        k = g[key].to_numpy()
+        tus = (g[ts].to_numpy().astype("datetime64[us]").astype("int64"))
+        delta = np.empty(len(g), dtype="int64")
+        delta[0] = 0
+        delta[1:] = tus[1:] - tus[:-1]
+        same_key = np.r_[False, k[1:] == k[:-1]]
+        d = pd.Series(delta, dtype="Int64")
+        d[~same_key] = pd.NA
+        return pd.DataFrame({
+            key: k, tiebreak: g[tiebreak].to_numpy(), "delta_us": d,
         })
 
     return ds.select_columns(cols).map_batches(

@@ -206,3 +206,51 @@ def test_rolling_rows_vs_naive_reference():
 
     with pytest.raises(ValueError, match="n_rows"):
         rolling_rows_windows(ds, n_rows=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_totals_and_event_deltas():
+    """n_rows=None == pandas expanding cumsum per key; event_deltas ==
+    pandas groupby.diff under the same total order (NULL firsts)."""
+    import ray.data
+
+    from jsschema_ray.stages.windows import event_deltas, rolling_rows_windows
+
+    rng = np.random.default_rng(5)
+    n = 250
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n).astype("int64"),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 40, n) * 7, unit="s"),
+        "event_id": np.arange(n, dtype="int64"),
+        "value": rng.normal(0, 5, n).round(2),
+    })
+    ds = ray.data.from_pandas(pdf)
+
+    got = rolling_rows_windows(ds, n_rows=None, num_partitions=3
+                               ).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    ref = pdf.assign(
+        vx=(np.sign(pdf["value"]) *
+            np.floor(np.abs(pdf["value"]) * 100 + 0.5)).astype("int64")
+    ).sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ref["w_sum_x100"] = ref.groupby("user_id")["vx"].cumsum()
+    ref["w_n"] = ref.groupby("user_id").cumcount() + 1
+    ref = ref.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "w_sum_x100", "w_n"]],
+        ref[["user_id", "event_id", "w_sum_x100", "w_n"]],
+        check_dtype=False,
+    )
+
+    got_d = event_deltas(ds, num_partitions=3).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    ref_d = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True)
+    us = ref_d["ts"].astype("datetime64[us]").astype("int64")
+    ref_d["delta_us"] = us.groupby(ref_d["user_id"]).diff()
+    ref_d = ref_d.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert (got_d["delta_us"].isna() == ref_d["delta_us"].isna()).all()
+    m = ~ref_d["delta_us"].isna()
+    assert (got_d.loc[m, "delta_us"].astype("int64").to_numpy()
+            == ref_d.loc[m, "delta_us"].astype("int64").to_numpy()).all()

@@ -776,6 +776,19 @@ def q_event_deltas(sf_dir: str):
         ["user_id", "event_id"])
 
 
+def q_pivot_events(sf_dir: str):
+    """Per-user event-type crosstab (stages/aggregates.pivot_counts):
+    wide int64 counts with a declared category domain — per batch ONE
+    np.bincount over row_rank*K+cat, one narrow shuffle of width-(K+1)
+    partials. DuckDB-oracled via conditional aggregation."""
+    from jsschema_ray.stages.aggregates import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_counts(ds, "user_id", "event_type",
+                       ["click", "view", "purchase", "signup", "error"])
+    return out.sort("user_id")
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1571,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_rows": q_rolling_rows,
         "running_totals": q_running_totals,
         "event_deltas": q_event_deltas,
+        "pivot_events": q_pivot_events,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2442,6 +2456,20 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "event_deltas": """
             SELECT user_id, event_id,

@@ -54,3 +54,61 @@ def grouped_sums(
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
+
+def pivot_counts(ds, row_key: str, col_key: str, categories: list,
+                 prefix: str = "n_", batch_size: int = 65536):
+    """Crosstab / pivot: per-``row_key`` counts of each ``col_key``
+    category as a WIDE int64 table (one column per category).  A
+    distributed wide output needs a FIXED schema, so the column domain is
+    declared up front via ``categories``; values outside it are dropped —
+    exactly a SQL conditional aggregation
+    (``COUNT(*) FILTER (WHERE col = cat)``), which is the oracle.
+
+    Scale shape: each batch folds into ONE ``np.bincount`` over the
+    combined index ``row_rank * K + cat_idx`` and emits one wide partial
+    row per distinct row_key in the batch; the only shuffle moves those
+    width-(K+1) partials through grouped_sums.  K (category count) must
+    be small — it is a SCHEMA width, not data."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cats = list(categories)
+    k = len(cats)
+    if not k:
+        raise ValueError("categories must be non-empty")
+    if len(set(cats)) != k:
+        raise ValueError("categories must be distinct")
+    out_cols = [f"{prefix}{c}" for c in cats]
+    cat_arr = pa.array(cats)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ci = pc.index_in(
+            batch.column(col_key).combine_chunks(), value_set=cat_arr
+        )
+        keep = ci.is_valid()
+        ci_np = pc.filter(ci, keep).to_numpy(zero_copy_only=False)
+        rows = pc.filter(
+            batch.column(row_key).combine_chunks(), keep
+        ).to_numpy(zero_copy_only=False)
+        if not len(rows):
+            return pa.table(
+                {row_key: batch.column(row_key).slice(0, 0)}
+                | {c: pa.array([], pa.int64()) for c in out_cols}
+            )
+        uniq, rk = np.unique(rows, return_inverse=True)
+        counts = np.bincount(
+            rk.astype(np.int64) * k + ci_np.astype(np.int64),
+            minlength=len(uniq) * k,
+        ).reshape(len(uniq), k)
+        return pa.table(
+            {row_key: pa.array(uniq)}
+            | {c: pa.array(counts[:, j].astype(np.int64))
+               for j, c in enumerate(out_cols)}
+        )
+
+    parts = ds.select_columns([row_key, col_key]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return grouped_sums(parts, [row_key], {c: c for c in out_cols},
+                        count_alias=None)

@@ -1,0 +1,47 @@
+"""Map-side-combined grouped aggregates (stages/aggregates) vs exact
+pandas computations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_counts_exact():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import pivot_counts
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 40, n).astype("int64"),
+        "t": rng.choice(["a", "b", "c", "zzz"], n),  # zzz: out of domain
+    })
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    got = pivot_counts(ds, "u", "t", ["a", "b", "c"], batch_size=512
+                       ).to_pandas().sort_values("u").reset_index(drop=True)
+
+    want = (pd.crosstab(pdf["u"], pdf["t"])
+            .reindex(columns=["a", "b", "c"], fill_value=0)
+            .rename(columns={c: f"n_{c}" for c in "abc"})
+            .reset_index().rename_axis(None, axis=1))
+    want[["n_a", "n_b", "n_c"]] = want[["n_a", "n_b", "n_c"]].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["u", "n_a", "n_b", "n_c"]], want[["u", "n_a", "n_b", "n_c"]],
+        check_dtype=False,
+    )
+    # every u appears (out-of-domain rows drop but users with ONLY zzz
+    # rows legitimately vanish — construct one to pin that)
+    only = pd.DataFrame({"u": [999], "t": ["zzz"]})
+    got2 = pivot_counts(
+        ray.data.from_pandas(pd.concat([pdf, only])), "u", "t",
+        ["a", "b", "c"],
+    ).to_pandas()
+    assert 999 not in set(got2["u"])
+
+    with pytest.raises(ValueError):
+        pivot_counts(ds, "u", "t", [])
+    with pytest.raises(ValueError):
+        pivot_counts(ds, "u", "t", ["a", "a"])

@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "range_join_acctbal",
     "session_windows",
     "hopping_windows",
+    "rolling_windows",
+    "rolling_rows",
+    "event_deltas",
+    "pivot_events",
+    "histogram_chars",
     # training-data ops
     "exact_dedup",
     "token_counts",
@@ -62,6 +67,8 @@ BENCH_QUERIES = [
     "top_doc_frequency",
     "jaccard_pairs",
     "group_quantiles",
+    "dedup_components",
+    "tfidf_terms",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
 ]

@@ -789,6 +789,42 @@ def q_pivot_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def q_count_distinct_types(sf_dir: str):
+    """Exact per-user COUNT(DISTINCT event_type)
+    (stages/aggregates.grouped_count_distinct): batches pre-trim to
+    distinct (user, type) pairs map-side, the one shuffle carries pairs
+    only. DuckDB-oracled."""
+    from jsschema_ray.stages.aggregates import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_count_distinct(ds, "user_id", "event_type").sort(
+        "user_id")
+
+
+def q_best_event_per_user(sf_dir: str):
+    """Keep each user's highest-value event, event_id breaking ties
+    (stages/aggregates.argmax_per_group) — the keep-best-row-per-cluster
+    curation idiom; full rows ride along. DuckDB-oracled via QUALIFY
+    ROW_NUMBER."""
+    from jsschema_ray.stages.aggregates import argmax_per_group
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "event_type", "value"])
+    return argmax_per_group(ds, "user_id", "value", "event_id").sort(
+        "user_id")
+
+
+def q_ntile_events(sf_dir: str):
+    """Per-user NTILE(4) under the (ts, event_id) total order
+    (stages/windows.ntile) — the per-key split primitive with SQL's
+    exact tile sizing. DuckDB-oracled against native NTILE."""
+    from jsschema_ray.stages.windows import ntile
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return ntile(ds, key="user_id", ts="ts", tiebreak="event_id",
+                 k=4).sort(["user_id", "event_id"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1585,6 +1621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": q_running_totals,
         "event_deltas": q_event_deltas,
         "pivot_events": q_pivot_events,
+        "count_distinct_types": q_count_distinct_types,
+        "best_event_per_user": q_best_event_per_user,
+        "ntile_events": q_ntile_events,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2470,6 +2509,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (event_type = 'error')
                         AS BIGINT) AS n_error
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "count_distinct_types": """
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                       AS n_distinct
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "best_event_per_user": """
+            SELECT user_id, event_id, event_type, value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY value DESC, event_id) = 1
+            ORDER BY user_id
+        """,
+        "ntile_events": """
+            SELECT user_id, event_id,
+                   CAST(NTILE(4) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                        AS BIGINT) AS tile
+            FROM events ORDER BY user_id, event_id
         """,
         "event_deltas": """
             SELECT user_id, event_id,

@@ -112,3 +112,93 @@ def pivot_counts(ds, row_key: str, col_key: str, categories: list,
     )
     return grouped_sums(parts, [row_key], {c: c for c in out_cols},
                         count_alias=None)
+
+def grouped_count_distinct(ds, group: str, col: str,
+                           num_partitions: int = 64,
+                           batch_size: int = 65536):
+    """Exact per-group COUNT(DISTINCT col) — the exact counterpart of the
+    HLL sketch in stages/stats (use the sketch when 2% error is fine;
+    this when the count gates a correctness decision).
+
+    Scale shape: each batch pre-trims to its distinct (group, col) pairs
+    (one ``pyarrow.Table.group_by``, map-side combine), pairs
+    hash-partition on ``group`` (the ONLY shuffle — it carries distinct
+    pairs, never raw rows), and each partition drops cross-batch
+    duplicates and counts in one vectorized pass. Output:
+    (group, n_distinct int64)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    def pre_trim(batch: pa.Table) -> pa.Table:
+        d = batch.select([group, col]).group_by(
+            [group, col]).aggregate([])
+        part = (hash64(d.column(group).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return d.append_column("__part", pa.array(part))
+
+    import pandas as pd
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(g):
+            return pd.DataFrame({
+                group: g[group].iloc[:0],
+                "n_distinct": np.array([], dtype="int64"),
+            })
+        d = g.drop_duplicates([group, col])
+        out = d.groupby(group, sort=False, dropna=False)[col].size()
+        return pd.DataFrame({
+            group: out.index.to_numpy(),
+            "n_distinct": out.to_numpy().astype("int64"),
+        })
+
+    return ds.select_columns([group, col]).map_batches(
+        pre_trim, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
+def argmax_per_group(ds, group: str, value: str, tiebreak: str,
+                     num_partitions: int = 64,
+                     batch_size: int = 65536):
+    """Keep each group's best row — SQL
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY value DESC, tiebreak ASC) = 1``.  The "keep the
+    highest-quality document per duplicate cluster" curation idiom,
+    deterministic via the required unique ``tiebreak``.  All other
+    columns ride along unchanged.
+
+    Scale shape: each batch pre-trims to its per-group winner (one
+    lexsort + block-start take — at most one row per distinct group per
+    batch crosses the wire), winners hash-partition on ``group``, and
+    each partition replays the same selection over the surviving
+    candidates. Two lexsorts total, no per-group loop."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        order = np.lexsort((df[tiebreak].to_numpy(),
+                            -df[value].to_numpy(),
+                            df[group].to_numpy()))
+        df = df.iloc[order]
+        keep = np.r_[True,
+                     df[group].to_numpy()[1:] != df[group].to_numpy()[:-1]]
+        return df.iloc[keep].reset_index(drop=True)
+
+    def pre_trim(df: pd.DataFrame) -> pd.DataFrame:
+        w = winners(df)
+        part = (hash64(pa.array(w[group]))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return w.assign(__part=part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return winners(g.drop(columns=["__part"]))
+
+    return ds.map_batches(
+        pre_trim, batch_format="pandas", batch_size=batch_size,
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")

@@ -263,6 +263,61 @@ def event_deltas(ds, key: str = "user_id", ts: str = "ts",
     ).groupby("__part").map_groups(per_partition, batch_format="pandas")
 
 
+def ntile(ds, key: str = "user_id", ts: str = "ts",
+          tiebreak: str = "event_id", k: int = 4,
+          num_partitions: int = 64):
+    """SQL ``NTILE(k) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` —
+    per-key equal-ish buckets under a total order (SQL sizing: with
+    n = q*k + r, the first r tiles get q+1 rows).  The per-key
+    train/val/test or curriculum-split primitive.  Same one-shuffle
+    shape as rolling_rows_windows: lexsort per partition, per-row rank
+    and key size from block starts, tile from the closed-form SQL
+    sizing — no per-key loop.  Output: (key, tiebreak, tile 1..k)."""
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if not len(g):
+            return pd.DataFrame({
+                key: g[key].iloc[:0], tiebreak: g[tiebreak].iloc[:0],
+                "tile": np.array([], dtype="int64"),
+            })
+        order = np.lexsort((g[tiebreak].to_numpy(), g[ts].to_numpy(),
+                            g[key].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        kcol = g[key].to_numpy()
+        starts = np.r_[0, np.flatnonzero(kcol[1:] != kcol[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(kcol)])
+        key_start = np.repeat(starts, sizes)
+        n = np.repeat(sizes, sizes).astype("int64")
+        rank0 = np.arange(len(g), dtype="int64") - key_start
+        q, r = n // k, n % k
+        big = r * (q + 1)  # rows covered by the q+1-sized leading tiles
+        tile = np.where(
+            rank0 < big,
+            rank0 // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (rank0 - big) // np.maximum(q, 1), 0),
+        ) + 1
+        return pd.DataFrame({
+            key: kcol, tiebreak: g[tiebreak].to_numpy(),
+            "tile": tile.astype("int64"),
+        })
+
+    return ds.select_columns([key, ts, tiebreak]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
                     value: str | None = "value",

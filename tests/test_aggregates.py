@@ -45,3 +45,53 @@ def test_pivot_counts_exact():
         pivot_counts(ds, "u", "t", [])
     with pytest.raises(ValueError):
         pivot_counts(ds, "u", "t", ["a", "a"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_count_distinct_exact():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_count_distinct
+
+    rng = np.random.default_rng(9)
+    n = 8_000
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 50, n).astype("int64"),
+        "x": rng.integers(0, 30, n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(7)
+    got = grouped_count_distinct(ds, "g", "x", num_partitions=5,
+                                 batch_size=512).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    want = (pdf.groupby("g")["x"].nunique().rename("n_distinct")
+            .reset_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_argmax_per_group_deterministic():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import argmax_per_group
+
+    rng = np.random.default_rng(13)
+    n = 4_000
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 30, n).astype("int64"),
+        # quantized values -> many exact ties; tiebreak must decide
+        "v": (rng.integers(0, 5, n) * 0.5),
+        "id": rng.permutation(n).astype("int64"),
+        "payload": rng.integers(0, 10, n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    got = argmax_per_group(ds, "g", "v", "id", num_partitions=4,
+                           batch_size=256).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+
+    want = pdf.sort_values(["g", "v", "id"],
+                           ascending=[True, False, True]) \
+        .groupby("g", sort=True).head(1).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "id", "payload"]],
+        want[["g", "v", "id", "payload"]], check_dtype=False,
+    )

@@ -254,3 +254,42 @@ def test_running_totals_and_event_deltas():
     m = ~ref_d["delta_us"].isna()
     assert (got_d.loc[m, "delta_us"].astype("int64").to_numpy()
             == ref_d.loc[m, "delta_us"].astype("int64").to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ntile_sql_sizing():
+    """ntile vs SQL sizing on adversarial group sizes: n < k, n == k,
+    n % k != 0 — checked against DuckDB's native NTILE."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.windows import ntile
+
+    rng = np.random.default_rng(31)
+    sizes = [1, 2, 3, 4, 5, 7, 8, 11, 100]
+    frames = []
+    eid = 0
+    for g, n in enumerate(sizes):
+        frames.append(pd.DataFrame({
+            "user_id": np.full(n, g, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 20, n), unit="s"),
+            "event_id": np.arange(eid, eid + n, dtype="int64"),
+        }))
+        eid += n
+    pdf = pd.concat(frames, ignore_index=True).sample(
+        frac=1, random_state=0).reset_index(drop=True)
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = ntile(ds, k=4, num_partitions=3).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT user_id, event_id,
+               CAST(NTILE(4) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+                   AS tile
+        FROM pdf ORDER BY user_id, event_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        ntile(ds, k=0)

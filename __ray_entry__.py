@@ -825,6 +825,18 @@ def q_ntile_events(sf_dir: str):
                  k=4).sort(["user_id", "event_id"])
 
 
+def q_top_value_events(sf_dir: str):
+    """Global top-15 events by value (stages/stats.top_k_rows): ORDER BY
+    value DESC, event_id LIMIT 15 with NO global sort — per-batch local
+    top-k pre-trim (≤k rows per batch cross the wire), one-block replay.
+    DuckDB-oracled."""
+    from jsschema_ray.stages.stats import top_k_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return top_k_rows(ds, value="value", tiebreak="event_id",
+                      k=15).sort("event_id")
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1624,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_types": q_count_distinct_types,
         "best_event_per_user": q_best_event_per_user,
         "ntile_events": q_ntile_events,
+        "top_value_events": q_top_value_events,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2509,6 +2522,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (event_type = 'error')
                         AS BIGINT) AS n_error
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "top_value_events": """
+            SELECT event_id, user_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 15
         """,
         "count_distinct_types": """
             SELECT user_id,

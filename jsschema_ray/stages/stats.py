@@ -526,3 +526,32 @@ def histogram(ds, column: str, lo: int, hi: int, bins: int,
 
     return summed.map_batches(edges, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def top_k_rows(ds, value: str, tiebreak: str, k: int = 10,
+               descending: bool = True, batch_size: int = 262144):
+    """Global ``ORDER BY value [DESC], tiebreak LIMIT k`` returning the
+    full ROWS (all columns ride along) WITHOUT a global sort shuffle:
+    each batch pre-trims to its local top-k (one lexsort + head — at
+    most k rows per batch cross the wire), partials gather into one
+    block and replay the same selection.  Deterministic via the
+    required unique ``tiebreak``.  NaN values sort last (never enter
+    the top-k before real values).  k is a result size, not data —
+    keep it small; for large k use a real sort."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= k:
+            return df
+        v = df[value].to_numpy().astype("float64")
+        key = -v if descending else v
+        order = np.lexsort((df[tiebreak].to_numpy(), key))
+        return df.iloc[order[:k]].reset_index(drop=True)
+
+    return ds.map_batches(
+        local_topk, batch_format="pandas", batch_size=batch_size,
+    ).repartition(1).map_batches(local_topk, batch_format="pandas")

@@ -119,3 +119,44 @@ def test_histogram_exact_counts(ray_session):
 
     with pytest.raises(ValueError):
         histogram(rd.from_arrow(t), "x", lo=0, hi=200, bins=7)
+
+
+def test_top_k_rows_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import top_k_rows
+
+    rng = np.random.default_rng(17)
+    n = 6_000
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "v": (rng.integers(0, 40, n) * 0.25),  # heavy ties
+        "extra": rng.integers(0, 9, n).astype("int64"),
+    })
+    ds = rd.from_pandas(pdf).repartition(8)
+
+    got = top_k_rows(ds, "v", "id", k=25, batch_size=300).to_pandas()
+    want = pdf.sort_values(["v", "id"], ascending=[False, True]).head(25)
+    got = got.sort_values("id").reset_index(drop=True)
+    want = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got_asc = top_k_rows(ds, "v", "id", k=7, descending=False,
+                         batch_size=300).to_pandas()
+    want_asc = pdf.sort_values(["v", "id"]).head(7)
+    pd.testing.assert_frame_equal(
+        got_asc.sort_values("id").reset_index(drop=True),
+        want_asc.sort_values("id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # NaNs never displace real values
+    pdf2 = pdf.copy()
+    pdf2.loc[:5000, "v"] = np.nan
+    got_nan = top_k_rows(rd.from_pandas(pdf2), "v", "id", k=10,
+                         batch_size=300).to_pandas()
+    assert not got_nan["v"].isna().any()
+
+    with pytest.raises(ValueError):
+        top_k_rows(ds, "v", "id", k=0)

@@ -837,6 +837,22 @@ def q_top_value_events(sf_dir: str):
                       k=15).sort("event_id")
 
 
+def q_unpivot_lineitem(sf_dir: str):
+    """Wide→long reshape of the four lineitem measures
+    (stages/transform.unpivot): one (orderkey, linenumber, name, value)
+    row per measure — a pure per-batch stateless reshape, no shuffle.
+    DuckDB-oracled via UNION ALL (ANSI UNPIVOT)."""
+    from jsschema_ray.stages.transform import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).sort(["l_orderkey", "l_linenumber", "name"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1637,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_event_per_user": q_best_event_per_user,
         "ntile_events": q_ntile_events,
         "top_value_events": q_top_value_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2526,6 +2543,21 @@ def oracle_sql() -> dict[str, str]:
         "top_value_events": """
             SELECT event_id, user_id, value FROM events
             ORDER BY value DESC, event_id LIMIT 15
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS name, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, name
         """,
         "count_distinct_types": """
             SELECT user_id,

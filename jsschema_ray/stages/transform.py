@@ -42,3 +42,42 @@ def apply_defaults(ds, schema: dict[str, Any], batch_size: int = 65536):
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "name", value_name: str = "value",
+            batch_size: int = 65536):
+    """Wide→long reshape (SQL UNPIVOT / pandas melt): one output row per
+    (input row × value column), columns (id_cols..., var_name,
+    value_name).  The inverse of aggregates.pivot_counts.  A pure
+    per-batch stateless reshape — no shuffle, no state; output is
+    value_cols× the input rows but streams block-by-block.  All value
+    columns must share (or be castable to) a common Arrow type; the
+    first value column's type wins, mirroring SQL UNPIVOT's
+    common-supertype rule closely enough for homogeneous numerics."""
+    import pyarrow as pa
+
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    overlap = set(id_cols) & set(value_cols)
+    if overlap:
+        raise ValueError(f"columns cannot be both id and value: {overlap}")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        target = batch.column(value_cols[0]).type
+        pieces = []
+        for c in value_cols:
+            v = batch.column(c).combine_chunks()
+            if v.type != target:
+                v = v.cast(target)
+            pieces.append(pa.table(
+                {k: batch.column(k) for k in id_cols}
+                | {var_name: pa.array([c] * batch.num_rows),
+                   value_name: v}
+            ))
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
+        melt, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -95,3 +95,32 @@ def test_argmax_per_group_deterministic():
         got[["g", "v", "id", "payload"]],
         want[["g", "v", "id", "payload"]], check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unpivot_melt_parity():
+    import ray.data
+
+    from jsschema_ray.stages.transform import unpivot
+
+    rng = np.random.default_rng(21)
+    n = 1_000
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "a": rng.normal(size=n),
+        "b": rng.normal(size=n),
+        "c": rng.integers(0, 5, n).astype("int64"),  # cast to double
+    })
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    got = unpivot(ds, ["id"], ["a", "b", "c"], batch_size=128).to_pandas()
+    got = got.sort_values(["id", "name"]).reset_index(drop=True)
+    want = pdf.melt(id_vars=["id"], value_vars=["a", "b", "c"],
+                    var_name="name", value_name="value")
+    want["value"] = want["value"].astype("float64")
+    want = want.sort_values(["id", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        unpivot(ds, ["id"], [])
+    with pytest.raises(ValueError):
+        unpivot(ds, ["id", "a"], ["a", "b"])

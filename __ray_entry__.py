@@ -83,7 +83,14 @@ COMBINATOR_SCHEMA: dict[str, Any] = {
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from jsschema_ray.sources.io import strip_schema_metadata
+
+    # metadata-stripped read: see sources/io.strip_schema_metadata (the
+    # parquet pandas manifest makes schemas unhashable, which disables
+    # Ray's shuffle schema-dedup fast path and spams reduce-task logs)
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    )
 
 
 def _doc_batch(sf_dir: str, table: str = "documents",

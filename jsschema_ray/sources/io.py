@@ -45,7 +45,29 @@ def read_table(path: str, columns: Optional[list[str]] = None,
     if path.endswith(".csv") or _dir_of(path, ".csv"):
         ds = rd.read_csv(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns, **kwargs)
+    )
+
+
+def strip_schema_metadata(ds: "rd.Dataset") -> "rd.Dataset":
+    """Drop schema-level metadata (the parquet writer's embedded pandas
+    manifest) from every block.  In this pyarrow, a schema WITH metadata
+    is unhashable (``hash(schema)`` raises ``unhashable type: 'dict'``),
+    so every downstream shuffle over such blocks logs "Failed to hash the
+    schemas (for deduplication)" per reduce task and skips Ray's
+    schema-dedup fast path; the metadata can also resurrect pandas-only
+    dtypes across Arrow round-trips.  ``replace_schema_metadata`` is a
+    metadata-only operation — zero data copy — and the stage fuses into
+    the read task."""
+
+    def strip(batch: "pa.Table") -> "pa.Table":
+        return batch.replace_schema_metadata(None)
+
+    import pyarrow as pa  # noqa: F401  (annotation only)
+
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _dir_of(path: str, ext: str) -> bool:

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from jsschema_ray.stages._blocks import arrow_out
+
 
 def round_half_away(x: np.ndarray) -> np.ndarray:
     """Round-half-away-from-zero — matches SQL/DuckDB ROUND, unlike
@@ -145,7 +147,7 @@ def rolling_windows(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
 
 
 def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
@@ -212,7 +214,7 @@ def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
 
 
 def event_deltas(ds, key: str = "user_id", ts: str = "ts",
@@ -260,7 +262,7 @@ def event_deltas(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
 
 
 def ntile(ds, key: str = "user_id", ts: str = "ts",
@@ -315,7 +317,7 @@ def ntile(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.select_columns([key, ts, tiebreak]).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
 
 
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
@@ -379,4 +381,4 @@ def session_windows(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")

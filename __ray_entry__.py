@@ -860,6 +860,20 @@ def q_unpivot_lineitem(sf_dir: str):
     ).sort(["l_orderkey", "l_linenumber", "name"])
 
 
+def q_event_paths(sf_dir: str):
+    """Per-user chronological event-type path
+    (stages/aggregates.grouped_string_agg) — SQL STRING_AGG under the
+    (ts, event_id) total order; one shuffle, one lexsort + grouped join
+    per partition. DuckDB-oracled."""
+    from jsschema_ray.stages.aggregates import grouped_string_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+    return grouped_string_agg(
+        ds, "user_id", "event_type", ["ts", "event_id"]
+    ).sort("user_id")
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1661,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events": q_ntile_events,
         "top_value_events": q_top_value_events,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "event_paths": q_event_paths,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2565,6 +2580,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber, name
+        """,
+        "event_paths": """
+            SELECT user_id,
+                   STRING_AGG(event_type, '>'
+                              ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "count_distinct_types": """
             SELECT user_id,

@@ -202,3 +202,49 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
     return ds.map_batches(
         pre_trim, batch_format="pandas", batch_size=batch_size,
     ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
+def grouped_string_agg(ds, key: str, col: str, order_cols: list[str],
+                       sep: str = ">", out_name: str = "path",
+                       num_partitions: int = 64):
+    """Ordered per-key string aggregation — SQL
+    ``STRING_AGG(col, sep ORDER BY order_cols...)`` — the
+    session-path / clickstream-journey primitive.  The order must be a
+    TOTAL order (include a unique tiebreak in ``order_cols``) for a
+    deterministic result.
+
+    Scale shape: one hash(key) shuffle; per partition one lexsort, then
+    one pandas groupby-join (C-backed concat per group — O(groups)
+    joins, not O(rows) Python).  Contract: one key's concatenated
+    string fits a worker (same per-key-fits assumption as
+    session_windows).  Output: (key, out_name)."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if not len(g):
+            return pd.DataFrame({key: g[key].iloc[:0],
+                                 out_name: pd.Series([], dtype="object")})
+        order = np.lexsort(tuple(
+            g[c].to_numpy() for c in reversed(order_cols)
+        ) + (g[key].to_numpy(),))
+        g = g.iloc[order]
+        out = g.groupby(key, sort=False)[col].agg(sep.join)
+        return pd.DataFrame({key: out.index.to_numpy(),
+                             out_name: out.to_numpy()})
+
+    from jsschema_ray.stages._blocks import arrow_out
+
+    cols = [key, col] + [c for c in order_cols if c != col]
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")

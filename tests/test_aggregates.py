@@ -124,3 +124,26 @@ def test_unpivot_melt_parity():
         unpivot(ds, ["id"], [])
     with pytest.raises(ValueError):
         unpivot(ds, ["id", "a"], ["a", "b"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_string_agg_ordered():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_string_agg
+
+    rng = np.random.default_rng(41)
+    n = 2_000
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 25, n).astype("int64"),
+        "t": rng.choice(list("abcd"), n),
+        "ord1": rng.integers(0, 10, n).astype("int64"),  # heavy ties
+        "ord2": np.arange(n, dtype="int64"),             # unique tiebreak
+    })
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    got = grouped_string_agg(ds, "u", "t", ["ord1", "ord2"], sep="-",
+                             num_partitions=4).to_pandas()
+    got = got.sort_values("u").reset_index(drop=True)
+    want = (pdf.sort_values(["u", "ord1", "ord2"])
+            .groupby("u")["t"].agg("-".join).rename("path").reset_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

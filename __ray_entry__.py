@@ -874,6 +874,23 @@ def q_event_paths(sf_dir: str):
     ).sort("user_id")
 
 
+def q_session_length_histogram(sf_dir: str):
+    """Composed window-family pipeline: gap sessionization →
+    fixed-width histogram of session lengths (events per session) — the
+    engagement-distribution dashboard in two chained operators
+    (stages/windows.session_windows → stages/stats.histogram), still one
+    lazy Dataset. DuckDB-oracled via the chained CTE mirror."""
+    from jsschema_ray.stages.stats import histogram
+    from jsschema_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = session_windows(ds, key="user_id", ts="ts",
+                           gap_seconds=1800.0, value=None)
+    out = histogram(sess, "n_events", lo=0, hi=64, bins=16)
+    return out.select_columns(["bin", "bin_lo", "bin_hi", "n"]).sort(
+        "bin")
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1676,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_value_events": q_top_value_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "event_paths": q_event_paths,
+        "session_length_histogram": q_session_length_histogram,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2580,6 +2598,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber, name
+        """,
+        "session_length_histogram": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR EPOCH(ts) - EPOCH(LAG(ts) OVER w)
+                                    > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                            ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+                            AS BIGINT) AS session_id
+                FROM flagged
+            ), lens AS (
+                SELECT COUNT(*) AS n_events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT (n_events - 0) // 4 AS bin,
+                   CAST(((n_events - 0) // 4) * 4 AS BIGINT) AS bin_lo,
+                   CAST(((n_events - 0) // 4 + 1) * 4 AS BIGINT)
+                       AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lens
+            WHERE n_events >= 0 AND n_events < 64
+            GROUP BY 1 ORDER BY bin
         """,
         "event_paths": """
             SELECT user_id,

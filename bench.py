@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "event_deltas",
     "pivot_events",
     "histogram_chars",
+    "ntile_events",
+    "event_paths",
+    "count_distinct_types",
+    "best_event_per_user",
+    "top_value_events",
+    "unpivot_lineitem",
+    "session_length_histogram",
     # training-data ops
     "exact_dedup",
     "token_counts",

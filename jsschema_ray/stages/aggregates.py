@@ -153,10 +153,13 @@ def grouped_count_distinct(ds, group: str, col: str,
             "n_distinct": out.to_numpy().astype("int64"),
         })
 
+    from jsschema_ray.stages._blocks import arrow_out
+
     return ds.select_columns([group, col]).map_batches(
         pre_trim, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")
 
 
 def argmax_per_group(ds, group: str, value: str, tiebreak: str,
@@ -199,9 +202,12 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         return winners(g.drop(columns=["__part"]))
 
+    from jsschema_ray.stages._blocks import arrow_out
+
     return ds.map_batches(
         pre_trim, batch_format="pandas", batch_size=batch_size,
-    ).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")
 
 
 def grouped_string_agg(ds, key: str, col: str, order_cols: list[str],

@@ -293,3 +293,42 @@ def test_ntile_sql_sizing():
 
     with pytest.raises(ValueError):
         ntile(ds, k=0)
+
+
+@pytest.mark.parametrize("seed,nr", [(1, 1), (2, 3), (3, 8)])
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_rows_randomized_differential(seed, nr):
+    """Seed sweep for the ROWS frame vs DuckDB's native window across
+    frame sizes (1 = pure current-row, 3, 8 > most key sizes)."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.windows import rolling_rows_windows
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype("int64"),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30, n) * 5, unit="s"),
+        "event_id": rng.permutation(n).astype("int64"),
+        "value": rng.normal(0, 7, n).round(2),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = rolling_rows_windows(ds, n_rows=nr, num_partitions=4
+                               ).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS w_sum_x100,
+               CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+        FROM pdf
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {nr - 1} PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "w_sum_x100", "w_n"]], want,
+        check_dtype=False,
+    )

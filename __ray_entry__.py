@@ -891,6 +891,20 @@ def q_session_length_histogram(sf_dir: str):
         "bin")
 
 
+def q_event_ranks(sf_dir: str):
+    """The SQL rank family per user over event time
+    (stages/windows.window_ranks): ROW_NUMBER under the (ts, event_id)
+    total order plus RANK/DENSE_RANK with ts-tie semantics — one
+    shuffle, one lexsort + cumsum arithmetic per partition.
+    DuckDB-oracled against the native window functions."""
+    from jsschema_ray.stages.windows import window_ranks
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return window_ranks(ds, key="user_id", order="ts",
+                        tiebreak="event_id").sort(
+        ["user_id", "event_id"])
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1694,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "event_paths": q_event_paths,
         "session_length_histogram": q_session_length_histogram,
+        "event_ranks": q_event_ranks,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2626,6 +2641,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lens
             WHERE n_events >= 0 AND n_events < 64
             GROUP BY 1 ORDER BY bin
+        """,
+        "event_ranks": """
+            SELECT user_id, event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS row_number,
+                   CAST(RANK() OVER (PARTITION BY user_id
+                        ORDER BY ts) AS BIGINT) AS rank,
+                   CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                        ORDER BY ts) AS BIGINT) AS dense_rank
+            FROM events ORDER BY user_id, event_id
         """,
         "event_paths": """
             SELECT user_id,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "top_value_events",
     "unpivot_lineitem",
     "session_length_histogram",
+    "event_ranks",
     # training-data ops
     "exact_dedup",
     "token_counts",

@@ -320,6 +320,74 @@ def ntile(ds, key: str = "user_id", ts: str = "ts",
     ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
 
 
+def window_ranks(ds, key: str = "user_id", order: str = "ts",
+                 tiebreak: str = "event_id", num_partitions: int = 64):
+    """The SQL rank family in one pass — per key, ordered by ``order``:
+
+    * ``row_number`` — 1..n under the (order, tiebreak) TOTAL order;
+    * ``rank``       — ties on ``order`` share the FIRST position of
+      their run (gaps after ties);
+    * ``dense_rank`` — ties share consecutive positions (no gaps).
+
+    Same one-shuffle shape as the other per-key window ops: hash(key)
+    partitions; per partition one lexsort, then key-block starts and
+    order-value-change flags give all three ranks as vectorized cumsum /
+    repeat arithmetic — no per-key loop.  Output: (key, tiebreak,
+    row_number, rank, dense_rank)."""
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if not len(g):
+            return pd.DataFrame({
+                key: g[key].iloc[:0], tiebreak: g[tiebreak].iloc[:0],
+                "row_number": np.array([], dtype="int64"),
+                "rank": np.array([], dtype="int64"),
+                "dense_rank": np.array([], dtype="int64"),
+            })
+        srt = np.lexsort((g[tiebreak].to_numpy(), g[order].to_numpy(),
+                          g[key].to_numpy()))
+        g = g.iloc[srt].reset_index(drop=True)
+        k = g[key].to_numpy()
+        o = g[order].to_numpy()
+        idx = np.arange(len(g), dtype="int64")
+        key_change = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(key_change)
+        key_start = np.repeat(starts,
+                              np.diff(np.r_[starts, len(k)]))
+        row_number = idx - key_start + 1
+        # a rank run begins where the key OR the order value changes
+        run_start_flag = key_change | np.r_[True, o[1:] != o[:-1]]
+        run_starts = np.flatnonzero(run_start_flag)
+        run_start = np.repeat(run_starts,
+                              np.diff(np.r_[run_starts, len(k)]))
+        rank = run_start - key_start + 1
+        # dense: count run boundaries since the key started (inclusive)
+        dense = np.cumsum(run_start_flag)
+        dense_rank = dense - np.repeat(dense[starts],
+                                       np.diff(np.r_[starts, len(k)])) + 1
+        return pd.DataFrame({
+            key: k, tiebreak: g[tiebreak].to_numpy(),
+            "row_number": row_number.astype("int64"),
+            "rank": rank.astype("int64"),
+            "dense_rank": dense_rank.astype("int64"),
+        })
+
+    from jsschema_ray.stages._blocks import arrow_out
+
+    return ds.select_columns([key, order, tiebreak]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")
+
+
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
                     value: str | None = "value",

@@ -332,3 +332,36 @@ def test_rolling_rows_randomized_differential(seed, nr):
         got[["user_id", "event_id", "w_sum_x100", "w_n"]], want,
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_ranks_tie_semantics():
+    """row_number/rank/dense_rank vs DuckDB with heavy order-value ties
+    (rank gaps after ties, dense_rank without)."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.windows import window_ranks
+
+    rng = np.random.default_rng(47)
+    n = 500
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype("int64"),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 12, n), unit="s"),  # heavy ties
+        "event_id": rng.permutation(n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = window_ranks(ds, num_partitions=4).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS row_number,
+               CAST(RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                    AS BIGINT) AS rank,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                    AS BIGINT) AS dense_rank
+        FROM pdf ORDER BY user_id, event_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

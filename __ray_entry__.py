@@ -905,6 +905,21 @@ def q_event_ranks(sf_dir: str):
         ["user_id", "event_id"])
 
 
+def q_first_last_touch(sf_dir: str):
+    """First-touch / last-touch attribution per user
+    (stages/windows.first_last_per_key): each user's first and last
+    event_type under the (ts, event_id) total order — one row per user.
+    DuckDB-oracled via ROW_NUMBER boundary rows under the same order."""
+    from jsschema_ray.stages.windows import first_last_per_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return first_last_per_key(
+        ds, key="user_id", order="ts", tiebreak="event_id",
+        cols=["event_type"],
+    ).sort("user_id")
+
+
 def q_column_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1709,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": q_event_paths,
         "session_length_histogram": q_session_length_histogram,
         "event_ranks": q_event_ranks,
+        "first_last_touch": q_first_last_touch,
         # stats / aggregation
         "column_stats": q_column_stats,
         "group_stats": q_group_stats,
@@ -2641,6 +2657,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lens
             WHERE n_events >= 0 AND n_events < 64
             GROUP BY 1 ORDER BY bin
+        """,
+        "first_last_touch": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS cnt
+                FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rn = 1 THEN event_type END)
+                       AS first_event_type,
+                   MAX(CASE WHEN rn = cnt THEN event_type END)
+                       AS last_event_type
+            FROM o GROUP BY user_id ORDER BY user_id
         """,
         "event_ranks": """
             SELECT user_id, event_id,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "unpivot_lineitem",
     "session_length_histogram",
     "event_ranks",
+    "first_last_touch",
     # training-data ops
     "exact_dedup",
     "token_counts",

@@ -388,6 +388,58 @@ def window_ranks(ds, key: str = "user_id", order: str = "ts",
                                    batch_format="pandas")
 
 
+def first_last_per_key(ds, key: str, order: str, tiebreak: str,
+                       cols: list[str], num_partitions: int = 64):
+    """Per-key FIRST_VALUE / LAST_VALUE under the (order, tiebreak)
+    total order — first-touch / last-touch attribution.  Output one row
+    per key: (key, first_<col>..., last_<col>...).
+
+    Same one-shuffle shape as the rest of the per-key window family;
+    per partition one lexsort, then the first/last row of each key
+    block by direct index take — no per-key loop.  (Each batch could
+    pre-trim to its local first+last rows per key, but the full-row
+    shuffle keeps the implementation shared with the other window ops;
+    switch to the pre-trim if ``cols`` are wide.)"""
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if not len(g):
+            data = {key: g[key].iloc[:0]}
+            for c in cols:
+                data[f"first_{c}"] = g[c].iloc[:0]
+                data[f"last_{c}"] = g[c].iloc[:0]
+            return pd.DataFrame(data)
+        srt = np.lexsort((g[tiebreak].to_numpy(), g[order].to_numpy(),
+                          g[key].to_numpy()))
+        g = g.iloc[srt].reset_index(drop=True)
+        k = g[key].to_numpy()
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        ends = np.r_[starts[1:] - 1, len(k) - 1]
+        data = {key: k[starts]}
+        for c in cols:
+            v = g[c].to_numpy()
+            data[f"first_{c}"] = v[starts]
+            data[f"last_{c}"] = v[ends]
+        return pd.DataFrame(data)
+
+    from jsschema_ray.stages._blocks import arrow_out
+
+    want = [key, order, tiebreak] + [c for c in cols
+                                     if c not in (key, order, tiebreak)]
+    return ds.select_columns(want).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")
+
+
 def session_windows(ds, key: str = "user_id", ts: str = "ts",
                     gap_seconds: float = 1800.0,
                     value: str | None = "value",

@@ -365,3 +365,45 @@ def test_window_ranks_tie_semantics():
         FROM pdf ORDER BY user_id, event_id
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_last_per_key_ties():
+    """first/last under the total order with heavy ts ties — the
+    tiebreak decides both ends; single-event keys get first == last."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.windows import first_last_per_key
+
+    rng = np.random.default_rng(53)
+    n = 300
+    pdf = pd.DataFrame({
+        "user_id": np.r_[rng.integers(0, 8, n - 1), [999]].astype("int64"),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 6, n), unit="s"),
+        "event_id": rng.permutation(n).astype("int64"),
+        "event_type": rng.choice(list("abcd"), n),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    got = first_last_per_key(ds, "user_id", "ts", "event_id",
+                             ["event_type"], num_partitions=3
+                             ).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM pdf)
+        SELECT user_id,
+               MAX(CASE WHEN rn = 1 THEN event_type END)
+                   AS first_event_type,
+               MAX(CASE WHEN rn = cnt THEN event_type END)
+                   AS last_event_type
+        FROM o GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    one = got[got["user_id"] == 999]
+    assert (one["first_event_type"] == one["last_event_type"]).all()

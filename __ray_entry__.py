@@ -1362,6 +1362,89 @@ def q_near_dedup_corpus(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_minhash_recall(sf_dir: str):
+    """Hard-signal grounding of MinHash-LSH near-dedup against its exact
+    oracle (VERDICT r3 item 5): every exact word-5-gram Jaccard >= 0.7
+    pair (stages/dedup.exact_jaccard_pairs — already DuckDB-oracled as
+    jaccard_pairs) annotated with whether minhash_dedup's clusters put the
+    two docs in ONE cluster. Signatures are seed-deterministic, so
+    `covered` is bit-reproducible; at the driver's correctness scale the
+    measured recall is 1.0 and the oracle mirrors `TRUE AS covered` —
+    ANY pair the LSH misses turns this row red instead of silently
+    degrading the approximate operator."""
+    import ray
+
+    from jsschema_ray.stages.dedup import exact_jaccard_pairs, minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = minhash_dedup(ds, "text", "doc_id", threshold=0.7, num_perm=64,
+                        bands=16, batch_size=_doc_batch(sf_dir))
+    label: dict = {}
+    for c in res["clusters"]:
+        root = min(c)
+        for d in c:
+            label[d] = root
+    # broadcast the tiny doc->cluster map once (ray.put), read per task
+    label_ref = ray.put(label)
+    pairs = exact_jaccard_pairs(ds, threshold=0.7, k=5)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lab = ray.get(label_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        cov = [lab.get(x) is not None and lab.get(x) == lab.get(y)
+               for x, y in zip(a, b)]
+        return batch.append_column("covered", pa.array(cov, pa.bool_()))
+
+    return pairs.map_batches(annotate, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+def _simhash_mirror(sf_dir: str) -> str:
+    """(doc_id, simhash) parquet mirror of the documents table, computed
+    driver-side with the SAME SimHash kernel the engine runs (pure
+    pyarrow/numpy, no Ray needed) — the DuckDB-readable side of the
+    simhash_recall oracle, generated on demand so it exists whether the
+    driver evaluates the Ray query or the oracle SQL first (the
+    _image_meta_path_rows pattern)."""
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.stages.dedup import SimHash
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs("/tmp/jsschema_ray_cache", exist_ok=True)
+    path = f"/tmp/jsschema_ray_cache/simhash_{name}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        out = SimHash(column="text")(t).select(["doc_id", "simhash"])
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_simhash_recall(sf_dir: str):
+    """Hard-signal grounding of the SimHash-banding LSH (VERDICT r3 item
+    5): the banded candidate generator + in-reduce exact-Hamming verify
+    (stages/dedup.simhash_verified_pairs) must return EXACTLY the
+    brute-force set of doc pairs within Hamming distance 3 — pigeonhole
+    completeness is a theorem, and this query makes it a driver-checked
+    oracle row: DuckDB recomputes all pairs via bit_count(xor()) over a
+    deterministic (doc_id, simhash) mirror built with the same kernel."""
+    from jsschema_ray.stages.dedup import simhash_verified_pairs
+    from jsschema_ray.stages.uniqueness import distinct_rows
+
+    _simhash_mirror(sf_dir)  # ensure the oracle's parquet mirror exists
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_verified_pairs(ds, "text", "doc_id", max_hamming=3,
+                                   batch_size=_doc_batch(sf_dir))
+    # the same pair can surface from two band buckets landing in different
+    # partitions; one distinct pass makes the output set-equal to SQL
+    return distinct_rows(pairs).sort(["a", "b"])
+
+
 def q_histogram_chars(sf_dir: str):
     """Fixed-width document-length histogram (stages/stats.histogram):
     one np.bincount per batch -> grouped partial sums — the shuffle moves
@@ -1693,50 +1776,88 @@ def entry():
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness harness verifies the FIRST 50
+    # entries of this dict. Round-3 verdict: 29 queries registered after slot
+    # 50 never received a driver-oracled row. Round 4 rotates them into the
+    # window; queries already driver-green in r2/r3 keep one representative
+    # per operator family inside the window (families touched by this round's
+    # code changes are ALL kept in-window) and the rest move to the tail.
     return {
-        # row-local draft-04 keyword validation
+        # --- never-driver-verified in r3 (rotated in; all oracled unless noted)
+        "image_validate": q_image_validate,
+        "image_stats_exact": q_image_stats_exact,
+        "image_unique_phash": q_image_unique_phash,
+        "image_exact_dedup": q_image_exact_dedup,
+        "phash_near_dup": q_phash_near_dup,
+        "approx_top_phash": q_approx_top_phash,
+        "image_stats": q_image_stats,  # rows-only (sketch output)
+        "image_decode": q_image_decode,  # rows-only (decoded pixels)
+        "image_drift": q_image_drift,  # rows-only (KS over sketches)
+        "knn_brute": q_knn_brute,
+        "knn_ivf": q_knn_ivf,
+        "similarity_join": q_similarity_join,
+        "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_source": q_cap_per_source,
+        "multikey_join": q_multikey_join,
+        "distinct_lang_source": q_distinct_lang_source,
+        "except_customers": q_except_customers,
+        "intersect_event_users": q_intersect_event_users,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_components": q_dedup_components,
+        "near_dedup_corpus": q_near_dedup_corpus,
+        "group_quantiles": q_group_quantiles,
+        "histogram_chars": q_histogram_chars,
+        "tfidf_terms": q_tfidf_terms,
+        "revenue_by_nation": q_revenue_by_nation,
+        "curation_pipeline": q_curation_pipeline,
+        "decontam_pack_pipeline": q_decontam_pack_pipeline,
+        # --- new round-4 hard-signal groundings for the sketch dedups
+        "minhash_recall": q_minhash_recall,
+        "simhash_recall": q_simhash_recall,
+        # --- driver-green representatives (one per family; families whose
+        # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
-        "pattern_enum_violations": q_pattern_enum_violations,
-        "document_violations": q_document_violations,
         "combinator_violations": q_combinator_violations,
+        "document_violations": q_document_violations,
+        "join_orders_customers": q_join_orders_customers,
+        "asof_join_orders": q_asof_join_orders,
+        "range_join_acctbal": q_range_join_acctbal,
+        "session_windows": q_session_windows,
+        "rolling_rows": q_rolling_rows,
+        "event_deltas": q_event_deltas,
+        "event_ranks": q_event_ranks,
+        "pivot_events": q_pivot_events,
+        "count_distinct_types": q_count_distinct_types,  # r4: NULL-parity fix
+        "best_event_per_user": q_best_event_per_user,  # r4: argmax sort fix
+        "top_value_events": q_top_value_events,  # r4: int-exact rank fix
+        "column_stats": q_column_stats,
+        "duplicate_keys": q_duplicate_keys,
+        "referential_orphans": q_referential_orphans,
+        "exact_dedup": q_exact_dedup,
+        "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
+        # ---------------- driver-green in r2/r3; tail (local mirror still
+        # ---------------- verifies every oracle pair at sf0.01)
+        "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
-        # joins + schema-default transform
-        "join_orders_customers": q_join_orders_customers,
         "broadcast_join_nation": q_broadcast_join_nation,
         "left_join_customer_orders": q_left_join_customer_orders,
         "outer_join_orders_customers": q_outer_join_orders_customers,
         "anti_join_customers": q_anti_join_customers,
-        "asof_join_orders": q_asof_join_orders,
-        "range_join_acctbal": q_range_join_acctbal,
         "apply_defaults": q_apply_defaults,
-        "session_windows": q_session_windows,
         "rolling_windows": q_rolling_windows,
-        "rolling_rows": q_rolling_rows,
         "running_totals": q_running_totals,
-        "event_deltas": q_event_deltas,
-        "pivot_events": q_pivot_events,
-        "count_distinct_types": q_count_distinct_types,
-        "best_event_per_user": q_best_event_per_user,
         "ntile_events": q_ntile_events,
-        "top_value_events": q_top_value_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "event_paths": q_event_paths,
         "session_length_histogram": q_session_length_histogram,
-        "event_ranks": q_event_ranks,
         "first_last_touch": q_first_last_touch,
-        # stats / aggregation
-        "column_stats": q_column_stats,
         "group_stats": q_group_stats,
-        # global constraints
-        "duplicate_keys": q_duplicate_keys,
         "top_duplicates": q_top_duplicates,
-        "referential_orphans": q_referential_orphans,
-        # dynamic JSON payloads
         "json_extract": q_json_extract,
         "json_validate": q_json_validate,
-        # dedup / text / similarity (training-data ops)
-        "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -1747,39 +1868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
-        "pack_sequences": q_pack_sequences,
         "percentile_filter": q_percentile_filter,
         "top_doc_frequency": q_top_doc_frequency,
-        "decontam_pack_pipeline": q_decontam_pack_pipeline,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_components": q_dedup_components,
-        "near_dedup_corpus": q_near_dedup_corpus,
-        "except_customers": q_except_customers,
-        "tfidf_terms": q_tfidf_terms,
-        "histogram_chars": q_histogram_chars,
-        "intersect_event_users": q_intersect_event_users,
-        "group_quantiles": q_group_quantiles,
-        "knn_brute": q_knn_brute,
-        "knn_ivf": q_knn_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "similarity_join": q_similarity_join,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "cap_per_source": q_cap_per_source,
-        "multikey_join": q_multikey_join,
-        "revenue_by_nation": q_revenue_by_nation,
-        "distinct_lang_source": q_distinct_lang_source,
-        "curation_pipeline": q_curation_pipeline,
-        # image input_hint table (synthesized; rows-only)
-        "image_validate": q_image_validate,
-        "image_stats": q_image_stats,
-        "image_unique_phash": q_image_unique_phash,
-        "image_stats_exact": q_image_stats_exact,
-        "image_exact_dedup": q_image_exact_dedup,
-        "phash_near_dup": q_phash_near_dup,
-        "approx_top_phash": q_approx_top_phash,
-        "image_decode": q_image_decode,
-        "image_drift": q_image_drift,
     }
 
 
@@ -1972,6 +2062,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON doc_b = sb.doc_id
             WHERE n_inter * 10000 >= 7000 * (sa.s + sb.s - n_inter)
             ORDER BY doc_a, doc_b
+        """,
+        # minhash_recall: the exact-pair set (same CTE as jaccard_pairs)
+        # with covered=TRUE — the Ray side computes covered from the
+        # seeded minhash clusters, so any LSH-missed pair hash-mismatches
+        "minhash_recall": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_DISTINCT(LIST_TRANSFORM(
+                                  RANGE(1, LEN(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                       w[i+2] || ' ' || w[i+3] || ' ' ||
+                                       w[i+4])) AS grams
+                       FROM t),
+                 sz AS (SELECT doc_id, LEN(grams) AS s FROM g),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               COUNT(*) AS n_inter
+                        FROM p a JOIN p b
+                          ON a.gr = b.gr AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(sa.s + sb.s - n_inter AS BIGINT) AS n_union,
+                   TRUE AS covered
+            FROM co
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE n_inter * 10000 >= 7000 * (sa.s + sb.s - n_inter)
+            ORDER BY doc_a, doc_b
+        """,
+        # simhash_recall: brute-force Hamming<=3 doc pairs over the
+        # deterministic (doc_id, simhash) mirror (same kernel, no Ray)
+        "simhash_recall": f"""
+            WITH sh AS (SELECT doc_id, simhash
+                        FROM read_parquet(
+                            '{_simhash_mirror("/root/testdata/sf0.01")}'))
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY a, b
         """,
         "group_quantiles": """
             SELECT lang, CAST(QUANTILE_DISC(n_chars, 0.5) AS BIGINT)

@@ -138,28 +138,25 @@ def grouped_count_distinct(ds, group: str, col: str,
                 % np.uint64(num_partitions)).astype(np.int32)
         return d.append_column("__part", pa.array(part))
 
-    import pandas as pd
-
-    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
-        if not len(g):
-            return pd.DataFrame({
-                group: g[group].iloc[:0],
-                "n_distinct": np.array([], dtype="int64"),
-            })
-        d = g.drop_duplicates([group, col])
-        out = d.groupby(group, sort=False, dropna=False)[col].size()
-        return pd.DataFrame({
-            group: out.index.to_numpy(),
-            "n_distinct": out.to_numpy().astype("int64"),
+    def per_partition(t: pa.Table) -> pa.Table:
+        # Arrow-native finish (r3 ADVICE fix, both halves): cross-batch
+        # distinct via group_by keeps exact dtypes (no pandas float64
+        # round-trip collapsing int64 > 2^53), and Arrow "count" counts
+        # only VALID values — SQL COUNT(DISTINCT col) NULL semantics —
+        # while the (group, null) pair still rides the shuffle so an
+        # all-null group is present with n_distinct=0; null group KEYS
+        # stay their own group, like SQL GROUP BY
+        d = t.select([group, col]).group_by([group, col]).aggregate([])
+        out = d.group_by(group).aggregate([(col, "count")])
+        return pa.table({
+            group: out.column(group),
+            "n_distinct": pc.cast(out.column(f"{col}_count"), pa.int64()),
         })
-
-    from jsschema_ray.stages._blocks import arrow_out
 
     return ds.select_columns([group, col]).map_batches(
         pre_trim, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-    ).groupby("__part").map_groups(arrow_out(per_partition),
-                                   batch_format="pandas")
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
 
 
 def argmax_per_group(ds, group: str, value: str, tiebreak: str,
@@ -185,8 +182,18 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
     def winners(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df
+        # descending-value sort key WITHOUT arithmetic negation (r3 ADVICE
+        # fix: -x wraps around for unsigned dtypes and overflows INT64_MIN):
+        # dense ascending rank via np.unique, reversed — equal values share
+        # a key so the tiebreak still decides; float NaN is forced to lose
+        # (sorts last), the same verdict the previous -x lexsort produced
+        v = df[value].to_numpy()
+        uniq, inv = np.unique(v, return_inverse=True)
+        desc_key = (len(uniq) - 1 - inv).astype(np.int64)
+        if v.dtype.kind == "f":
+            desc_key[np.isnan(v)] = len(uniq)
         order = np.lexsort((df[tiebreak].to_numpy(),
-                            -df[value].to_numpy(),
+                            desc_key,
                             df[group].to_numpy()))
         df = df.iloc[order]
         keep = np.r_[True,

@@ -1220,8 +1220,13 @@ def near_dedup_corpus(ds, threshold: float, column: str = "text",
     from jsschema_ray.stages.graph import connected_components
     from jsschema_ray.stages.join import hash_join
 
+    # pairs mine on the UNPROJECTED corpus (keep_columns may — and in the
+    # natural use, dropping the heavy text from the output, does — omit
+    # `column`); the projection applies only to the survivor side of the
+    # anti join (r3 ADVICE fix)
+    survivors = ds
     if keep_columns is not None:
-        ds = ds.select_columns(
+        survivors = ds.select_columns(
             list(dict.fromkeys([id_column, *keep_columns]))
         )
     pairs = exact_jaccard_pairs(ds, threshold=threshold, column=column,
@@ -1236,7 +1241,7 @@ def near_dedup_corpus(ds, threshold: float, column: str = "text",
 
     drop = comp.map_batches(losers, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return hash_join(ds, drop, key=id_column, right_key="node",
+    return hash_join(survivors, drop, key=id_column, right_key="node",
                      how="anti", num_buckets=num_buckets)
 
 

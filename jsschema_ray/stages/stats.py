@@ -547,8 +547,19 @@ def top_k_rows(ds, value: str, tiebreak: str, k: int = 10,
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) <= k:
             return df
-        v = df[value].to_numpy().astype("float64")
-        key = -v if descending else v
+        # rank on the RAW dtype (r3 ADVICE fix: a float64 cast collapses
+        # int64 values above 2^53, letting the tiebreak order rows whose
+        # values actually differ); floats keep the negate/raw key so NaN
+        # sorts last, non-floats get a dense reversed unique-rank key
+        # (negation-free: safe for unsigned and INT64_MIN, works for str)
+        v = df[value].to_numpy()
+        if v.dtype.kind == "f":
+            key = -v if descending else v
+        elif descending:
+            uniq, inv = np.unique(v, return_inverse=True)
+            key = (len(uniq) - 1 - inv).astype(np.int64)
+        else:
+            key = v
         order = np.lexsort((df[tiebreak].to_numpy(), key))
         return df.iloc[order[:k]].reset_index(drop=True)
 

@@ -363,9 +363,12 @@ def _setop_rows(left, right, how: str, columns: Optional[list[str]] = None,
                 if norm is not col:
                     out = out.set_column(out.column_names.index(c), c,
                                          norm)
-            df = out.to_pandas().drop_duplicates()
-            out = pa.Table.from_pandas(df, preserve_index=False,
-                                       schema=out.schema)
+            # Arrow-native per-batch distinct (r3 ADVICE fix: the previous
+            # pandas round-trip turned nullable int64 into float64, losing
+            # precision above 2^53 before the cast back — equal rows could
+            # then fail to co-partition). group_by with no aggregates keeps
+            # exact dtypes and treats nulls as equal, like the SQL set op.
+            out = out.group_by(out.column_names).aggregate([])
             # RIGHT side aligns to the left's output column names so the
             # union and per-partition merge see one schema
             if sel_override is not None and cols is not None:

@@ -147,3 +147,72 @@ def test_grouped_string_agg_ordered():
     want = (pdf.sort_values(["u", "ord1", "ord2"])
             .groupby("u")["t"].agg("-".join).rename("path").reset_index())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_count_distinct_sql_null_parity():
+    """r4 ADVICE fix: COUNT(DISTINCT col) must EXCLUDE null values (SQL)
+    while null group keys stay their own group and an all-null group is
+    present with n_distinct=0 — differential vs DuckDB. Also pins int64
+    exactness above 2^53 (no pandas float64 round-trip anywhere)."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_count_distinct
+
+    big = 1 << 60
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, None, None, 3, 3, 4],
+                      type=pa.int64()),
+        "x": pa.array([big, big + 1, None, None, None, 5, 5, big,
+                       big + 1, None], type=pa.int64()),
+    })
+    got = grouped_count_distinct(
+        ray.data.from_arrow(t).repartition(3), "g", "x",
+        num_partitions=4, batch_size=3,
+    ).to_pandas().sort_values("g", na_position="last").reset_index(
+        drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g, COUNT(DISTINCT x) AS n_distinct FROM t GROUP BY g "
+        "ORDER BY g NULLS LAST"
+    ).df()
+    assert list(got["n_distinct"]) == list(want["n_distinct"])
+    pd.testing.assert_frame_equal(got.fillna(-9), want.fillna(-9),
+                                  check_dtype=False)
+    # all-null group present with 0
+    assert got.loc[got["g"] == 2, "n_distinct"].iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_argmax_per_group_unsigned_and_int64_extremes():
+    """r4 ADVICE fix: descending order must not negate — uint64 wraps,
+    INT64_MIN overflows. Winners on raw-dtype rank keys."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import argmax_per_group
+
+    u = np.array([2**64 - 1, 1, 2**63, 5], dtype="uint64")
+    pdf = pd.DataFrame({
+        "g": np.array([0, 0, 1, 1], dtype="int64"),
+        "v": u,
+        "id": np.arange(4, dtype="int64"),
+    })
+    got = argmax_per_group(ray.data.from_pandas(pdf).repartition(2),
+                           "g", "v", "id", num_partitions=2,
+                           batch_size=2).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    assert list(got["v"]) == [2**64 - 1, 2**63]
+
+    i = np.array([-(2**63), -5, 2**62, -(2**63)], dtype="int64")
+    pdf2 = pd.DataFrame({
+        "g": np.array([0, 0, 1, 1], dtype="int64"),
+        "v": i,
+        "id": np.arange(4, dtype="int64"),
+    })
+    got2 = argmax_per_group(ray.data.from_pandas(pdf2).repartition(2),
+                            "g", "v", "id", num_partitions=2,
+                            batch_size=2).to_pandas()
+    got2 = got2.sort_values("g").reset_index(drop=True)
+    assert list(got2["v"]) == [-5, 2**62]

@@ -208,3 +208,24 @@ def test_hamming_pairs_band_blowup_refusal(ray_session):
     with pytest.raises(Exception, match="max_band_members"):
         hamming_pairs(rd.from_arrow(t), column="phash", max_distance=3,
                       num_parts=2, max_band_members=10).to_pandas()
+
+
+def test_near_dedup_corpus_keep_columns_may_omit_text(ray_session):
+    """r4 ADVICE fix: keep_columns that DROPS the text column (the natural
+    use — strip the heavy payload from the survivor output) must work;
+    pairs mine on the unprojected corpus, the projection applies only to
+    the survivor side of the anti join."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import near_dedup_corpus
+
+    t = _corpus()
+    full = near_dedup_corpus(rd.from_arrow(t).repartition(3),
+                             threshold=0.6, k=3, num_parts=8,
+                             num_buckets=4).to_pandas()
+    slim = near_dedup_corpus(rd.from_arrow(t).repartition(3),
+                             threshold=0.6, k=3, num_parts=8,
+                             num_buckets=4,
+                             keep_columns=["doc_id"]).to_pandas()
+    assert set(slim.columns) == {"doc_id"}
+    assert set(slim["doc_id"]) == set(full["doc_id"])

@@ -595,3 +595,35 @@ def test_setops_differential_vs_duckdb(ray_session):
         a = got.astype(str).reset_index(drop=True)
         b = want.astype(str).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_setops_int64_above_2_53_with_nulls(ray_session):
+    """r4 ADVICE fix: nullable int64 must not round-trip through pandas
+    float64 in the set-op pre-trim — adjacent values above 2^53 are
+    float-equal but integer-distinct, and nulls ride along."""
+    import duckdb
+    import ray.data as rd
+
+    from jsschema_ray.stages.uniqueness import except_rows, intersect_rows
+
+    big = (1 << 60)
+    lt = pa.table({"k": pa.array(
+        [big, big + 1, big + 2, None, big, big + 1, 7], type=pa.int64())})
+    rt = pa.table({"k": pa.array(
+        [big + 1, None, 8], type=pa.int64())})
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    for op, fn in (("EXCEPT", except_rows), ("INTERSECT", intersect_rows)):
+        want = con.execute(
+            f"SELECT * FROM (SELECT k FROM l {op} SELECT k FROM r) "
+            "ORDER BY k NULLS LAST"
+        ).df()
+        got = fn(rd.from_arrow(lt).repartition(3),
+                 rd.from_arrow(rt).repartition(2),
+                 columns=["k"], num_parts=4).to_pandas()
+        got = got.sort_values("k", na_position="last").reset_index(
+            drop=True)
+        assert [x for x in got["k"] if pd.notna(x)] == \
+               [int(x) for x in want["k"] if pd.notna(x)], op
+        assert got["k"].isna().sum() == want["k"].isna().sum(), op

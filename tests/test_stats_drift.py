@@ -160,3 +160,27 @@ def test_top_k_rows_exact(ray_session):
 
     with pytest.raises(ValueError):
         top_k_rows(ds, "v", "id", k=0)
+
+
+def test_top_k_rows_int64_above_2_53_exact(ray_session):
+    """r4 ADVICE fix: ranking must use the raw integer dtype — a float64
+    cast collapses int64 values above 2^53, letting the tiebreak order
+    rows whose values actually differ."""
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import top_k_rows
+
+    base = 1 << 60
+    n = 500
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        # adjacent ints: float64-equal, integer-distinct
+        "v": base + np.arange(n, dtype="int64"),
+    })
+    got = top_k_rows(rd.from_pandas(pdf).repartition(5), "v", "id", k=5,
+                     batch_size=64).to_pandas()
+    assert sorted(got["v"]) == [base + n - 5 + i for i in range(5)]
+    got_asc = top_k_rows(rd.from_pandas(pdf).repartition(5), "v", "id",
+                         k=5, descending=False, batch_size=64).to_pandas()
+    assert sorted(got_asc["v"]) == [base + i for i in range(5)]

@@ -29,7 +29,7 @@ its partitioning assumption per the driver instruction).
 
 from __future__ import annotations
 
-import json as _json
+
 import re
 from typing import Any, Optional
 
@@ -1125,14 +1125,16 @@ def list_col_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return vals[off[0]:off[-1]].reshape(len(col), d)
 
 
-def embedding_dedup(ds, emb_column: str = "embedding",
-                    key_column: str = "vec_id", threshold: float = 0.95,
-                    n_planes: int = 12, seed: int = 11,
-                    batch_size: int = 4096) -> dict[str, Any]:
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets (seeded,
-    broadcast planes) -> within-bucket exact pairwise cosine -> union-find.
-    Bucket population assumed worker-small (2^n_planes buckets spread the
-    corpus; raise n_planes for bigger corpora)."""
+def embedding_verified_pairs(ds, emb_column: str = "embedding",
+                             key_column: str = "vec_id",
+                             threshold: float = 0.95, n_planes: int = 12,
+                             seed: int = 11, batch_size: int = 4096):
+    """Embedding-cosine near-dup PAIRS as a Dataset of (a, b) int64 key
+    rows, a < b: random-hyperplane LSH buckets (seeded, broadcast
+    planes) -> within-bucket exact pairwise cosine verification — only
+    verified pairs leave the bucket reduce. Bucket population assumed
+    worker-small (2^n_planes buckets spread the corpus; raise n_planes
+    for bigger corpora)."""
     rng = np.random.default_rng(seed)
     sample = ds.take(1)
     d = len(sample[0][emb_column])
@@ -1157,35 +1159,53 @@ def embedding_dedup(ds, emb_column: str = "embedding",
     )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # always a typed (string) column, even when empty: untyped empty
-        # frames trip Ray's block size estimation ("cannot call vectorize
-        # on size 0" warnings in the bench log)
-        empty = pd.DataFrame({"pairs": pd.Series([], dtype="string")})
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
         if len(g) < 2:
             return empty
         X = np.stack(g[emb_column].to_numpy())
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         S = X @ X.T
-        ks = g[key_column].tolist()
+        ks = np.asarray(g[key_column].to_numpy(), dtype=np.int64)
         iu, ju = np.triu_indices(len(ks), k=1)
         hits = np.flatnonzero(S[iu, ju] >= threshold)
-        pairs = [sorted((ks[iu[h]], ks[ju[h]])) for h in hits]
-        if not pairs:
+        if not len(hits):
             return empty
-        return pd.DataFrame({"pairs": pd.Series([_json.dumps(pairs)],
-                                                dtype="string")})
+        a = ks[iu[hits]]
+        b = ks[ju[hits]]
+        return pd.DataFrame({"a": np.minimum(a, b),
+                             "b": np.maximum(a, b)})
 
-    uf = _UnionFind()
-    n = 0
-    for r in bucketed.groupby("bucket").map_groups(
+    return bucketed.groupby("bucket").map_groups(
         per_bucket, batch_format="pandas"
-    ).take_all():
-        for a, b in _json.loads(r["pairs"]):
-            uf.union(a, b)
-            n += 1
+    )
+
+
+def embedding_dedup(ds, emb_column: str = "embedding",
+                    key_column: str = "vec_id", threshold: float = 0.95,
+                    n_planes: int = 12, seed: int = 11,
+                    batch_size: int = 4096,
+                    num_buckets: int = 32) -> dict[str, Any]:
+    """Embedding-cosine near-dup clusters: hyperplane-LSH verified pairs
+    (embedding_verified_pairs) -> distributed connected components
+    (graph.connected_components — pointer-doubling min-label BSP), the
+    same composition as near_dedup_corpus. The driver never sees raw
+    pairs (r3 VERDICT fix: a dup-storm corpus emits O(cluster^2) pairs
+    but only O(nodes) component rows): cluster assembly reads the
+    (node, component) output, which is output-sized by definition."""
+    from jsschema_ray.stages.graph import connected_components
+
+    pairs = embedding_verified_pairs(
+        ds, emb_column, key_column, threshold, n_planes, seed, batch_size
+    ).materialize()
+    n = pairs.count()
+    if n == 0:
+        return {"clusters": [], "drop_keys": [], "n_pairs": 0}
+    comp = connected_components(pairs, a_col="a", b_col="b",
+                                num_buckets=num_buckets)
     clusters: dict = {}
-    for k in list(uf.parent):
-        clusters.setdefault(uf.find(k), []).append(k)
+    for r in comp.take_all():
+        clusters.setdefault(r["component"], []).append(r["node"])
     clusters = {r: sorted(m) for r, m in clusters.items() if len(m) > 1}
     drop = sorted(k for m in clusters.values() for k in m if k != min(m))
     return {"clusters": sorted(clusters.values()), "drop_keys": drop,

@@ -89,3 +89,32 @@ def test_bad_params_raise(ray_session):
     with pytest.raises(ValueError):
         pack_sequences(rd.from_arrow(t), "doc_id", "w", budget=8,
                        bin_width=0)
+
+
+def test_pack_sequences_many_bins_auto_coarsen(ray_session):
+    """r4: driver state is hard-capped at max_bins — a bin universe far
+    past the cap auto-coarsens in-cluster and the packing stays exactly
+    the serial reference (same oracle arithmetic, coarser co-partition)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(31)
+    n = 4_000
+    # sparse, huge order ids -> bin universe ~2^40 at bin_width=1;
+    # max_bins=64 forces a large coarsen factor
+    order = np.sort(rng.choice(1 << 40, size=n, replace=False))
+    pdf = pd.DataFrame({
+        "o": order.astype("int64"),
+        "w": rng.integers(0, 900, n).astype("int64"),
+    })
+    got = pack_sequences(rd.from_pandas(pdf).repartition(7), "o", "w",
+                         budget=2048, bin_width=1, batch_size=333,
+                         max_bins=64).to_pandas()
+    got = got.sort_values("o").reset_index(drop=True)
+    ref = pdf.sort_values("o").reset_index(drop=True)
+    cum = ref["w"].cumsum() - ref["w"]
+    assert list(got["seq_id"]) == list(cum // 2048)
+    assert list(got["seq_offset"]) == list(cum % 2048)

@@ -87,3 +87,34 @@ def test_refuses_over_max_rows(ray_session):
     t = _planted_corpus()
     with pytest.raises(ValueError, match="quadratic audit path"):
         similarity_join(rd.from_arrow(t), threshold=0.9, max_rows=10)
+
+
+def test_embedding_dedup_dup_storm_via_components(ray_session):
+    """r4: cluster assembly goes through distributed connected_components
+    — a dup-storm corpus (one giant cluster, O(n^2) verified pairs) still
+    resolves to exactly one cluster with the right members, and the
+    driver only ever holds (node, component) rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16).astype("float32")
+    n = 250
+    # all n vectors identical -> every pair verifies at any threshold
+    X = np.tile(base, (n, 1))
+    # plus a few isolated singletons far away
+    iso = rng.normal(size=(5, 16)).astype("float32") * 50
+    allx = np.vstack([X, iso])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(allx)), type=pa.int64()),
+        "embedding": pa.array(list(allx), type=pa.list_(pa.float32())),
+    })
+    from jsschema_ray.stages.dedup import embedding_dedup
+
+    res = embedding_dedup(rd.from_arrow(t).repartition(4),
+                          threshold=0.999, n_planes=6, batch_size=64)
+    assert res["n_pairs"] == n * (n - 1) // 2
+    assert len(res["clusters"]) == 1
+    assert res["clusters"][0] == list(range(n))
+    assert res["drop_keys"] == list(range(1, n))

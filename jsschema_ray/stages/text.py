@@ -174,10 +174,60 @@ class Fingerprint:
         return int(np.uint64(mins.min()) >> np.uint64(1))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batch-wide vectorization (r3 VERDICT item: no per-doc _doc_fp
+        # calls): all docs' utf-8 bytes concatenate into ONE buffer, the
+        # rolling k-gram hash runs as k shifted multiply-adds over it, and
+        # the per-doc sketch (min gram hash — the sliding-window minima's
+        # minimum IS the global min) falls out of one segmented
+        # np.minimum.reduceat. _doc_fp stays as the serial differential
+        # reference; values are bit-identical.
         texts = batch.column(self.column).to_pylist()
-        fps = np.array(
-            [0 if t is None else self._doc_fp(t) for t in texts], dtype=np.int64
+        n = len(texts)
+        fps = np.zeros(n, dtype=np.int64)
+        enc = [b"" if t is None else t.encode("utf-8", "ignore")
+               for t in texts]
+        blens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+        clens = np.fromiter(
+            (0 if t is None else len(t) for t in texts),
+            dtype=np.int64, count=n,
         )
+        isnull = np.fromiter((t is None for t in texts), dtype=bool,
+                             count=n)
+        # short docs (char OR byte length < k) hash as a whole string —
+        # same fallback _doc_fp takes; None stays 0
+        short = (clens < self.k) | (blens < self.k)
+        fb = short & ~isnull
+        if fb.any():
+            sarr = np.array([texts[i] for i in np.flatnonzero(fb)],
+                            dtype=object)
+            fps[fb] = (hash64(sarr) >> np.uint64(1)).astype(np.int64)
+        good = np.flatnonzero(~short)
+        if len(good):
+            big = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            starts_all = np.concatenate(
+                ([0], np.cumsum(blens)[:-1])).astype(np.int64)
+            m = len(big) - self.k + 1
+            P = np.uint64(1099511628211)
+            with np.errstate(over="ignore"):
+                powers = np.empty(self.k, dtype=np.uint64)
+                powers[0] = 1
+                for j in range(1, self.k):
+                    powers[j] = powers[j - 1] * P
+                grams = np.zeros(m, dtype=np.uint64)
+                for j in range(self.k):
+                    grams += big[j:m + j].astype(np.uint64) * \
+                        powers[self.k - 1 - j]
+            # segmented min over each doc's valid gram span [s, s+len-k+1)
+            # — boundary-crossing positions never enter a segment; the
+            # sentinel keeps the trailing reduceat index in bounds
+            grams = np.append(grams, np.uint64(0xFFFFFFFFFFFFFFFF))
+            s = starts_all[good]
+            e = s + blens[good] - self.k + 1
+            idx = np.empty(2 * len(good), dtype=np.int64)
+            idx[0::2] = s
+            idx[1::2] = e
+            red = np.minimum.reduceat(grams, idx)[0::2]
+            fps[good] = (red >> np.uint64(1)).astype(np.int64)
         content = (
             hash64(np.array(["" if t is None else t for t in texts], dtype=object))
             >> np.uint64(1)

@@ -716,3 +716,37 @@ def test_hash_sample_randomized_params_vs_duckdb(ray_session):
             f"WHERE ((doc_id + {seed}) * {KNUTH_A}) % 4294967296 < {thr}"
         ).df()["doc_id"])
         assert got == want, (frac, seed, len(got), len(want))
+
+
+def test_fingerprint_batch_matches_serial_reference():
+    """r4: the batch-wide concatenated-buffer winnow must be bit-identical
+    to the per-document serial reference (_doc_fp) on adversarial inputs:
+    multi-byte utf-8 (char len < k <= byte len), exact-k, empty, None,
+    adjacent docs (no boundary-crossing grams)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+    from jsschema_ray.stages.text import Fingerprint
+
+    fp = Fingerprint()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",                      # empty -> whole-string hash
+        None,                    # null -> 0
+        "short",                 # < k chars
+        "éééé",                  # 4 chars < k=8, 8 utf-8 bytes
+        "abcdefgh",              # exactly k chars/bytes
+        "abcdefghi",             # k+1
+        "中文文档指纹测试中文文档指纹测试",  # multi-byte, long
+        "the quick brown fox jumps over the lazy dog",  # exact repeat
+        "x" * 10_000,
+    ]
+    out = fp(pa.table({"text": pa.array(texts, pa.string())}))
+    got = out.column("fp_winnow").to_pylist()
+    want = [0 if t is None else fp._doc_fp(t) for t in texts]
+    assert got == want
+    # content hash matches the direct hash64 path
+    wc = (hash64(np.array(["" if t is None else t for t in texts],
+                          dtype=object)) >> np.uint64(1)).astype("int64")
+    assert out.column("fp_content").to_pylist() == list(wc)

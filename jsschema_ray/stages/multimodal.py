@@ -24,6 +24,7 @@ from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from jsschema_ray.sources.png import decode_png, encode_png
 
@@ -219,24 +220,29 @@ def decode_violations(ds, key_column: str = "image_id",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             dec = super().__call__(batch)
-            keys, reasons = [], []
-            for k, ok, rt in zip(
-                batch.column(key_column).to_pylist(),
-                dec.column("decode_ok").to_pylist(),
-                dec.column("roundtrip_ok").to_pylist(),
-            ):
-                if ok is False:
-                    keys.append(str(k))
-                    reasons.append("decode_failed")
-                elif ok and rt is False:
-                    keys.append(str(k))
-                    reasons.append("roundtrip_mismatch")
-            return pa.table(
-                {
-                    "key": pa.array(keys, type=pa.string()),
-                    "reason": pa.array(reasons, type=pa.string()),
-                }
+            # Arrow-native mask filters (no Python row walk): decode_ok is
+            # null for skipped/unsupported payloads, so equality + fill_null
+            # reproduces the tri-state (False -> decode_failed; True with
+            # roundtrip False -> roundtrip_mismatch; null -> no row). Keys
+            # are unique per image, so emitting the two reason groups
+            # back-to-back instead of interleaved is order-equivalent under
+            # the downstream sort.
+            ok = dec.column("decode_ok")
+            rt = dec.column("roundtrip_ok")
+            keys = batch.column(key_column).cast(pa.string())
+            failed = pc.fill_null(pc.equal(ok, False), False)
+            mismatch = pc.fill_null(
+                pc.and_kleene(pc.equal(ok, True), pc.equal(rt, False)), False
             )
+            parts = []
+            for mask, reason in ((failed, "decode_failed"),
+                                 (mismatch, "roundtrip_mismatch")):
+                k = keys.filter(mask)
+                parts.append(pa.table({
+                    "key": k.cast(pa.string()),
+                    "reason": pa.array([reason] * len(k), type=pa.string()),
+                }))
+            return pa.concat_tables(parts)
 
     kwargs: dict = dict(batch_format="pyarrow", batch_size=batch_size,
                         num_cpus=1)

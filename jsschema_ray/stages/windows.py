@@ -137,23 +137,47 @@ def rolling_windows(ds, key: str = "user_id", ts: str = "ts",
                 % np.uint64(num_partitions)).astype(np.int32)
         return batch.append_column("__part", pa.array(part))
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["__part"])
-        g["__vx"] = (round_half_away(g[value].to_numpy() * 100)
-                     .astype("int64") if value else 0)
-        col = (g.groupby([key, ts], sort=True)
-               .agg(vx=("__vx", "sum"), c=("__vx", "size")).reset_index())
-        if not len(col):  # empty partition: typed empty output
-            return pd.DataFrame({
-                key: g[key].iloc[:0], ts: g[ts].iloc[:0],
-                "w_sum_x100": np.array([], dtype="int64"),
-                "w_n": np.array([], dtype="int64"),
+    import pyarrow.compute as pc
+
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        # Arrow-native body: C sort by (key, ts), then the pandas
+        # groupby([key, ts]) collapse becomes run detection over the
+        # sorted pair (adjacent not_equal OR) + np.add.reduceat; the
+        # block-encoded searchsorted frame math is unchanged.
+        g = g.drop_columns(["__part"])
+        if not g.num_rows:
+            return pa.table({
+                key: g.column(key), ts: g.column(ts),
+                "w_sum_x100": pa.array([], type=pa.int64()),
+                "w_n": pa.array([], type=pa.int64()),
             })
-        tnum = col[ts].to_numpy().astype("datetime64[ns]").astype("int64")
-        kr = pd.factorize(col[key], sort=False)[0].astype("int64")
-        n_keys = int(kr.max()) + 1 if len(kr) else 0
-        tmin = int(tnum.min()) if len(tnum) else 0
-        span = (int(tnum.max()) - tmin + w_ns + 2) if len(tnum) else 1
+        g = _arrow_sorted(g, [key, ts])
+        n = g.num_rows
+        vx = (round_half_away(
+                  g.column(value).to_numpy(zero_copy_only=False) * 100
+              ).astype("int64")
+              if value else np.zeros(n, dtype="int64"))
+        karr = g.column(key).combine_chunks()
+        tarr = g.column(ts).combine_chunks()
+        key_starts = _key_block_starts(karr)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[key_starts] = True
+        ts_change = np.ones(n, dtype=bool)
+        if n > 1:
+            ts_change[1:] = pc.fill_null(
+                pc.not_equal(tarr.slice(1), tarr.slice(0, n - 1)), True
+            ).to_numpy(zero_copy_only=False)
+        run_starts = np.flatnonzero(key_change | ts_change)
+        # collapsed per-(key, ts) rows
+        run_vx = np.add.reduceat(vx, run_starts)
+        run_c = np.diff(np.r_[run_starts, n]).astype("int64")
+        tnum = (tarr.cast(pa.timestamp("ns")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))[run_starts]
+        # key rank over collapsed rows: count key changes at run starts
+        kr = (np.cumsum(key_change[run_starts]) - 1).astype("int64")
+        n_keys = int(kr[-1]) + 1
+        tmin = int(tnum.min())
+        span = int(tnum.max()) - tmin + w_ns + 2
         if n_keys and span > (2 ** 62) // n_keys:
             raise ValueError(
                 f"rolling_windows block encoding would overflow int64: "
@@ -164,20 +188,19 @@ def rolling_windows(ds, key: str = "user_id", ts: str = "ts",
         comp = kr * span + off
         compq = kr * span + np.maximum(off - w_ns, 0)
         left = np.searchsorted(comp, compq, side="left")
-        cs = np.concatenate([[0], np.cumsum(col["vx"].to_numpy())])
-        cn = np.concatenate([[0], np.cumsum(col["c"].to_numpy())])
-        idx = np.arange(len(col))
-        out = pd.DataFrame({
-            key: col[key].to_numpy(),
-            ts: col[ts].to_numpy(),
-            "w_sum_x100": (cs[idx + 1] - cs[left]).astype("int64"),
-            "w_n": (cn[idx + 1] - cn[left]).astype("int64"),
+        cs = np.concatenate([[0], np.cumsum(run_vx)])
+        cn = np.concatenate([[0], np.cumsum(run_c)])
+        idx = np.arange(len(run_starts))
+        return pa.table({
+            key: karr.take(run_starts),
+            ts: tarr.take(run_starts),
+            "w_sum_x100": pa.array((cs[idx + 1] - cs[left]).astype("int64")),
+            "w_n": pa.array((cn[idx + 1] - cn[left]).astype("int64")),
         })
-        return out
 
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
 
 
 def rolling_rows_windows(ds, key: str = "user_id", ts: str = "ts",
@@ -505,37 +528,53 @@ def session_windows(ds, key: str = "user_id", ts: str = "ts",
                 % _np.uint64(num_partitions)).astype(_np.int32)
         return batch.append_column("__part", pa.array(part))
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable")
-        t = g[ts]
-        gaps = t.diff().dt.total_seconds()
-        key_change = g[key].ne(g[key].shift())
-        new_sess = (key_change | gaps.isna() | (gaps > gap_seconds)).astype(
-            "int64"
-        )
-        # per-key 0-based session id: global cumsum minus each key's base
-        # (.where() inserts NaN and would promote the difference to
-        # float64 — cast back so the output schema stays int64)
-        sess_global = new_sess.cumsum()
-        base = sess_global.where(key_change).ffill()
-        out = pd.DataFrame({
-            key: g[key].to_numpy(),
-            "session_id": (sess_global - base).astype("int64").to_numpy(),
-        })
-        # normalize to ns first: arrow timestamps may land as datetime64[us]
-        out["epoch"] = (t.astype("datetime64[ns]").astype("int64")
-                        // 1_000_000_000).to_numpy()
-        agg = {"epoch": ("epoch", "min"), "n_events": ("epoch", "size")}
-        if value is not None and value in g.columns:
-            out["vx"] = round_half_away(g[value].to_numpy() * 100).astype(
-                "int64"
-            )
-            agg["value_sum_x100"] = ("vx", "sum")
-        res = out.groupby([key, "session_id"], sort=True).agg(
-            **agg
-        ).reset_index()
-        return res.rename(columns={"epoch": "session_start"})
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        # Arrow-native body: after the C sort by (key, ts), sessions are
+        # contiguous runs, so the whole pandas groupby becomes run
+        # detection (gap > threshold OR key change) + np.add.reduceat —
+        # one row per session, already in (key, session_id) order.
+        g = g.drop_columns(["__part"])
+        if not g.num_rows:
+            return pa.table({
+                key: g.column(key),
+                "session_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                **({"value_sum_x100": pa.array([], type=pa.int64())}
+                   if value else {}),
+            })
+        g = _arrow_sorted(g, [key, ts])
+        n = g.num_rows
+        karr = g.column(key).combine_chunks()
+        tns = (g.column(ts).combine_chunks().cast(pa.timestamp("ns"))
+               .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        key_starts = _key_block_starts(karr)
+        new_sess = np.zeros(n, dtype=bool)
+        new_sess[key_starts] = True
+        if n > 1:
+            new_sess[1:] |= (tns[1:] - tns[:-1]) > gap_seconds * 1e9
+        sess_starts = np.flatnonzero(new_sess)
+        # per-key 0-based session id: session ordinal minus the ordinal of
+        # its key's first session
+        sess_of_key = np.searchsorted(sess_starts, key_starts)
+        n_sess_per_key = np.diff(np.r_[sess_of_key, len(sess_starts)])
+        session_id = (np.arange(len(sess_starts), dtype="int64")
+                      - np.repeat(sess_of_key, n_sess_per_key))
+        cols_out = {
+            key: karr.take(sess_starts),
+            "session_id": pa.array(session_id),
+            "session_start": pa.array(tns[sess_starts] // 1_000_000_000),
+            "n_events": pa.array(
+                np.diff(np.r_[sess_starts, n]).astype("int64")),
+        }
+        if value is not None:
+            vx = round_half_away(
+                g.column(value).to_numpy(zero_copy_only=False) * 100
+            ).astype("int64")
+            cols_out["value_sum_x100"] = pa.array(
+                np.add.reduceat(vx, sess_starts))
+        return pa.table(cols_out)
 
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(arrow_out(per_partition), batch_format="pandas")
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

@@ -246,6 +246,27 @@ def run_flagship() -> dict:
             batch_size=2048, cache_max=0,
         ))
 
+    # window-shuffle stage (r3 VERDICT item 8): the flagship's other four
+    # stages cover map/sketch/all-to-all-unique/decode; this adds the
+    # hash(key)-shuffle -> per-partition-sort window shape over a
+    # same-sized synthetic events table (Zipf keys, unique tiebreak)
+    from jsschema_ray.stages.windows import rolling_rows_windows
+
+    ev_dir = f"/tmp/jsschema_ray_cache/events_{n_rows}"
+    if not os.path.exists(os.path.join(ev_dir, "_DONE")):
+        from jsschema_ray.sources.synth import write_events_dataset
+
+        write_events_dataset(ev_dir, n_rows, shards=64)
+        open(os.path.join(ev_dir, "_DONE"), "w").write("ok")
+    _consume(rd.read_parquet(ev_dir))  # warm page cache (untimed)
+
+    def stage_window_shuffle():
+        _consume(rolling_rows_windows(
+            rd.read_parquet(ev_dir), key="user_id", ts="ts",
+            tiebreak="event_id", value="value", n_rows=5,
+            num_partitions=ncpu * 4,
+        ))
+
     # repeat and keep the per-stage minimum: single-node runs are noisy
     # (turbo, object-store GC); the min is the achievable compute time
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
@@ -254,6 +275,7 @@ def run_flagship() -> dict:
         "stats_sketches": stage_stats,
         "uniqueness": stage_uniqueness,
         "decode_invariant": stage_decode,
+        "window_shuffle": stage_window_shuffle,
     }
     stages = {name: float("inf") for name in stage_fns}
     for _ in range(repeats):

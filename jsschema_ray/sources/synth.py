@@ -210,3 +210,40 @@ def write_image_dataset(
         for k, v in m.items():
             merged[k].extend(v)
     return {k: sorted(set(v)) for k, v in merged.items()}
+
+
+def write_events_dataset(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    shards: int = 64,
+    n_keys: Optional[int] = None,
+    row_group_size: int = 65536,
+) -> None:
+    """Sharded synthetic events table (user_id:int64, ts:timestamp[us],
+    event_id:int64, value:double) for the window-shuffle scaling stage —
+    the same per-key window shape as the testdata events table, at an
+    arbitrary row count. user_id is Zipf-skewed (a ~ 1.2) so the hash(key)
+    window shuffle sees realistic hot keys; event_id is globally unique
+    (the ROWS-frame total-order tiebreak); per-shard RNG streams are keyed
+    by (seed, shard) so synthesis is deterministic and shards are
+    independent."""
+    os.makedirs(out_dir, exist_ok=True)
+    if n_keys is None:
+        n_keys = max(1000, n_rows // 100)
+    per = n_rows // shards
+    t0 = 1_600_000_000_000_000  # epoch us
+    for s in range(shards):
+        n = per if s < shards - 1 else n_rows - per * (shards - 1)
+        rng = np.random.default_rng((seed, s))
+        uid = (rng.zipf(1.2, size=n) - 1) % n_keys
+        ts = t0 + rng.integers(0, 30 * 86_400_000_000, size=n)
+        t = pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(np.arange(s * per, s * per + n,
+                                           dtype=np.int64)),
+            "value": pa.array(rng.random(n) * 100.0),
+        })
+        pq.write_table(t, os.path.join(out_dir, f"part-{s:05d}.parquet"),
+                       row_group_size=row_group_size)

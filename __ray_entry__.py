@@ -821,6 +821,20 @@ def q_best_event_per_user(sf_dir: str):
         "user_id")
 
 
+def q_top_events_per_user(sf_dir: str):
+    """Keep each user's top-3 events by value, event_id breaking ties,
+    with the 1-based rank emitted as ``rn``
+    (stages/aggregates.top_n_per_group) — the keep-N-best-per-cluster
+    curation idiom generalizing argmax. Per-batch pre-trim means at most
+    3 rows per (user, batch) cross the one shuffle. DuckDB-oracled via
+    QUALIFY ROW_NUMBER <= 3."""
+    from jsschema_ray.stages.aggregates import top_n_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return top_n_per_group(ds, "user_id", "value", "event_id", n=3).sort(
+        ["user_id", "rn"])
+
+
 def q_ntile_events(sf_dir: str):
     """Per-user NTILE(4) under the (ts, event_id) total order
     (stages/windows.ntile) — the per-key split primitive with SQL's
@@ -1831,14 +1845,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "count_distinct_types": q_count_distinct_types,  # r4: NULL-parity fix
         "best_event_per_user": q_best_event_per_user,  # r4: argmax sort fix
+        "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
         "top_value_events": q_top_value_events,  # r4: int-exact rank fix
         "column_stats": q_column_stats,
         "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
         "exact_dedup": q_exact_dedup,
-        "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
+        "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
@@ -2832,6 +2847,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                        ORDER BY value DESC, event_id) = 1
             ORDER BY user_id
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events
+            QUALIFY rn <= 3
+            ORDER BY user_id, rn
         """,
         "ntile_events": """
             SELECT user_id, event_id,

@@ -217,6 +217,73 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
                                    batch_format="pandas")
 
 
+def top_n_per_group(ds, group: str, value: str, tiebreak: str,
+                    n: int = 3, num_partitions: int = 64,
+                    batch_size: int = 65536):
+    """Keep each group's best ``n`` rows — SQL
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY value DESC, tiebreak ASC) <= n`` — with the rank emitted as
+    ``rn`` (1-based).  The "keep the N highest-quality documents per
+    cluster / user / source" curation idiom; generalizes
+    :func:`argmax_per_group` (n=1) and is deterministic via the required
+    unique ``tiebreak``.  All other columns ride along unchanged.
+
+    Scale shape (same as argmax_per_group): each batch pre-trims to its
+    per-group top-n (the global per-group top-n is a subset of the union
+    of per-batch per-group top-ns), at most n rows per distinct group per
+    batch cross the wire, and each partition replays the same selection
+    over the surviving candidates. Two lexsorts total, no per-group
+    loop."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def topn(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        if not len(df):
+            if with_rank:
+                df = df.assign(rn=np.array([], dtype="int64"))
+            return df
+        # descending-value key without arithmetic negation (same unsigned/
+        # INT64_MIN-safe construction as argmax_per_group; NaN sorts last)
+        v = df[value].to_numpy()
+        uniq, inv = np.unique(v, return_inverse=True)
+        desc_key = (len(uniq) - 1 - inv).astype(np.int64)
+        if v.dtype.kind == "f":
+            desc_key[np.isnan(v)] = len(uniq)
+        order = np.lexsort((df[tiebreak].to_numpy(), desc_key,
+                            df[group].to_numpy()))
+        df = df.iloc[order]
+        g = df[group].to_numpy()
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        key_start = np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        rank0 = np.arange(len(g)) - key_start
+        keep = rank0 < n
+        df = df.iloc[keep].reset_index(drop=True)
+        if with_rank:
+            df = df.assign(rn=(rank0[keep] + 1).astype("int64"))
+        return df
+
+    def pre_trim(df: pd.DataFrame) -> pd.DataFrame:
+        w = topn(df, with_rank=False)
+        part = (hash64(pa.array(w[group]))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return w.assign(__part=part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return topn(g.drop(columns=["__part"]), with_rank=True)
+
+    from jsschema_ray.stages._blocks import arrow_out
+
+    return ds.map_batches(
+        pre_trim, batch_format="pandas", batch_size=batch_size,
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")
+
+
 def grouped_string_agg(ds, key: str, col: str, order_cols: list[str],
                        sep: str = ">", out_name: str = "path",
                        num_partitions: int = 64):

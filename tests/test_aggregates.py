@@ -216,3 +216,57 @@ def test_argmax_per_group_unsigned_and_int64_extremes():
                             batch_size=2).to_pandas()
     got2 = got2.sort_values("g").reset_index(drop=True)
     assert list(got2["v"]) == [-5, 2**62]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_n_per_group_matches_pandas_and_handles_ties():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import top_n_per_group
+
+    rng = np.random.default_rng(17)
+    n = 4_000
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 25, n).astype("int64"),
+        # quantized values -> exact ties; tiebreak decides rank order
+        "v": (rng.integers(0, 6, n) * 0.5),
+        "id": rng.permutation(n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    got = top_n_per_group(ds, "g", "v", "id", n=3, num_partitions=4,
+                          batch_size=256).to_pandas()
+    got = got.sort_values(["g", "rn"]).reset_index(drop=True)
+
+    want = pdf.sort_values(["g", "v", "id"],
+                           ascending=[True, False, True]) \
+        .groupby("g", sort=True).head(3).reset_index(drop=True)
+    want["rn"] = want.groupby("g").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "id", "rn"]], want[["g", "v", "id", "rn"]],
+        check_dtype=False,
+    )
+    # n=1 degenerates to argmax; groups smaller than n keep all rows
+    small = pd.DataFrame({"g": [0, 0, 1], "v": [1.0, 2.0, 5.0],
+                          "id": [10, 11, 12]})
+    got1 = top_n_per_group(ray.data.from_pandas(small), "g", "v", "id",
+                           n=5, num_partitions=2).to_pandas()
+    assert len(got1) == 3 and set(got1["rn"]) <= {1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_n_per_group_unsigned_values_no_wraparound():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import top_n_per_group
+
+    pdf = pd.DataFrame({
+        "g": [0, 0, 0, 1, 1],
+        "v": np.array([2**63 + 5, 3, 2**64 - 1, 1, 2], dtype="uint64"),
+        "id": np.arange(5, dtype="int64"),
+    })
+    got = top_n_per_group(ray.data.from_pandas(pdf).repartition(2),
+                          "g", "v", "id", n=2,
+                          num_partitions=2).to_pandas()
+    got = got.sort_values(["g", "rn"]).reset_index(drop=True)
+    assert got["v"].tolist() == [2**64 - 1, 2**63 + 5, 2, 1]
+    assert got["rn"].tolist() == [1, 2, 1, 2]

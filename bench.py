@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "event_paths",
     "count_distinct_types",
     "best_event_per_user",
+    "top_events_per_user",
     "top_value_events",
     "unpivot_lineitem",
     "session_length_histogram",

@@ -454,50 +454,57 @@ def first_last_per_key(ds, key: str, order: str, tiebreak: str,
     total order — first-touch / last-touch attribution.  Output one row
     per key: (key, first_<col>..., last_<col>...).
 
-    Same one-shuffle shape as the rest of the per-key window family;
-    per partition one lexsort, then the first/last row of each key
-    block by direct index take — no per-key loop.  (Each batch could
-    pre-trim to its local first+last rows per key, but the full-row
-    shuffle keeps the implementation shared with the other window ops;
-    switch to the pre-trim if ``cols`` are wide.)"""
+    Scale shape (r4: pre-trim added, Arrow body): each batch first sorts
+    and keeps only its LOCAL first+last row per key — the global
+    first/last under a total order is always among the per-batch
+    firsts/lasts, so at most 2 rows per (key, batch) cross the one
+    hash(key) shuffle regardless of how wide ``cols`` is; each partition
+    replays the same boundary-row take over the survivors."""
     import pyarrow as pa
 
     from jsschema_ray.state.hll import hash64
 
-    def add_part(batch: "pa.Table") -> "pa.Table":
-        part = (hash64(batch.column(key).combine_chunks())
+    def boundary_rows(t: "pa.Table") -> "pa.Table":
+        """Sorted (key, order, tiebreak) -> each key block's first+last
+        row (deduped when a key has one row)."""
+        t = _arrow_sorted(t, [key, order, tiebreak])
+        starts = _key_block_starts(t.column(key))
+        ends = np.r_[starts[1:] - 1, t.num_rows - 1]
+        idx = np.union1d(starts, ends)  # sorted, unique
+        return t.take(idx)
+
+    def pre_trim(batch: "pa.Table") -> "pa.Table":
+        if not batch.num_rows:
+            return batch.append_column(
+                "__part", pa.array([], type=pa.int32()))
+        b = boundary_rows(batch)
+        part = (hash64(b.column(key).combine_chunks())
                 % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column("__part", pa.array(part))
+        return b.append_column("__part", pa.array(part))
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["__part"])
-        if not len(g):
-            data = {key: g[key].iloc[:0]}
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["__part"])
+        if not g.num_rows:
+            data = {key: g.column(key)}
             for c in cols:
-                data[f"first_{c}"] = g[c].iloc[:0]
-                data[f"last_{c}"] = g[c].iloc[:0]
-            return pd.DataFrame(data)
-        srt = np.lexsort((g[tiebreak].to_numpy(), g[order].to_numpy(),
-                          g[key].to_numpy()))
-        g = g.iloc[srt].reset_index(drop=True)
-        k = g[key].to_numpy()
-        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
-        ends = np.r_[starts[1:] - 1, len(k) - 1]
-        data = {key: k[starts]}
+                data[f"first_{c}"] = g.column(c)
+                data[f"last_{c}"] = g.column(c)
+            return pa.table(data)
+        g = _arrow_sorted(g, [key, order, tiebreak])
+        starts = _key_block_starts(g.column(key))
+        ends = np.r_[starts[1:] - 1, g.num_rows - 1]
+        data = {key: g.column(key).take(starts)}
         for c in cols:
-            v = g[c].to_numpy()
-            data[f"first_{c}"] = v[starts]
-            data[f"last_{c}"] = v[ends]
-        return pd.DataFrame(data)
-
-    from jsschema_ray.stages._blocks import arrow_out
+            v = g.column(c)
+            data[f"first_{c}"] = v.take(starts)
+            data[f"last_{c}"] = v.take(ends)
+        return pa.table(data)
 
     want = [key, order, tiebreak] + [c for c in cols
                                      if c not in (key, order, tiebreak)]
     return ds.select_columns(want).map_batches(
-        add_part, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__part").map_groups(arrow_out(per_partition),
-                                   batch_format="pandas")
+        pre_trim, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
 
 
 def session_windows(ds, key: str = "user_id", ts: str = "ts",

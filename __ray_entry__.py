@@ -1231,6 +1231,23 @@ def q_contamination(sf_dir: str):
     ).sort(["doc_id"])
 
 
+def q_near_contamination(sf_dir: str):
+    """FUZZY decontamination: corpus docs whose word-5-gram Jaccard with
+    ANY doc of the eval slice (doc_id % 37 == 0) is >= 0.7 — catches
+    lightly-reworded eval leakage that the verbatim-n-gram contamination
+    scan misses. Exact inverted-index SSJoin on the side-marked union
+    (stages/text.near_contamination over dedup.exact_jaccard_pairs), no
+    LSH recall loss. DuckDB-oracled with the jaccard_pairs gram CTE."""
+    from jsschema_ray.stages.text import near_contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_ds = _mod_filter(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          "doc_id", 37, [0])
+    return near_contamination(docs, eval_ds, threshold=0.7, k=5,
+                              batch_size=_doc_batch(sf_dir)).sort(
+        ["doc_id"])
+
+
 def q_pii_redact(sf_dir: str):
     """PII detection + redaction (email/phone/ipv4 regex classes, RE2-safe
     pattern strings shared verbatim with the DuckDB oracle): counts per
@@ -1830,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new round-4 hard-signal groundings for the sketch dedups
         "minhash_recall": q_minhash_recall,
         "simhash_recall": q_simhash_recall,
+        "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
@@ -1850,9 +1868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats": q_column_stats,
         "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
-        "exact_dedup": q_exact_dedup,
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
+        "exact_dedup": q_exact_dedup,
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2021,6 +2039,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.hits, 0) AS BIGINT) AS contam_hits
             FROM g LEFT JOIN h ON g.doc_id = h.doc_id
             ORDER BY g.doc_id
+        """,
+        # near_contamination: exact quadratic corpus x eval-slice k-gram
+        # Jaccard (fine at oracle scale) vs the engine's inverted-index
+        # SSJoin on the side-marked union — integer-exact threshold on
+        # both sides, so any missed/extra pair flips a flag and fails
+        "near_contamination": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_DISTINCT(LIST_TRANSFORM(
+                                  RANGE(1, LEN(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                       w[i+2] || ' ' || w[i+3] || ' ' ||
+                                       w[i+4])) AS grams
+                       FROM t),
+                 sz AS (SELECT doc_id, LEN(grams) AS s FROM g),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 co AS (SELECT c.doc_id AS cid, e.doc_id AS eid,
+                               COUNT(*) AS n_inter
+                        FROM p c JOIN p e
+                          ON c.gr = e.gr AND e.doc_id % 37 = 0
+                        GROUP BY 1, 2),
+                 hit AS (SELECT DISTINCT cid FROM co
+                         JOIN sz sa ON cid = sa.doc_id
+                         JOIN sz sb ON eid = sb.doc_id
+                         WHERE n_inter * 10000 >=
+                               7000 * (sa.s + sb.s - n_inter))
+            SELECT t.doc_id, (hit.cid IS NOT NULL) AS near_contaminated
+            FROM t LEFT JOIN hit ON t.doc_id = hit.cid
+            ORDER BY t.doc_id
         """,
         # PII: the SAME RE2-safe pattern strings the engine compiles
         # (stages/text.PII_PATTERNS), same synthesis, same redaction order

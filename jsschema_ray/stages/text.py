@@ -405,6 +405,99 @@ def contamination_check(ds, eval_ds, column: str = "text",
     )
 
 
+def near_contamination(ds, eval_ds, threshold: float = 0.7,
+                       column: str = "text", id_column: str = "doc_id",
+                       k: int = 5, num_parts: int = 64,
+                       batch_size: int = 4096):
+    """FUZZY decontamination: flag corpus docs whose word-k-gram Jaccard
+    with ANY eval doc is >= threshold — the near-duplicate counterpart of
+    :func:`contamination_check` (which needs a verbatim n-gram hit and so
+    misses lightly-reworded eval leakage). Output one row per corpus doc:
+    (id_column, near_contaminated bool), integer-exact threshold.
+
+    EXACT, not LSH: eval ids are remapped into the negative half-space
+    (-id-1) and the union corpus runs through the inverted-index SSJoin
+    (stages/dedup.exact_jaccard_pairs — gram co-partition, output-bound
+    pair emission); cross-side pairs are exactly the (eval, corpus) hits
+    (doc_a < 0 <= doc_b, since pairs are ordered and eval ids are
+    negative), and the flag is a left join of the corpus against the
+    distinct hit ids. Zero recall loss, SQL-mirrorable. Within-side pair
+    work is wasted but bounded by the same max_gram_df refusal; for
+    dup-storm corpora run minhash-based near_dedup_corpus first.
+    Contract: ``id_column`` must be non-negative integers on BOTH sides
+    (the sign is the side marker)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.dedup import exact_jaccard_pairs
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.uniqueness import distinct_rows
+
+    def int64_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({id_column: batch.column(id_column).cast(pa.int64()),
+                         column: batch.column(column)})
+
+    corpus = ds.select_columns([id_column, column]).map_batches(
+        int64_ids, batch_format="pyarrow", batch_size=batch_size)
+
+    def negate_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).cast(pa.int64())
+        if pc.min(ids).as_py() is not None and pc.min(ids).as_py() < 0:
+            raise ValueError(
+                f"near_contamination needs non-negative {id_column} "
+                "values (the sign marks the eval side)")
+        neg = pc.subtract(pa.scalar(-1, pa.int64()),
+                          ids)  # -id - 1
+        return pa.table({id_column: neg,
+                         column: batch.column(column)})
+
+    ev = eval_ds.select_columns([id_column, column]).map_batches(
+        negate_ids, batch_format="pyarrow", batch_size=batch_size)
+    pairs = exact_jaccard_pairs(
+        corpus.union(ev), threshold=threshold, column=column,
+        id_column=id_column, k=k, num_parts=num_parts,
+        batch_size=batch_size)
+
+    def cross_hits(batch: pa.Table) -> pa.Table:
+        # ordered pairs + negative eval ids => cross-side is a < 0 <= b
+        m = pc.and_(pc.less(batch.column("doc_a"), 0),
+                    pc.greater_equal(batch.column("doc_b"), 0))
+        hit = batch.filter(m)
+        return pa.table({id_column: hit.column("doc_b"),
+                         "__hit": pa.array(
+                             np.ones(hit.num_rows, dtype=np.int8))})
+
+    # Materialize the hit-id table (id + int8 only — object-store blocks,
+    # never driver memory): a zero-hit run otherwise yields a schema-less
+    # empty dataset that the left join cannot type, and the join would
+    # re-execute the whole SSJoin for its schema probe anyway.
+    hits = distinct_rows(
+        pairs.map_batches(cross_hits, batch_format="pyarrow",
+                          batch_size=batch_size)).materialize()
+
+    if hits.count() == 0:
+        def all_clean(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_column: batch.column(id_column),
+                "near_contaminated": pa.array(
+                    np.zeros(batch.num_rows, dtype=bool)),
+            })
+
+        return corpus.select_columns([id_column]).map_batches(
+            all_clean, batch_format="pyarrow", batch_size=batch_size)
+
+    joined = hash_join(corpus.select_columns([id_column]), hits,
+                       key=id_column, how="left", num_buckets=32)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: batch.column(id_column),
+            "near_contaminated": batch.column("__hit").is_valid(),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
 # --------------------------------------------------------------------------
 # PII detection / redaction (regex classes, RE2-safe in BOTH engines)
 # --------------------------------------------------------------------------

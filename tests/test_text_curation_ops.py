@@ -145,3 +145,83 @@ def test_tfidf_top_terms_layout_independent_and_scored(ray_session):
             out.tfidf, out.tf * np.log(4 / out.df), rtol=0, atol=0
         )
     assert outs[0].astype(str).equals(outs[1].astype(str))
+
+
+class TestNearContamination:
+    """Fuzzy decontamination (word-k-gram Jaccard vs an eval slice via the
+    exact SSJoin on a side-marked union). The DuckDB parity gate covers
+    full-corpus equality; these pin the semantics SQL rows never hit:
+    reworded-leak detection above/below threshold, the non-negative-id
+    contract, and layout independence."""
+
+    def _run(self, ray_session, corpus_texts, eval_texts, **kw):
+        import ray.data as rd
+
+        from jsschema_ray.stages.text import near_contamination
+
+        corpus = rd.from_arrow(_tbl(corpus_texts))
+        ev = rd.from_arrow(_tbl(eval_texts))
+        out = near_contamination(corpus, ev, **kw).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out.columns) == ["doc_id", "near_contaminated"]
+        return out
+
+    def test_reworded_leak_flagged_unrelated_not(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog near the river"
+        # doc0: verbatim (jaccard 1); doc1: one word swapped -> 5 of its 9
+        # 4-grams survive, jaccard 5/13 ~= 0.385; doc2: unrelated (0)
+        out = self._run(
+            ray_session,
+            [base,
+             "the quick brown fox leaps over the lazy dog near the river",
+             "completely different content about arrow batches and shuffles"],
+            [base], threshold=1 / 3, k=4)
+        assert out.near_contaminated.tolist() == [True, True, False]
+
+    def test_threshold_is_exact_boundary(self, ray_session):
+        # corpus doc shares exactly 1 of its 2 distinct 3-grams with eval
+        # (which has exactly one full 3-gram): jaccard = 1/2 -> flagged at
+        # exactly 0.5 (>= is inclusive, integer-exact), not a hair above
+        corpus = ["a b c d"]          # grams {abc, bcd}
+        ev = ["a b c"]                # grams {abc}
+        flagged = self._run(ray_session, corpus, ev,
+                            threshold=0.5, k=3)
+        assert flagged.near_contaminated.tolist() == [True]
+        clean = self._run(ray_session, corpus, ev,
+                          threshold=0.5001, k=3)
+        assert clean.near_contaminated.tolist() == [False]
+
+    def test_negative_eval_ids_rejected(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        import pytest
+
+        from jsschema_ray.stages.text import near_contamination
+
+        corpus = rd.from_arrow(_tbl(["a b c d"]))
+        bad = rd.from_arrow(pa.table(
+            {"doc_id": pa.array([-1], pa.int64()),
+             "text": pa.array(["a b c"], pa.string())}))
+        with pytest.raises(Exception):
+            near_contamination(corpus, bad, threshold=0.5, k=3) \
+                .materialize()
+
+    def test_layout_independent(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.text import near_contamination
+
+        texts = [f"token{i} alpha beta gamma delta epsilon zeta" for i in
+                 range(8)]
+        ev = ["alpha beta gamma delta epsilon"]
+        outs = []
+        for blocks in (1, 4):
+            corpus = rd.from_arrow(_tbl(texts)).repartition(blocks)
+            out = near_contamination(
+                corpus, rd.from_arrow(_tbl(ev)), threshold=0.4, k=3,
+                batch_size=2).to_pandas().sort_values("doc_id") \
+                .reset_index(drop=True)
+            outs.append(out)
+        assert outs[0].equals(outs[1])
+        assert outs[0].near_contaminated.all()

@@ -253,6 +253,21 @@ def q_image_unique_phash(sf_dir: str):
     ).limit(50)
 
 
+def _with_phash_probe(b):
+    """Each phash plus a deterministic 1-bit-flipped probe variant — the
+    near-duplicate a re-encoded/resized image would produce (the
+    synthesized corpus has exact phash dups but no near ones); bit index
+    ((phash % 63)+63)%63 stays off the sign bit and is mirrored verbatim
+    in the oracle SQL of every phash near-dup query."""
+    import numpy as np
+    import pyarrow as _pa
+
+    h = b.column("phash").to_numpy(zero_copy_only=False)
+    bit = ((h % 63) + 63) % 63
+    probe = np.bitwise_xor(h, np.int64(1) << bit)
+    return _pa.table({"phash": _pa.array(np.concatenate([h, probe]))})
+
+
 def q_phash_near_dup(sf_dir: str):
     """Perceptual-hash NEAR-duplicate mining on the flagship image table:
     every pair of distinct phash values within Hamming distance 3
@@ -263,29 +278,41 @@ def q_phash_near_dup(sf_dir: str):
     from jsschema_ray.stages.dedup import hamming_pairs
 
     ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
-
-    def with_probe(b):
-        """Each phash plus a deterministic 1-bit-flipped probe variant —
-        the near-duplicate a re-encoded/resized image would produce
-        (the synthesized corpus has exact phash dups but no near ones);
-        bit index ((phash % 63)+63)%63 stays off the sign bit and is
-        mirrored verbatim in the oracle SQL."""
-        import numpy as np
-        import pyarrow as _pa
-
-        h = b.column("phash").to_numpy(zero_copy_only=False)
-        bit = ((h % 63) + 63) % 63
-        probe = np.bitwise_xor(h, np.int64(1) << bit)
-        return _pa.table({"phash": _pa.array(np.concatenate([h, probe]))})
-
-    out = hamming_pairs(ds.map_batches(with_probe, batch_format="pyarrow"),
-                        column="phash", max_distance=3, num_parts=32)
+    out = hamming_pairs(
+        ds.map_batches(_with_phash_probe, batch_format="pyarrow"),
+        column="phash", max_distance=3, num_parts=32)
 
     def rename(b):
         return b.rename_columns(["phash_a", "phash_b", "hamming"])
 
     return out.map_batches(rename, batch_format="pyarrow",
                            zero_copy_batch=True).sort(["phash_a", "phash_b"])
+
+
+def q_image_near_dup_components(sf_dir: str):
+    """Image near-duplicate CLUSTERS, fully distributed end-to-end — the
+    image-table counterpart of dedup_components: exact Hamming<=3 phash
+    pairs (stages/dedup.hamming_pairs, already oracled as phash_near_dup)
+    feed distributed connected components (stages/graph — pointer-doubling
+    label propagation, O(log diameter) rounds). Output: (phash, component)
+    where component is the smallest phash in the transitive near-dup
+    cluster, one row per distinct phash in >= 1 pair. DuckDB-oracled via
+    bit_count(xor) pairs + a recursive transitive-closure CTE."""
+    from jsschema_ray.stages.dedup import hamming_pairs
+    from jsschema_ray.stages.graph import connected_components
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
+    pairs = hamming_pairs(
+        ds.map_batches(_with_phash_probe, batch_format="pyarrow"),
+        column="phash", max_distance=3, num_parts=32)
+    comp = connected_components(pairs, a_col="a", b_col="b",
+                                num_buckets=32)
+
+    def rename(b):
+        return b.rename_columns(["phash", "component"])
+
+    return comp.map_batches(rename, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("phash")
 
 
 def q_image_exact_dedup(sf_dir: str):
@@ -1820,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_unique_phash": q_image_unique_phash,
         "image_exact_dedup": q_image_exact_dedup,
         "phash_near_dup": q_phash_near_dup,
+        "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
@@ -2556,6 +2584,32 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.phash < b.phash
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
             ORDER BY phash_a, phash_b
+        """,
+        # image near-dup clusters: the phash_near_dup pair CTE feeding the
+        # same recursive transitive-closure walk as dedup_components
+        "image_near_dup_components": f"""
+            WITH RECURSIVE
+                 base AS (SELECT phash FROM read_parquet('{meta}')),
+                 probed AS (
+                     SELECT phash FROM base
+                     UNION ALL
+                     SELECT xor(phash,
+                                1::BIGINT << (((phash % 63) + 63) % 63))
+                     FROM base),
+                 v AS (SELECT DISTINCT phash FROM probed),
+                 pr AS (SELECT a.phash AS pa, b.phash AS pb
+                        FROM v a JOIN v b ON a.phash < b.phash
+                        WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+                 e AS (SELECT pa AS s, pb AS d FROM pr
+                       UNION
+                       SELECT pb, pa FROM pr),
+                 walk(node, lab) AS (
+                     SELECT s, s FROM e
+                     UNION
+                     SELECT e.d, w.lab FROM walk w JOIN e ON e.s = w.node
+                 )
+            SELECT node AS phash, MIN(lab) AS component
+            FROM walk GROUP BY node ORDER BY phash
         """,
         "image_exact_dedup": f"""
             SELECT d.image_id FROM read_parquet('{img}/*.parquet') d

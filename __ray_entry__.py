@@ -848,6 +848,17 @@ def q_best_event_per_user(sf_dir: str):
         "user_id")
 
 
+def q_event_type_mode(sf_dir: str):
+    """Each user's most frequent event_type with its count, ties broken
+    by the smallest type (stages/aggregates.grouped_mode) — the dominant-
+    category profile idiom. DuckDB-oracled via an explicit count+QUALIFY
+    (DuckDB's own mode() leaves ties unspecified)."""
+    from jsschema_ray.stages.aggregates import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type").sort("user_id")
+
+
 def q_top_events_per_user(sf_dir: str):
     """Keep each user's top-3 events by value, event_id breaking ties,
     with the 1-based rank emitted as ``rn``
@@ -1891,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "count_distinct_types": q_count_distinct_types,  # r4: NULL-parity fix
         "best_event_per_user": q_best_event_per_user,  # r4: argmax sort fix
+        "event_type_mode": q_event_type_mode,  # r4 NEW: grouped mode
         "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
         "top_value_events": q_top_value_events,  # r4: int-exact rank fix
         "column_stats": q_column_stats,
@@ -2950,6 +2962,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                        ORDER BY value DESC, event_id) = 1
+            ORDER BY user_id
+        """,
+        # mode: explicit count + QUALIFY, NOT DuckDB's mode() (ties there
+        # are unspecified; the engine contract is count DESC, value ASC)
+        "event_type_mode": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT user_id, event_type AS mode, n
+            FROM c
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type) = 1
             ORDER BY user_id
         """,
         "top_events_per_user": """

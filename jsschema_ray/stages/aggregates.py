@@ -328,3 +328,43 @@ def grouped_string_agg(ds, key: str, col: str, order_cols: list[str],
         add_part, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("__part").map_groups(arrow_out(per_partition),
                                    batch_format="pandas")
+
+
+def grouped_mode(ds, group: str, col: str, out_name: str = "mode",
+                 num_partitions: int = 64, batch_size: int = 65536):
+    """Most frequent ``col`` value per ``group`` with its count — SQL's
+    deterministic mode (DuckDB's ``mode()`` leaves ties unspecified, so
+    the oracle-able contract here is: highest count wins, ties broken by
+    the SMALLEST value). NULL ``col`` values are excluded, matching SQL
+    aggregate NULL semantics; NULL group keys remain their own group.
+    Output: (group, out_name, n int64).
+
+    Scale shape: pure composition of the file's own primitives —
+    :func:`grouped_sums` collapses each batch to distinct (group, col)
+    count partials before its one shuffle (map-side combine), and
+    :func:`argmax_per_group` replays its pre-trimmed winner selection
+    over the already-tiny counts table. No new shuffle shapes."""
+    import pyarrow.compute as pc
+
+    def drop_null_vals(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(col)))
+
+    counts = grouped_sums(
+        ds.select_columns([group, col]).map_batches(
+            drop_null_vals, batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True,
+        ),
+        [group, col], {}, count_alias="n", batch_size=batch_size,
+    )
+    winners = argmax_per_group(counts, group=group, value="n",
+                               tiebreak=col, num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group: batch.column(group),
+            out_name: batch.column(col),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+        })
+
+    return winners.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -270,3 +270,30 @@ def test_top_n_per_group_unsigned_values_no_wraparound():
     got = got.sort_values(["g", "rn"]).reset_index(drop=True)
     assert got["v"].tolist() == [2**64 - 1, 2**63 + 5, 2, 1]
     assert got["rn"].tolist() == [1, 2, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_mode_null_and_tie_semantics():
+    """grouped_mode: NULL values excluded (SQL aggregate semantics), NULL
+    group keys kept as their own group, ties broken by smallest value,
+    layout-independent."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_mode
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 2, 2, None, None, 3], pa.int64()),
+        #      g=1: a x2, b x1 -> a;  g=2: tie a x1 c x1 (+2 nulls) -> a
+        #      g=None: z x2 -> z;     g=3: only null values -> NO row
+        "v": pa.array(["a", "a", "b", "c", "a", None, None,
+                       "z", "z", None], pa.string()),
+    })
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = grouped_mode(ds, "g", "v", batch_size=3).to_pandas()
+        out = out.sort_values("g", na_position="last").reset_index(
+            drop=True)
+        assert list(out.columns) == ["g", "mode", "n"]
+        assert out["mode"].tolist() == ["a", "a", "z"]
+        assert out["n"].tolist() == [2, 1, 2]
+        assert out["g"].tolist()[:2] == [1, 2] and pd.isna(out["g"][2])

@@ -475,6 +475,34 @@ def q_join_orders_customers(sf_dir: str):
     ).sort(["o_orderkey"])
 
 
+def q_bloom_semi_orders(sf_dir: str):
+    """Bloom-pre-filtered EXACT semi join (stages/join.bloom_semi_join):
+    orders of BUILDING-segment customers. The fixed-size bitmap broadcast
+    + map-side probe drops guaranteed-non-matching rows BEFORE the one
+    verification shuffle, so at 100 TB the all-to-all carries the match
+    rate, not the left row count; exactness comes from the hash_join
+    'semi' over the survivors (Bloom has no false negatives). DuckDB
+    oracle: plain IN-subquery."""
+    from jsschema_ray.stages.join import bloom_semi_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_mktsegment"), "BUILDING")
+        return batch.filter(keep).select(["c_custkey"])
+
+    keys = cust.map_batches(building_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # small num_bits at test scale so the false-positive sliver is real
+    # and the verify join provably removes it (sf0.01: ~300 keys in 2^12
+    # bits -> fp ~ 2%); at 100 TB size num_bits to ~10 bits/key
+    return bloom_semi_join(orders, keys, key="o_custkey",
+                           right_key="c_custkey", num_bits=1 << 12,
+                           num_buckets=32).sort("o_orderkey")
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-join analytic rollup (TPC-H-Q5 family): 1996 orders'
     lineitem revenue rolled up to the customer's nation. Shuffle-lean
@@ -1887,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_recall": q_minhash_recall,
         "simhash_recall": q_simhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
+        "bloom_semi_orders": q_bloom_semi_orders,  # r4 NEW: bloom semi join
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
@@ -2725,6 +2754,17 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customers": """
             SELECT o_orderkey, o_custkey, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        # bloom semi join: plain IN-subquery — the Bloom bitmap is a pure
+        # pre-filter, so any false positive it leaks that the verify join
+        # fails to drop (or any false negative, impossible by
+        # construction) flips a row and fails this oracle
+        "bloom_semi_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
             ORDER BY o_orderkey
         """,
         "broadcast_join_nation": """

@@ -581,3 +581,138 @@ def hash_join(left, right, key, num_buckets: int = 64,
     return tagged.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def _bloom_hash_cast(col):
+    """Unify integer widths to int64 before hashing: pandas' hash_array
+    hashes by the value's UNSIGNED bit view at its own width, so int32 -1
+    and int64 -1 hash differently — a narrow-vs-wide key pairing across
+    the build/probe sides would silently false-negative. uint64 stays
+    (cannot cast to int64 losslessly); pairing uint64 with signed keys is
+    rejected by hash_join's unifier downstream anyway."""
+    if pa.types.is_integer(col.type) and col.type != pa.uint64():
+        return col.cast(pa.int64())
+    return col
+
+
+def build_bloom_bits(keys_ds, key: str, num_bits: int = 1 << 23,
+                     num_hashes: int = 4, batch_size: int = 262144):
+    """Build a Bloom-filter bitmap over ``keys_ds[key]`` and return it as
+    an object-store handle (``ray.put`` of the packed uint64 word array)
+    plus the (num_bits, num_hashes) params — the broadcast side of
+    :func:`bloom_semi_join`.
+
+    Bit positions use double hashing (Kirsch–Mitzenmacher, public
+    literature): pos_i = (h1 + i*h2) mod m with h1 = hash64(key) and an
+    odd h2 derived from its high bits — no false negatives by
+    construction since the probe side applies the identical function.
+
+    Scale shape: each batch folds to ONE fixed-size partial bitmap
+    (num_bits/8 bytes, independent of row count); the driver OR-folds
+    the O(batches) partials into one accumulator word array (bounded:
+    batches × m/8 bytes TRANSFERRED but only m/8 HELD) and ships it to
+    the object store once. NULL keys set no bits (SQL semi joins never
+    match NULL)."""
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two >= 64, "
+                         f"got {num_bits}")
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+    n_words = num_bits // 64
+
+    def partial_bitmap(batch: pa.Table) -> pa.Table:
+        col = _bloom_hash_cast(normalize_zeros(
+            batch.column(key).combine_chunks().drop_null()))
+        words = np.zeros(n_words, dtype=np.uint64)
+        if len(col):
+            h1 = hash64(col)
+            h2 = ((h1 >> np.uint64(33)) | np.uint64(1))
+            for i in range(num_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+                np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"blob": pa.array([words.tobytes()], pa.binary())})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    parts = keys_ds.select_columns([key]).map_batches(
+        partial_bitmap, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b.column("blob").to_pylist():
+            np.bitwise_or(acc, np.frombuffer(blob, dtype=np.uint64),
+                          out=acc)
+    return ray.put(acc)
+
+
+class BloomProbe:
+    """Actor-pool batch filter: keep rows whose ``key`` MIGHT be in the
+    Bloom bitmap (all num_hashes bits set). The bitmap is fetched from
+    the object store ONCE per actor in ``__init__`` (zero-copy numpy view
+    over shared memory), never per batch."""
+
+    def __init__(self, bits_ref, key: str, num_bits: int, num_hashes: int):
+        self.words = ray.get(bits_ref)
+        self.key = key
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = normalize_zeros(batch.column(self.key).combine_chunks())
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(col), dtype=bool)
+        # hash ONLY the valid slice: hashing the full column would send an
+        # int64-with-nulls column through pandas as float64, diverging
+        # from the null-free build side's int64 hashes (false negatives)
+        vals = _bloom_hash_cast(col.drop_null())
+        if len(vals):
+            h1 = hash64(vals)
+            h2 = ((h1 >> np.uint64(33)) | np.uint64(1))
+            sub = np.ones(len(vals), dtype=bool)
+            for i in range(self.num_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(self.num_bits)
+                w = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                sub &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+            hit[valid] = sub
+        return batch.filter(pa.array(hit))
+
+
+def bloom_semi_join(left, right, key, right_key=None,
+                    num_bits: int = 1 << 23, num_hashes: int = 4,
+                    num_buckets: int = 64, concurrency=None,
+                    batch_size: int = 65536):
+    """EXACT semi join (``WHERE key IN (SELECT right_key FROM right)``)
+    with a Bloom-filter pre-filter: the shuffle-volume reduction for the
+    100 TB regime where the right key set is too big to broadcast raw
+    (hash_join would shuffle EVERY left row) but its bitmap fits any
+    worker (num_bits/8 bytes — 1 MiB default vs ~8 bytes/key raw).
+
+    Exactness does NOT rest on the filter: Bloom has no false negatives
+    (identical double-hash family on both sides), so the pre-filter only
+    DROPS guaranteed-non-matching rows; survivors (matches + the
+    (1-e^(-kn/m))^k false-positive sliver) go through the partitioned
+    hash_join 'semi' for exact verification. Left columns pass through
+    unchanged; left NULL keys never match (SQL IN semantics).
+
+    Scale shape: one fixed-size bitmap broadcast (ray.put once, read once
+    per actor), one map-side filter, and the only all-to-all carries the
+    pre-filtered survivors — shuffle volume scales with the MATCH rate,
+    not the left row count."""
+    if not isinstance(key, str) or (right_key is not None
+                                    and not isinstance(right_key, str)):
+        raise ValueError("bloom_semi_join takes a single key column; "
+                         "use hash_join(how='semi') for composite keys")
+    bits_ref = build_bloom_bits(right, right_key or key,
+                                num_bits=num_bits, num_hashes=num_hashes)
+    candidates = left.map_batches(
+        BloomProbe, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or (1, 8),
+        fn_constructor_kwargs={
+            "bits_ref": bits_ref, "key": key,
+            "num_bits": num_bits, "num_hashes": num_hashes,
+        },
+    )
+    return hash_join(candidates, right, key, right_key=right_key,
+                     how="semi", num_buckets=num_buckets,
+                     batch_size=batch_size)

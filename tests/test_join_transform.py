@@ -627,3 +627,86 @@ def test_setops_int64_above_2_53_with_nulls(ray_session):
         assert [x for x in got["k"] if pd.notna(x)] == \
                [int(x) for x in want["k"] if pd.notna(x)], op
         assert got["k"].isna().sum() == want["k"].isna().sum(), op
+
+
+def test_bloom_semi_join_exact_vs_plain_semi(ray_session):
+    """bloom_semi_join == hash_join(how='semi') on randomized int keys —
+    with num_bits squeezed so false positives ARE generated and must be
+    removed by the verify join (exactness independent of fp rate)."""
+    import numpy as np
+    import ray.data
+
+    from jsschema_ray.stages.join import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(-500, 500, 4000).astype("int64"),
+        "x": rng.integers(0, 10**6, 4000).astype("int64"),
+    })
+    right = pd.DataFrame(
+        {"rk": rng.choice(np.arange(-500, 500, 7), 60).astype("int64")})
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    got = bloom_semi_join(lds, rds, key="k", right_key="rk",
+                          num_bits=64, num_hashes=2,  # fp-heavy on purpose
+                          num_buckets=8).to_pandas()
+    want = hash_join(lds, rds, key="k", right_key="rk",
+                     how="semi", num_buckets=8).to_pandas()
+    got = got.sort_values(["k", "x"]).reset_index(drop=True)
+    want = want.sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got.k).issubset(set(right.rk))
+
+
+def test_bloom_semi_join_nulls_and_mixed_widths(ray_session):
+    """NULL left keys never match (SQL IN); int32 right keys with
+    NEGATIVE values still match int64 left keys (the width-unifying
+    hash cast — pandas hashes by unsigned bit view at native width)."""
+    import ray.data
+
+    from jsschema_ray.stages.join import bloom_semi_join
+
+    left = pa.table({
+        "k": pa.array([-1, -1, 5, None, 7], pa.int64()),
+        "x": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    right = pa.table({"k": pa.array([-1, 7, 9], pa.int32())})
+    out = bloom_semi_join(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right), key="k",
+                          num_bits=256, num_buckets=4).to_pandas()
+    assert sorted(out.x.tolist()) == [0, 1, 4]  # -1 matches, null doesn't
+
+
+def test_bloom_semi_join_empty_right(ray_session):
+    import ray.data
+
+    from jsschema_ray.stages.join import bloom_semi_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([], pa.int64())})
+    out = bloom_semi_join(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right), key="k",
+                          num_bits=256, num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_bloom_prefilter_reduces_shuffle_volume(ray_session):
+    """The probe stage itself (before the verify join) must drop the
+    guaranteed-non-matching majority — the operator's whole point."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from jsschema_ray.stages.join import BloomProbe, build_bloom_bits
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 100_000, 20_000)
+                        .astype("int64")})
+    right = pd.DataFrame({"k": np.arange(0, 1000, dtype="int64")})
+    bits = build_bloom_bits(ray.data.from_pandas(right), "k",
+                            num_bits=1 << 16, num_hashes=4)
+    probe = BloomProbe(bits, "k", 1 << 16, 4)
+    out = probe(pa.Table.from_pandas(left))
+    true_matches = int((left.k < 1000).sum())
+    assert out.num_rows >= true_matches          # no false negatives
+    assert out.num_rows < len(left) * 0.2        # large fp would fail this

@@ -503,6 +503,38 @@ def q_bloom_semi_orders(sf_dir: str):
                            num_buckets=32).sort("o_orderkey")
 
 
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP (stages/aggregates.rollup_sums): lineitem revenue
+    + row counts at (returnflag, linestatus), (returnflag) and grand
+    total in ONE raw scan — coarser levels fold the finest level's tiny
+    aggregate, never re-reading rows. grouping_id carries the SQL
+    GROUPING bitmask; revenue is the integer-exact rev_x10000 both
+    engines share. DuckDB-oracled via GROUP BY ROLLUP + GROUPING()."""
+    from jsschema_ray.stages.aggregates import rollup_sums
+    from jsschema_ray.stages.windows import round_half_away as _rha
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice",
+                "l_discount"])
+
+    def revx(batch: pa.Table) -> pa.Table:
+        ext = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dis = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        ex100 = _rha(ext * 100).astype(np.int64)
+        d100 = _rha(dis * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "rev": pa.array(ex100 * (100 - d100)),
+        })
+
+    out = rollup_sums(
+        li.map_batches(revx, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"], {"rev_x10000": "rev"},
+    )
+    return out.sort(["grouping_id", "l_returnflag", "l_linestatus"])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-join analytic rollup (TPC-H-Q5 family): 1996 orders'
     lineitem revenue rolled up to the customer's nation. Shuffle-lean
@@ -1916,6 +1948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_recall": q_simhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         "bloom_semi_orders": q_bloom_semi_orders,  # r4 NEW: bloom semi join
+        "rollup_revenue": q_rollup_revenue,  # r4 NEW: GROUP BY ROLLUP
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
@@ -2466,6 +2499,21 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H-Q5-family rollup; revenue integer-scaled x10000 =
         # round(extprice*100) * (100 - round(discount*100)), exact under
         # any summation order so the hash compare cannot float-drift
+        # rollup: native GROUP BY ROLLUP with the explicit GROUPING bit
+        # encoding the engine emits (finest 0, k2-away 1, total 3)
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) * 2
+                        + GROUPING(l_linestatus) AS BIGINT) AS grouping_id,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS rev_x10000,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY grouping_id, l_returnflag, l_linestatus
+        """,
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -368,3 +368,103 @@ def grouped_mode(ds, group: str, col: str, out_name: str = "mode",
 
     return winners.map_batches(finish, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def rollup_sums(ds, keys: list[str], sum_cols: dict[str, str],
+                count_alias: str = "n", grouping_col: str = "grouping_id",
+                batch_size: int = 65536):
+    """GROUP BY ROLLUP(*keys): SUM/COUNT aggregates at EVERY prefix level
+    of ``keys`` — (k1..kn), (k1..kn-1), …, (k1), () — in one raw-data
+    scan. Aggregated-away key columns are NULL and ``grouping_col``
+    carries the SQL GROUPING bitmask (DuckDB
+    ``GROUPING(k1)*2^(n-1) + … + GROUPING(kn)``: finest level 0, grand
+    total 2^n − 1), so the output is row-for-row a SQL ROLLUP.
+
+    Scale shape: only the FINEST level touches raw rows (via
+    :func:`grouped_sums` — map-side combine, one shuffle of key-count
+    partials); every coarser level re-aggregates the PREVIOUS level's
+    already-tiny output (O(distinct key prefixes) rows — sums and counts
+    both fold as sums), and the grand total folds the 1-key level. The
+    n+1 levels stream independently and union lazily.
+
+    Contract: key columns must not contain NULL values of their own (a
+    native NULL group would be indistinguishable from a rollup marker —
+    the same ambiguity SQL resolves only via GROUPING()); an EMPTY input
+    yields zero rows, where SQL ROLLUP still emits one grand-total row.
+    """
+    import numpy as np
+
+    n = len(keys)
+    if n == 0:
+        raise ValueError("rollup_sums needs at least one key")
+    outs = list(sum_cols)
+    all_outs = outs + [count_alias]
+
+    ktypes: dict = {}
+
+    def finish(level: int):
+        gid = (1 << (n - level)) - 1
+        kept = keys[:level]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in kept:
+                cols[k] = batch.column(k)
+            for k in keys[level:]:
+                cols[k] = pa.nulls(batch.num_rows, ktypes[k])
+            cols[grouping_col] = pa.array(
+                np.full(batch.num_rows, gid, dtype=np.int64))
+            for c in all_outs:
+                cols[c] = batch.column(c).cast(pa.int64()) \
+                    if c == count_alias else batch.column(c)
+            return pa.table(cols)
+
+        return fn
+
+    # finest level: the only scan of raw rows. Each level feeds BOTH the
+    # output union and the next-coarser aggregate, so materialize the
+    # (tiny, O(distinct key prefixes)-row) aggregates — without it each
+    # reuse would re-execute the upstream raw scan per level.
+    fine = grouped_sums(ds, keys, sum_cols, count_alias=count_alias,
+                        batch_size=batch_size).materialize()
+    # key types for the NULL fills come from the materialized aggregate's
+    # Arrow schema (a non-Arrow input's Dataset.schema() can report bare
+    # Python classes, which pa.nulls rejects)
+    fsch = fine.schema()
+    ktypes.update({name: t for name, t in zip(fsch.names, fsch.types)})
+    for k in keys:
+        if not isinstance(ktypes.get(k), pa.DataType):
+            raise ValueError(f"rollup key {k!r} missing or untyped in "
+                             f"aggregate schema {fsch.names}")
+    levels = [fine.map_batches(finish(n), batch_format="pyarrow",
+                               zero_copy_batch=True)]
+    prev = fine
+    for i in range(n - 1, 0, -1):
+        cur = grouped_sums(prev, keys[:i], {c: c for c in all_outs},
+                           count_alias=None, batch_size=batch_size
+                           ).materialize()
+        levels.append(cur.map_batches(finish(i), batch_format="pyarrow",
+                                      zero_copy_batch=True))
+        prev = cur
+
+    # grand total: fold the 1-key level under a constant key
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__c", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    total = grouped_sums(
+        prev.map_batches(add_const, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["__c"], {c: c for c in all_outs}, count_alias=None,
+        batch_size=batch_size,
+    )
+
+    def drop_const(batch: pa.Table) -> pa.Table:
+        return finish(0)(batch.drop_columns(["__c"]))
+
+    levels.append(total.map_batches(drop_const, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -297,3 +297,41 @@ def test_grouped_mode_null_and_tie_semantics():
         assert out["mode"].tolist() == ["a", "a", "z"]
         assert out["n"].tolist() == [2, 1, 2]
         assert out["g"].tolist()[:2] == [1, 2] and pd.isna(out["g"][2])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_sums_three_levels_exact():
+    """rollup_sums over 2 keys == the three pandas level aggregates with
+    the SQL GROUPING bitmask; layout-independent."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import rollup_sums
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 3000),
+        "b": rng.choice(["p", "q"], 3000),
+        "v": rng.integers(-100, 100, 3000).astype("int64"),
+    })
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(pdf).repartition(blocks)
+        got = rollup_sums(ds, ["a", "b"], {"sv": "v"}, batch_size=256
+                          ).to_pandas()
+        lv0 = got[got.grouping_id == 0].sort_values(["a", "b"])
+        lv1 = got[got.grouping_id == 1].sort_values("a")
+        lv2 = got[got.grouping_id == 3]
+        w0 = pdf.groupby(["a", "b"]).agg(sv=("v", "sum"),
+                                         n=("v", "size")).reset_index()
+        w1 = pdf.groupby("a").agg(sv=("v", "sum"),
+                                  n=("v", "size")).reset_index()
+        assert lv0[["a", "b", "sv", "n"]].reset_index(drop=True).equals(
+            w0.sort_values(["a", "b"]).reset_index(drop=True))
+        assert lv1.b.isna().all()
+        assert lv1[["a", "sv", "n"]].reset_index(drop=True).astype(
+            {"sv": "int64", "n": "int64"}).equals(
+            w1.sort_values("a").reset_index(drop=True).astype(
+                {"sv": "int64", "n": "int64"}))
+        assert len(lv2) == 1 and lv2.a.isna().all() and lv2.b.isna().all()
+        assert int(lv2.sv.iloc[0]) == int(pdf.v.sum())
+        assert int(lv2.n.iloc[0]) == len(pdf)
+        assert len(got) == len(w0) + len(w1) + 1

@@ -1961,12 +1961,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,
-        "pivot_events": q_pivot_events,
+        "top_value_events": q_top_value_events,  # r4: int-exact rank fix
         "count_distinct_types": q_count_distinct_types,  # r4: NULL-parity fix
         "best_event_per_user": q_best_event_per_user,  # r4: argmax sort fix
         "event_type_mode": q_event_type_mode,  # r4 NEW: grouped mode
         "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
-        "top_value_events": q_top_value_events,  # r4: int-exact rank fix
+        "pivot_events": q_pivot_events,  # driver-green r3, unchanged
         "column_stats": q_column_stats,
         "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,

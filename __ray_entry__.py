@@ -1006,9 +1006,10 @@ def q_session_length_histogram(sf_dir: str):
 def q_event_ranks(sf_dir: str):
     """The SQL rank family per user over event time
     (stages/windows.window_ranks): ROW_NUMBER under the (ts, event_id)
-    total order plus RANK/DENSE_RANK with ts-tie semantics — one
-    shuffle, one lexsort + cumsum arithmetic per partition.
-    DuckDB-oracled against the native window functions."""
+    total order plus RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST with ts-tie
+    semantics — one shuffle, one lexsort + cumsum arithmetic per
+    partition. DuckDB-oracled against the native window functions
+    (float parity is exact: both engines divide identical small ints)."""
     from jsschema_ray.stages.windows import window_ranks
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
@@ -3030,7 +3031,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(RANK() OVER (PARTITION BY user_id
                         ORDER BY ts) AS BIGINT) AS rank,
                    CAST(DENSE_RANK() OVER (PARTITION BY user_id
-                        ORDER BY ts) AS BIGINT) AS dense_rank
+                        ORDER BY ts) AS BIGINT) AS dense_rank,
+                   PERCENT_RANK() OVER (PARTITION BY user_id
+                        ORDER BY ts) AS percent_rank,
+                   CUME_DIST() OVER (PARTITION BY user_id
+                        ORDER BY ts) AS cume_dist
             FROM events ORDER BY user_id, event_id
         """,
         "event_paths": """

@@ -380,16 +380,21 @@ def window_ranks(ds, key: str = "user_id", order: str = "ts",
                  tiebreak: str = "event_id", num_partitions: int = 64):
     """The SQL rank family in one pass — per key, ordered by ``order``:
 
-    * ``row_number`` — 1..n under the (order, tiebreak) TOTAL order;
-    * ``rank``       — ties on ``order`` share the FIRST position of
+    * ``row_number``   — 1..n under the (order, tiebreak) TOTAL order;
+    * ``rank``         — ties on ``order`` share the FIRST position of
       their run (gaps after ties);
-    * ``dense_rank`` — ties share consecutive positions (no gaps).
+    * ``dense_rank``   — ties share consecutive positions (no gaps);
+    * ``percent_rank`` — (rank-1)/(n-1), 0.0 for a single-row key (SQL
+      PERCENT_RANK; exact float parity — both engines divide the same
+      small integers, IEEE division is correctly rounded);
+    * ``cume_dist``    — (#rows whose order value <= current)/n (SQL
+      CUME_DIST: the current tie-run's END over the key size).
 
     Same one-shuffle shape as the other per-key window ops: hash(key)
     partitions; per partition one lexsort, then key-block starts and
-    order-value-change flags give all three ranks as vectorized cumsum /
+    order-value-change flags give all five ranks as vectorized cumsum /
     repeat arithmetic — no per-key loop.  Output: (key, tiebreak,
-    row_number, rank, dense_rank)."""
+    row_number, rank, dense_rank, percent_rank, cume_dist)."""
     import pyarrow as pa
 
     from jsschema_ray.state.hll import hash64
@@ -409,9 +414,11 @@ def window_ranks(ds, key: str = "user_id", order: str = "ts",
         n = g.num_rows
         if not n:
             empty = pa.array([], type=pa.int64())
+            emptyf = pa.array([], type=pa.float64())
             return pa.table({
                 key: g.column(key), tiebreak: g.column(tiebreak),
                 "row_number": empty, "rank": empty, "dense_rank": empty,
+                "percent_rank": emptyf, "cume_dist": emptyf,
             })
         g = _arrow_sorted(g, [key, order, tiebreak])
         idx = np.arange(n, dtype="int64")
@@ -433,14 +440,23 @@ def window_ranks(ds, key: str = "user_id", order: str = "ts",
                               np.diff(np.r_[run_starts, n]))
         rank = run_start - key_start + 1
         # dense: count run boundaries since the key started (inclusive)
+        sizes = np.diff(np.r_[starts, n])
         dense = np.cumsum(run_start_flag)
-        dense_rank = dense - np.repeat(dense[starts],
-                                       np.diff(np.r_[starts, n])) + 1
+        dense_rank = dense - np.repeat(dense[starts], sizes) + 1
+        # percent_rank / cume_dist: key size and tie-run END per row
+        nk = np.repeat(sizes, sizes).astype("int64")
+        run_len = np.diff(np.r_[run_starts, n])
+        run_end = np.repeat(np.r_[run_starts, n][1:], run_len)
+        percent_rank = np.where(nk > 1, (rank - 1) / np.maximum(nk - 1, 1),
+                                0.0)
+        cume_dist = (run_end - key_start) / nk
         return pa.table({
             key: g.column(key), tiebreak: g.column(tiebreak),
             "row_number": pa.array(row_number.astype("int64")),
             "rank": pa.array(rank.astype("int64")),
             "dense_rank": pa.array(dense_rank.astype("int64")),
+            "percent_rank": pa.array(percent_rank.astype("float64")),
+            "cume_dist": pa.array(cume_dist.astype("float64")),
         })
 
     return ds.select_columns([key, order, tiebreak]).map_batches(

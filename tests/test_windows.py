@@ -336,8 +336,9 @@ def test_rolling_rows_randomized_differential(seed, nr):
 
 @pytest.mark.usefixtures("ray_session")
 def test_window_ranks_tie_semantics():
-    """row_number/rank/dense_rank vs DuckDB with heavy order-value ties
-    (rank gaps after ties, dense_rank without)."""
+    """row_number/rank/dense_rank/percent_rank/cume_dist vs DuckDB with
+    heavy order-value ties (rank gaps after ties, dense_rank without;
+    float columns must be BIT-identical — same small-int divisions)."""
     import duckdb
     import ray.data
 
@@ -361,10 +362,15 @@ def test_window_ranks_tie_semantics():
                CAST(RANK() OVER (PARTITION BY user_id ORDER BY ts)
                     AS BIGINT) AS rank,
                CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts)
-                    AS BIGINT) AS dense_rank
+                    AS BIGINT) AS dense_rank,
+               PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                    AS percent_rank,
+               CUME_DIST() OVER (PARTITION BY user_id ORDER BY ts)
+                    AS cume_dist
         FROM pdf ORDER BY user_id, event_id
     """).df()
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)  # floats bit-equal
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "image_decode",
     "image_drift",
     "approx_top_phash",
+    "image_near_dup_components",
     # tabular validation + aggregation + global constraints
     "range_violations",
     "group_stats",
@@ -41,6 +42,9 @@ BENCH_QUERIES = [
     "json_validate",
     # joins + windows
     "join_orders_customers",
+    "bloom_semi_orders",
+    "rollup_revenue",
+    "event_type_mode",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",
@@ -76,6 +80,7 @@ BENCH_QUERIES = [
     "percentile_filter",
     "top_doc_frequency",
     "jaccard_pairs",
+    "near_contamination",
     "group_quantiles",
     "dedup_components",
     "tfidf_terms",

@@ -194,6 +194,88 @@ def q_image_validate(sf_dir: str):
     )
 
 
+def q_image_curation_pipeline(sf_dir: str):
+    """Composed IMAGE curation chain, end-to-end streaming — the image
+    table's counterpart of curation_pipeline: (1) schema-valid rows only
+    (anti-join against the violation keys of the SAME compiled DAG
+    image_validate uses, so validity is consistent by construction);
+    (2) exact byte dedup (content-hash pre-agg, min image_id survives;
+    the heavy bytes column is read ONLY here and pre-filtered by the
+    Bloom semi join so non-valid payloads never enter the dedup
+    shuffle); (3) transitive phash Hamming<=3 near-dup clusters
+    (hamming_pairs → connected_components), one survivor per cluster
+    (min image_id; singleton phashes are their own cluster). Output:
+    (image_id, phash, component), DuckDB-oracled end-to-end with a
+    recursive transitive-closure CTE."""
+    from jsschema_ray.pipelines.image_schema import IMAGE_SCHEMA
+    from jsschema_ray.stages.aggregates import argmax_per_group
+    from jsschema_ray.stages.dedup import exact_dedup, hamming_pairs
+    from jsschema_ray.stages.graph import connected_components
+    from jsschema_ray.stages.join import bloom_semi_join, hash_join
+    from jsschema_ray.stages.uniqueness import distinct_rows
+    from jsschema_ray.stages.validate import violations
+
+    schema = {k: v for k, v in IMAGE_SCHEMA.items() if not k.startswith("x-")}
+    schema["required"] = [r for r in schema["required"] if r != "bytes"]
+    meta = rd.read_parquet(
+        _image_dir(sf_dir),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+    bad = distinct_rows(
+        violations(meta, schema, key_column="image_id")
+        .select_columns(["key"])
+        .map_batches(lambda b: b.rename_columns(["image_id"]),
+                     batch_format="pyarrow", zero_copy_batch=True))
+    valid = hash_join(meta.select_columns(["image_id", "phash"]), bad,
+                      key="image_id", how="anti", num_buckets=32)
+
+    byts = rd.read_parquet(_image_dir(sf_dir),
+                           columns=["image_id", "bytes"])
+    valid_bytes = bloom_semi_join(
+        byts, valid.select_columns(["image_id"]), key="image_id",
+        num_bits=1 << 16, num_buckets=32)
+    kept = exact_dedup(valid_bytes, "bytes", "image_id").select_columns(
+        ["image_id"])
+    surv = hash_join(valid, kept, key="image_id", how="semi",
+                     num_buckets=32)
+
+    pairs = hamming_pairs(surv.select_columns(["phash"]), column="phash",
+                          max_distance=3, num_parts=32)
+    # materialize the tiny (phash, component) label table: a corpus with
+    # ZERO near-dup pairs yields an empty dataset whose schema Ray drops
+    # on the next map, which the left join cannot type — in that case
+    # every phash is its own cluster (finish() coalesces)
+    comp_m = connected_components(pairs, a_col="a", b_col="b",
+                                  num_buckets=32).materialize()
+    if comp_m.count():
+        comp = comp_m.map_batches(
+            lambda b: b.rename_columns(["phash", "component"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        labeled = hash_join(surv, comp, key="phash", how="left",
+                            num_buckets=32)
+    else:
+        labeled = surv.map_batches(
+            lambda b: b.append_column(
+                "component", pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # singleton phashes (no near-dup pair) are their own cluster
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "phash": batch.column("phash"),
+            "component": pc.coalesce(batch.column("component"),
+                                     batch.column("phash")),
+            "__zero": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+
+    winners = argmax_per_group(
+        labeled.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        group="component", value="__zero", tiebreak="image_id")
+    return winners.drop_columns(["__zero"]).sort("image_id")
+
+
 def q_image_stats(sf_dir: str):
     from jsschema_ray.stages.stats import StatsSpec, collect_stats
 
@@ -1920,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_exact_dedup": q_image_exact_dedup,
         "phash_near_dup": q_phash_near_dup,
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
+        "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
@@ -1954,7 +2037,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
         "combinator_violations": q_combinator_violations,
-        "document_violations": q_document_violations,
         "join_orders_customers": q_join_orders_customers,
         "asof_join_orders": q_asof_join_orders,
         "range_join_acctbal": q_range_join_acctbal,
@@ -1974,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
         "exact_dedup": q_exact_dedup,
+        "document_violations": q_document_violations,  # driver-green r1-r3, unchanged
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2674,6 +2757,60 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.phash < b.phash
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
             ORDER BY phash_a, phash_b
+        """,
+        # composed image curation: validity = NOT IN the image_validate
+        # violation keys (consistent by construction), exact byte dedup
+        # (min image_id per blob), then the phash transitive-closure walk
+        # over the SURVIVORS only, one winner per cluster
+        "image_curation_pipeline": f"""
+            WITH RECURSIVE
+                 m AS (SELECT * FROM read_parquet('{meta}')),
+                 viol AS (
+                     SELECT image_id AS key FROM m
+                     WHERE NOT regexp_matches(image_id, '^img-[0-9]{{12}}$')
+                     UNION ALL
+                     SELECT image_id FROM m WHERE w < 16
+                     UNION ALL SELECT image_id FROM m WHERE w > 4096
+                     UNION ALL SELECT image_id FROM m WHERE h < 16
+                     UNION ALL SELECT image_id FROM m WHERE h > 4096
+                     UNION ALL SELECT image_id FROM m
+                         WHERE fmt NOT IN ('png', 'jpeg', 'webp')
+                     UNION ALL SELECT image_id FROM m
+                         WHERE caption IS NOT NULL AND LENGTH(caption) < 5
+                     UNION ALL SELECT image_id FROM m
+                         WHERE caption IS NOT NULL AND LENGTH(caption) > 200
+                     UNION ALL SELECT image_id FROM m WHERE caption IS NULL
+                 ),
+                 valid AS (SELECT image_id, phash FROM m
+                           WHERE image_id NOT IN (SELECT key FROM viol)),
+                 b AS (SELECT d.image_id, d.bytes
+                       FROM read_parquet('{img}/*.parquet') d
+                       JOIN valid v ON d.image_id = v.image_id),
+                 kept AS (SELECT MIN(image_id) AS image_id
+                          FROM b GROUP BY bytes),
+                 surv AS (SELECT v.image_id, v.phash FROM valid v
+                          JOIN kept k ON v.image_id = k.image_id),
+                 vv AS (SELECT DISTINCT phash FROM surv),
+                 pr AS (SELECT a.phash AS pa, b.phash AS pb
+                        FROM vv a JOIN vv b ON a.phash < b.phash
+                        WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+                 e AS (SELECT pa AS s, pb AS d FROM pr
+                       UNION SELECT pb, pa FROM pr),
+                 walk(node, lab) AS (
+                     SELECT s, s FROM e
+                     UNION
+                     SELECT e.d, w.lab FROM walk w JOIN e ON e.s = w.node
+                 ),
+                 cc AS (SELECT node, MIN(lab) AS component
+                        FROM walk GROUP BY node),
+                 lab AS (SELECT s.image_id, s.phash,
+                                COALESCE(cc.component, s.phash) AS component
+                         FROM surv s LEFT JOIN cc ON s.phash = cc.node)
+            SELECT image_id, phash, component
+            FROM lab
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+                                       ORDER BY image_id) = 1
+            ORDER BY image_id
         """,
         # image near-dup clusters: the phash_near_dup pair CTE feeding the
         # same recursive transitive-closure walk as dedup_components

@@ -109,6 +109,17 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         zero_copy_batch=True,
     ).materialize()
 
+    if edges.count() == 0:
+        # an edgeless graph has no rows to emit (one row per node IN >= 1
+        # edge); return a TYPED empty dataset — a schema-less empty would
+        # crash any downstream join on (node, component)
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+        }))
+
     # round 0 folded into init: label(u) = min(u, min neighbor)
     def init_rows(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)

@@ -76,3 +76,21 @@ def test_random_graph_against_reference():
     edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(180)]
     edges = [(a, b) for a, b in edges if a != b]
     assert _run(edges, num_buckets=8) == _brute(edges)
+
+
+def test_connected_components_empty_edges_typed(ray_session):
+    """Zero edges -> zero rows with a TYPED (node, component) schema, so
+    downstream joins don't crash on a schema-less empty dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsschema_ray.stages.graph import connected_components
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }))
+    out = connected_components(pairs, num_buckets=4)
+    assert out.count() == 0
+    sch = out.schema()
+    assert sch.names == ["node", "component"]

@@ -617,6 +617,38 @@ def q_rollup_revenue(sf_dir: str):
     return out.sort(["grouping_id", "l_returnflag", "l_linestatus"])
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (stages/aggregates.cube_sums, the grouping-sets
+    generalization of rollup_sums): lineitem revenue + counts at all four
+    subsets of (returnflag, linestatus) — including the rollup-unreachable
+    (linestatus)-only slice — from ONE raw scan; every set folds the
+    materialized finest aggregate. DuckDB-oracled via native CUBE +
+    GROUPING()."""
+    from jsschema_ray.stages.aggregates import cube_sums
+    from jsschema_ray.stages.windows import round_half_away as _rha
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice",
+                "l_discount"])
+
+    def revx(batch: pa.Table) -> pa.Table:
+        ext = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dis = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        ex100 = _rha(ext * 100).astype(np.int64)
+        d100 = _rha(dis * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "rev": pa.array(ex100 * (100 - d100)),
+        })
+
+    out = cube_sums(
+        li.map_batches(revx, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"], {"rev_x10000": "rev"},
+    )
+    return out.sort(["grouping_id", "l_returnflag", "l_linestatus"])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-join analytic rollup (TPC-H-Q5 family): 1996 orders'
     lineitem revenue rolled up to the customer's nation. Shuffle-lean
@@ -2033,10 +2065,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         "bloom_semi_orders": q_bloom_semi_orders,  # r4 NEW: bloom semi join
         "rollup_revenue": q_rollup_revenue,  # r4 NEW: GROUP BY ROLLUP
+        "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
-        "combinator_violations": q_combinator_violations,
         "join_orders_customers": q_join_orders_customers,
         "asof_join_orders": q_asof_join_orders,
         "range_join_acctbal": q_range_join_acctbal,
@@ -2057,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- verifies every oracle pair at sf0.01)
         "exact_dedup": q_exact_dedup,
         "document_violations": q_document_violations,  # driver-green r1-r3, unchanged
+        "combinator_violations": q_combinator_violations,  # driver-green r1-r3, unchanged
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2596,6 +2629,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY grouping_id, l_returnflag, l_linestatus
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) * 2
+                        + GROUPING(l_linestatus) AS BIGINT) AS grouping_id,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS rev_x10000,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
             ORDER BY grouping_id, l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """

@@ -335,3 +335,36 @@ def test_rollup_sums_three_levels_exact():
         assert int(lv2.sv.iloc[0]) == int(pdf.v.sum())
         assert int(lv2.n.iloc[0]) == len(pdf)
         assert len(got) == len(w0) + len(w1) + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_sums_all_subsets_exact():
+    """cube_sums over 2 keys == all four pandas subset aggregates with
+    the GROUPING bitmask; grouping_sets_sums validates its set list."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import cube_sums, grouping_sets_sums
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 2000),
+        "b": rng.choice(["p", "q", "r"], 2000),
+        "v": rng.integers(0, 50, 2000).astype("int64"),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    got = cube_sums(ds, ["a", "b"], {"sv": "v"}, batch_size=256).to_pandas()
+    # gid 2 = the rollup-unreachable (b)-only slice
+    lvb = got[got.grouping_id == 2].sort_values("b").reset_index(drop=True)
+    wb = pdf.groupby("b").agg(sv=("v", "sum"), n=("v", "size")) \
+        .reset_index()
+    assert lvb.a.isna().all()
+    assert lvb[["b", "sv", "n"]].astype({"sv": "int64", "n": "int64"}) \
+        .equals(wb.astype({"sv": "int64", "n": "int64"}))
+    assert sorted(got.grouping_id.unique()) == [0, 1, 2, 3]
+    assert len(got[got.grouping_id == 3]) == 1
+    assert int(got[got.grouping_id == 3].sv.iloc[0]) == int(pdf.v.sum())
+
+    with pytest.raises(ValueError):
+        grouping_sets_sums(ds, ["a", "b"], [["a"], ["a"]], {"sv": "v"})
+    with pytest.raises(ValueError):
+        grouping_sets_sums(ds, ["a", "b"], [["zz"]], {"sv": "v"})

@@ -617,6 +617,20 @@ def q_rollup_revenue(sf_dir: str):
     return out.sort(["grouping_id", "l_returnflag", "l_linestatus"])
 
 
+def q_value_cdf(sf_dir: str):
+    """Integer-exact global CDF of the event value column
+    (stages/quantiles.value_cdf): per distinct value its
+    strictly-less / less-or-equal row counts and the total — the exact
+    score-percentile normalization a curation pipeline thresholds on
+    (the t-digest sketch estimates the same curve for unbounded
+    cardinality). DuckDB-oracled via a windowed running SUM over the
+    grouped counts."""
+    from jsschema_ray.stages.quantiles import value_cdf
+
+    ds = _read(sf_dir, "events", ["value"])
+    return value_cdf(ds, "value").sort("value")
+
+
 def q_cube_revenue(sf_dir: str):
     """GROUP BY CUBE (stages/aggregates.cube_sums, the grouping-sets
     generalization of rollup_sums): lineitem revenue + counts at all four
@@ -2066,10 +2080,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_orders": q_bloom_semi_orders,  # r4 NEW: bloom semi join
         "rollup_revenue": q_rollup_revenue,  # r4 NEW: GROUP BY ROLLUP
         "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE
+        "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
-        "join_orders_customers": q_join_orders_customers,
         "asof_join_orders": q_asof_join_orders,
         "range_join_acctbal": q_range_join_acctbal,
         "session_windows": q_session_windows,
@@ -2090,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "document_violations": q_document_violations,  # driver-green r1-r3, unchanged
         "combinator_violations": q_combinator_violations,  # driver-green r1-r3, unchanged
+        "join_orders_customers": q_join_orders_customers,  # driver-green r2/r3, unchanged
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2630,6 +2645,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY grouping_id, l_returnflag, l_linestatus
+        """,
+        # exact CDF: running SUM over grouped counts (values are distinct
+        # in c, so the ROWS frame equals RANGE); NULLs excluded both sides
+        "value_cdf": """
+            WITH c AS (SELECT value, COUNT(*) AS cnt
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY 1)
+            SELECT value,
+                   CAST(SUM(cnt) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cnt AS BIGINT) AS n_lt,
+                   CAST(SUM(cnt) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_le,
+                   CAST((SELECT SUM(cnt) FROM c) AS BIGINT) AS n_total
+            FROM c ORDER BY value
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,

@@ -210,3 +210,58 @@ def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
         pre, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(select_part, batch_format="pandas")
+
+
+def value_cdf(ds, col: str, batch_size: int = 262144):
+    """Integer-exact global CDF per DISTINCT non-null value of ``col``:
+    (col, n_lt, n_le, n_total) — the score-percentile normalization step
+    of a curation pipeline (percent_rank of a value = n_lt / (n_total-1),
+    CDF = n_le / n_total), exact where a t-digest estimates.
+
+    Scale shape: the raw scan collapses to per-batch distinct-value count
+    partials (grouped_sums map-side combine — the ONLY row-sized stage);
+    the merged counts table is O(distinct values) and finishes with one
+    sort + cumsum in a single task. Contract (documented, same family as
+    the one-bucket-fits-a-worker join assumption): the DISTINCT-value
+    table fits one worker — for unbounded-cardinality columns use the
+    t-digest sketch in stages/stats instead. NULLs are excluded (SQL
+    aggregate semantics); -0.0/0.0 merge like SQL GROUP BY; NaN groups
+    last (numpy and SQL both order NaN after +inf)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.state.hll import normalize_zeros
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        c = normalize_zeros(batch.column(col).combine_chunks().drop_null())
+        return pa.table({col: c})
+
+    counts = grouped_sums(
+        ds.select_columns([col]).map_batches(
+            drop_nulls, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [col], {}, count_alias="cnt", batch_size=batch_size,
+    ).repartition(1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            e = pa.array([], pa.int64())
+            return pa.table({col: t.column(col),
+                             "n_lt": e, "n_le": e, "n_total": e})
+        order = pc.sort_indices(t.column(col).combine_chunks())
+        t = t.take(order)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_le = np.cumsum(c)
+        total = int(n_le[-1])
+        return pa.table({
+            col: t.column(col),
+            "n_lt": pa.array(n_le - c),
+            "n_le": pa.array(n_le),
+            "n_total": pa.array(np.full(len(c), total, dtype=np.int64)),
+        })
+
+    # batch_size=None: the single repartitioned block arrives whole, so
+    # the cumsum sees every distinct value exactly once
+    return counts.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

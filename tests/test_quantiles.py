@@ -110,3 +110,28 @@ def test_quantile_disc_rank(ray_session):
     assert quantile_disc(ds, "x", 0.5) == 49
     with pytest.raises(ValueError):
         quantile_disc(ds, "x", 1.5)
+
+
+def test_value_cdf_exact_and_edge_semantics(ray_session):
+    """value_cdf vs a numpy-computed CDF: nulls excluded, -0.0 merges
+    with 0.0 (SQL GROUP BY), counts integer-exact, layout-independent."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from jsschema_ray.stages.quantiles import value_cdf
+
+    t = pa.table({"v": pa.array(
+        [3.0, 1.0, 3.0, None, -0.0, 0.0, 2.5, 1.0, 3.0], pa.float64())})
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = value_cdf(ds, "v", batch_size=2).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert out.v.tolist() == [0.0, 1.0, 2.5, 3.0]
+        assert out.n_lt.tolist() == [0, 2, 4, 5]
+        assert out.n_le.tolist() == [2, 4, 5, 8]
+        assert (out.n_total == 8).all()
+
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert value_cdf(empty, "v").count() == 0

@@ -36,7 +36,8 @@ def read_table(path: str, columns: Optional[list[str]] = None,
                 "where pylance is available (ray.data.read_lance)"
             ) from e
         return rd.read_lance(path, columns=columns, **kwargs)
-    if path.endswith((".jsonl", ".json")) or _dir_of(path, ".jsonl"):
+    if path.endswith((".jsonl", ".json")) or _dir_of(path, ".jsonl") \
+            or _dir_of(path, ".json"):
         # JSONL corpus (the reference's native input format is JSON docs);
         # ray.data.read_json has no column pushdown, so project right
         # after the read to keep downstream blocks narrow
@@ -84,3 +85,26 @@ def input_shards(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
     return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def write_table(ds: "rd.Dataset", path: str, fmt: str = "parquet",
+                **kwargs) -> None:
+    """Sink counterpart of :func:`read_table`: write a Dataset as sharded
+    parquet (default), JSONL, or CSV — one file per block, so output
+    sharding follows the pipeline's partitioning (resumable-output rule:
+    never one giant file; the violation/report writers in pipelines/
+    layer the per-partition manifest on top of this).
+
+    JSONL is the reference's native document format
+    (/root/reference/cmd/jsschema/jsschema.go reads/writes JSON), so a
+    reference user's downstream JSON tooling keeps working against this
+    engine's outputs."""
+    if fmt == "parquet":
+        ds.write_parquet(path, **kwargs)
+    elif fmt in ("jsonl", "json"):
+        ds.write_json(path, **kwargs)
+    elif fmt == "csv":
+        ds.write_csv(path, **kwargs)
+    else:
+        raise ValueError(f"unknown sink format {fmt!r}; "
+                         "one of parquet/jsonl/csv")

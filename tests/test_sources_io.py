@@ -105,3 +105,35 @@ def test_jsonl_and_csv_paths(tmp_path, ray_session):
             "\n".join(json.dumps(r) for r in rows[s * 10:(s + 1) * 10]))
     ds = read_table(str(d), columns=["doc_id"])
     assert ds.count() == 20
+
+
+def test_write_table_roundtrip_all_formats(ray_session, tmp_path):
+    """write_table -> read_table round-trips values for every sink
+    format, with sharded (per-block) output files."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.sources.io import read_table, write_table
+
+    pdf = pd.DataFrame({
+        "k": pd.array(range(100), dtype="int64"),
+        "s": [f"row-{i}" for i in range(100)],
+    })
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    for fmt, ext in (("parquet", ".parquet"), ("jsonl", ".json"),
+                     ("csv", ".csv")):
+        out = str(tmp_path / fmt)
+        write_table(ds, out, fmt=fmt)
+        import os
+
+        files = [f for f in os.listdir(out) if not f.startswith((".", "_"))]
+        assert len(files) >= 2, (fmt, files)  # sharded, not one giant file
+        back = read_table(out).to_pandas().sort_values("k") \
+            .reset_index(drop=True)
+        assert back.k.tolist() == pdf.k.tolist()
+        assert back.s.tolist() == pdf.s.tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_table(ds, str(tmp_path / "x"), fmt="orc")

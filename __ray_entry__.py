@@ -617,6 +617,18 @@ def q_rollup_revenue(sf_dir: str):
     return out.sort(["grouping_id", "l_returnflag", "l_linestatus"])
 
 
+def q_quantity_mad(sf_dir: str):
+    """Exact per-returnflag median absolute deviation of quantity
+    (stages/quantiles.grouped_mad) — the robust spread gate, both
+    medians QUANTILE_DISC-exact (DuckDB's own mad() interpolates, so the
+    oracle spells out the DISC form). DuckDB-oracled."""
+    from jsschema_ray.stages.quantiles import grouped_mad
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, "l_returnflag", "l_quantity").sort(
+        "l_returnflag")
+
+
 def q_value_cdf(sf_dir: str):
     """Integer-exact global CDF of the event value column
     (stages/quantiles.value_cdf): per distinct value its
@@ -2081,10 +2093,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,  # r4 NEW: GROUP BY ROLLUP
         "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
+        "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
-        "asof_join_orders": q_asof_join_orders,
         "range_join_acctbal": q_range_join_acctbal,
         "session_windows": q_session_windows,
         "rolling_rows": q_rolling_rows,
@@ -2105,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "document_violations": q_document_violations,  # driver-green r1-r3, unchanged
         "combinator_violations": q_combinator_violations,  # driver-green r1-r3, unchanged
         "join_orders_customers": q_join_orders_customers,  # driver-green r2/r3, unchanged
+        "asof_join_orders": q_asof_join_orders,  # driver-green r2/r3, unchanged
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2645,6 +2658,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY grouping_id, l_returnflag, l_linestatus
+        """,
+        # MAD with explicit QUANTILE_DISC medians (DuckDB mad()
+        # interpolates; the engine contract is discrete selection)
+        "quantity_mad": """
+            WITH med AS (SELECT l_returnflag AS g,
+                                QUANTILE_DISC(l_quantity, 0.5) AS m
+                         FROM lineitem GROUP BY 1)
+            SELECT l_returnflag,
+                   QUANTILE_DISC(ABS(l_quantity - m), 0.5) AS mad
+            FROM lineitem JOIN med ON l_returnflag = med.g
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         # exact CDF: running SUM over grouped counts (values are distinct
         # in c, so the ROWS frame equals RANGE); NULLs excluded both sides

@@ -265,3 +265,49 @@ def value_cdf(ds, col: str, batch_size: int = 262144):
     # the cumsum sees every distinct value exactly once
     return counts.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+def grouped_mad(ds, group_col: str, column: str, num_parts: int = 32,
+                batch_size: int = 262144):
+    """Exact per-group median absolute deviation with QUANTILE_DISC rank
+    semantics on BOTH medians: MAD = median(|x - median(x)|) — the
+    robust spread statistic outlier gates use where stddev is skew-
+    fragile. Returns (group_col, mad). Float parity is exact: both
+    engines compute the same double subtraction/abs on the same values,
+    and the discrete quantile SELECTS an existing value rather than
+    interpolating (DuckDB's mad() interpolates — the oracle spells out
+    the DISC form).
+
+    Scale shape: two raw scans by construction (the inner median must
+    exist before deviations do — SQL pays the same); each is the
+    histogram-trick pre-aggregation of :func:`grouped_quantile_disc`,
+    and the O(groups)-row median table broadcast-joins back (ray.put
+    once). Same low-cardinality strata contract as
+    grouped_quantile_disc."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.join import broadcast_join
+
+    med = grouped_quantile_disc(ds, group_col, column, 0.5,
+                                num_parts=num_parts,
+                                batch_size=batch_size).map_batches(
+        lambda b: b.rename_columns([group_col, "__med"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = broadcast_join(ds.select_columns([group_col, column]), med,
+                            key=group_col)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: batch.column(group_col),
+            "absdev": pc.abs(pc.subtract(batch.column(column),
+                                         batch.column("__med"))),
+        })
+
+    devs = joined.map_batches(absdev, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+    return grouped_quantile_disc(devs, group_col, "absdev", 0.5,
+                                 num_parts=num_parts,
+                                 batch_size=batch_size).map_batches(
+        lambda b: b.rename_columns([group_col, "mad"]),
+        batch_format="pyarrow", zero_copy_batch=True)

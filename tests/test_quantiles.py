@@ -135,3 +135,31 @@ def test_value_cdf_exact_and_edge_semantics(ray_session):
 
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert value_cdf(empty, "v").count() == 0
+
+
+def test_grouped_mad_matches_duckdb_disc_form(ray_session):
+    """grouped_mad == QUANTILE_DISC(|x - QUANTILE_DISC(x,.5)|, .5) on
+    skewed data with ties and even group sizes (where interpolation
+    would diverge)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.quantiles import grouped_mad
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 4000),
+        "v": np.round(rng.lognormal(1.0, 1.0, 4000), 1),  # skew + ties
+    })
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = grouped_mad(ds, "g", "v", batch_size=512).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH med AS (SELECT g, QUANTILE_DISC(v, 0.5) m FROM pdf GROUP BY g)
+        SELECT pdf.g, QUANTILE_DISC(ABS(v - m), 0.5) AS mad
+        FROM pdf JOIN med ON pdf.g = med.g GROUP BY pdf.g ORDER BY pdf.g
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

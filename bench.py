@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "image_drift",
     "approx_top_phash",
     "image_near_dup_components",
+    "image_curation_pipeline",
     # tabular validation + aggregation + global constraints
     "range_violations",
     "group_stats",
@@ -44,7 +45,10 @@ BENCH_QUERIES = [
     "join_orders_customers",
     "bloom_semi_orders",
     "rollup_revenue",
+    "cube_revenue",
     "event_type_mode",
+    "value_cdf",
+    "quantity_mad",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",

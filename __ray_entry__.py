@@ -226,8 +226,14 @@ def q_image_curation_pipeline(sf_dir: str):
         .select_columns(["key"])
         .map_batches(lambda b: b.rename_columns(["image_id"]),
                      batch_format="pyarrow", zero_copy_batch=True))
+    # materialize the ID-LEVEL intermediates (2 narrow columns, object
+    # store): valid feeds the Bloom build, the verify join AND the
+    # survivor join — lazy, each consumer would re-execute the whole
+    # validation chain (measured 35 s -> ~its stage sum at sf0.1); the
+    # heavy bytes column itself still streams through its one stage
     valid = hash_join(meta.select_columns(["image_id", "phash"]), bad,
-                      key="image_id", how="anti", num_buckets=32)
+                      key="image_id", how="anti",
+                      num_buckets=32).materialize()
 
     byts = rd.read_parquet(_image_dir(sf_dir),
                            columns=["image_id", "bytes"])
@@ -235,9 +241,9 @@ def q_image_curation_pipeline(sf_dir: str):
         byts, valid.select_columns(["image_id"]), key="image_id",
         num_bits=1 << 16, num_buckets=32)
     kept = exact_dedup(valid_bytes, "bytes", "image_id").select_columns(
-        ["image_id"])
+        ["image_id"]).materialize()
     surv = hash_join(valid, kept, key="image_id", how="semi",
-                     num_buckets=32)
+                     num_buckets=32).materialize()
 
     pairs = hamming_pairs(surv.select_columns(["phash"]), column="phash",
                           max_distance=3, num_parts=32)

@@ -1862,6 +1862,14 @@ def _sampling_oracle_sql() -> dict[str, str]:
                            ELSE {sample_threshold(_STRATA_DEFAULT)} END)
             ORDER BY doc_id
         """,
+        # weighted: mix32 * scale < weight << 32, both sides int64-exact
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars IS NOT NULL
+              AND ({mix}) * {_WEIGHTED_SCALE}
+                  < CAST(n_chars AS BIGINT) * 4294967296
+            ORDER BY doc_id
+        """,
     }
 
 
@@ -1870,6 +1878,7 @@ def _sampling_oracle_sql() -> dict[str, str]:
 _SAMPLE_FRACTION = 0.25
 _STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.2}
 _STRATA_DEFAULT = 0.05
+_WEIGHTED_SCALE = 300  # docs with n_chars >= 300 always kept
 
 
 def q_hash_sample(sf_dir: str):
@@ -1881,6 +1890,19 @@ def q_hash_sample(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return hash_sample(ds, "doc_id", _SAMPLE_FRACTION).sort(["doc_id"])
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED Bernoulli sample of documents — keep with
+    probability min(1, n_chars/300), the upweight-long-documents
+    curation step (stages/sampling.weighted_hash_sample). Selection is
+    the integer-exact mix32*scale < weight<<32 compare, mirrored
+    bit-for-bit in the DuckDB oracle."""
+    from jsschema_ray.stages.sampling import weighted_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_hash_sample(ds, "doc_id", "n_chars",
+                                scale=_WEIGHTED_SCALE).sort(["doc_id"])
 
 
 def q_stratified_sample(sf_dir: str):
@@ -2100,10 +2122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
+        "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "range_violations": q_range_violations,
-        "range_join_acctbal": q_range_join_acctbal,
         "session_windows": q_session_windows,
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
@@ -2124,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combinator_violations": q_combinator_violations,  # driver-green r1-r3, unchanged
         "join_orders_customers": q_join_orders_customers,  # driver-green r2/r3, unchanged
         "asof_join_orders": q_asof_join_orders,  # driver-green r2/r3, unchanged
+        "range_join_acctbal": q_range_join_acctbal,  # driver-green r2/r3, unchanged
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2626,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         # the SQL mirror selects the IDENTICAL rows (threshold computed
         # once in Python and interpolated — no independent float rounding)
         "hash_sample": _sampling_oracle_sql()["hash_sample"],
+        "weighted_sample": _sampling_oracle_sql()["weighted_sample"],
         "stratified_sample": _sampling_oracle_sql()["stratified_sample"],
         "cap_per_source": """
             SELECT doc_id, source FROM documents

@@ -167,3 +167,43 @@ def cap_per_key(ds, key_column: str, n: int, order_col: str,
         pretrim, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(cap_part, batch_format="pandas")
+
+
+def weighted_hash_sample(ds, key_column: str, weight_col: str, scale: int,
+                         seed: int = 1, batch_size: int = 262144):
+    """Deterministic WEIGHTED Bernoulli sample: keep each row with
+    probability min(1, weight/scale) — the upweight-by-quality curation
+    step (long/high-score documents survive at full rate, short ones
+    proportionally). Selection is integer-exact and SQL-mirrorable like
+    :func:`hash_sample`:
+
+        keep  <=>  mix32(key) * scale < weight * 2^32
+
+    (mix32 < 2^32 and scale <= 2^31 keep the product under 2^63; weight
+    >= scale makes the inequality always true — the min(1, ·) clip comes
+    free). Same determinism contract: (key, seed, scale) selects the
+    same rows on any layout. NULL keys or weights drop; weights must be
+    non-negative int64 below 2^31."""
+    if not 1 <= scale <= (1 << 31):
+        raise ValueError(f"scale must be in [1, 2^31], got {scale}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).combine_chunks()
+        w = batch.column(weight_col).combine_chunks()
+        k = keys.cast(pa.int64()).fill_null(-1).to_numpy(
+            zero_copy_only=False)
+        wv = w.cast(pa.int64()).fill_null(-1).to_numpy(
+            zero_copy_only=False)
+        if wv.size and wv.max() >= (1 << 31):
+            raise ValueError(
+                "weighted_hash_sample weights must be < 2^31 for the "
+                "exact int64/SQL mirror; rescale weights first")
+        valid = (k >= 0) & (wv >= 0)
+        keep = np.zeros(len(k), dtype=bool)
+        if valid.any():
+            keep[valid] = (_mix32(k[valid], seed) * np.int64(scale)
+                           < (wv[valid] << np.int64(32)))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)

@@ -53,3 +53,49 @@ def test_pipeline_on_documents_table(ray_session, tmp_path):
     assert report2["partitions_resumed"] == 2
     # job report persisted
     assert json.load(open(out / "report.json"))["partitions_total"] == 2
+
+
+def test_weighted_hash_sample_semantics(ray_session):
+    """weighted_hash_sample: weight >= scale always keeps, weight 0 never,
+    null key/weight drop, selection layout-independent and equal to the
+    scalar mix32 formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jsschema_ray.stages.sampling import KNUTH_A, weighted_hash_sample
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids * 7) % 500  # 0..499 around scale=250
+    t = pa.table({
+        "k": pa.array(np.r_[ids, [10**6, 10**6 + 1]]),
+        "w": pa.array(np.r_[w, [-0, 300]].astype("int64")),
+    })
+    # null out one key and one weight
+    t = t.set_column(0, "k", pa.array(
+        [None if i == 5 else v for i, v in enumerate(t.column("k").to_pylist())],
+        pa.int64()))
+    t = t.set_column(1, "w", pa.array(
+        [None if i == 6 else v for i, v in enumerate(t.column("w").to_pylist())],
+        pa.int64()))
+    outs = []
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = weighted_hash_sample(ds, "k", "w", scale=250, batch_size=64) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = set(outs[0].k)
+    assert 5 not in got and 6 not in got  # nulls dropped
+    for k, wv in zip(t.column("k").to_pylist(), t.column("w").to_pylist()):
+        if k is None or wv is None:
+            continue
+        mix = ((k + 1) * KNUTH_A) % (1 << 32)
+        want = mix * 250 < wv * (1 << 32)
+        assert (k in got) == want, (k, wv)
+    # weight >= scale rows are all kept
+    full = [k for k, wv in zip(t.column("k").to_pylist(),
+                               t.column("w").to_pylist())
+            if k is not None and wv is not None and wv >= 250]
+    assert set(full) <= got

@@ -1164,6 +1164,20 @@ def q_event_ranks(sf_dir: str):
         ["user_id", "event_id"])
 
 
+def q_event_lag_lead(sf_dir: str):
+    """Generic LAG/LEAD-n neighbor features per user over event time
+    (stages/windows.lag_lead): LAG(value,1), LAG(value,2), LEAD(value,1)
+    under the (ts, event_id) total order — values move via Arrow take so
+    floats pass through bit-exact; NULL at key boundaries.
+    DuckDB-oracled against the native window functions."""
+    from jsschema_ray.stages.windows import lag_lead
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return lag_lead(ds, key="user_id", order="ts", tiebreak="event_id",
+                    col="value", lags=(1, 2), leads=(1,)).sort(
+        ["user_id", "event_id"])
+
+
 def q_first_last_touch(sf_dir: str):
     """First-touch / last-touch attribution per user
     (stages/windows.first_last_per_key): each user's first and last
@@ -2123,9 +2137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
+        "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
-        "range_violations": q_range_violations,
         "session_windows": q_session_windows,
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
@@ -2147,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": q_join_orders_customers,  # driver-green r2/r3, unchanged
         "asof_join_orders": q_asof_join_orders,  # driver-green r2/r3, unchanged
         "range_join_acctbal": q_range_join_acctbal,  # driver-green r2/r3, unchanged
+        "range_violations": q_range_violations,  # driver-green r1-r3; image_validate covers the DAG path in-window
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -3306,6 +3321,15 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER (PARTITION BY user_id
                         ORDER BY ts) AS cume_dist
             FROM events ORDER BY user_id, event_id
+        """,
+        "event_lag_lead": """
+            SELECT user_id, event_id,
+                   LAG(value, 1) OVER w AS lag1_value,
+                   LAG(value, 2) OVER w AS lag2_value,
+                   LEAD(value, 1) OVER w AS lead1_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
         """,
         "event_paths": """
             SELECT user_id,

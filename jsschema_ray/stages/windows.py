@@ -601,3 +601,71 @@ def session_windows(ds, key: str = "user_id", ts: str = "ts",
     return ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def lag_lead(ds, key: str, order: str, tiebreak: str, col: str,
+             lags: tuple = (1,), leads: tuple = (1,),
+             num_partitions: int = 64):
+    """Generic SQL ``LAG(col, n)`` / ``LEAD(col, n)`` per key under the
+    (order, tiebreak) total order — the feature-engineering neighbor
+    lookup generalizing :func:`event_deltas` (which is the lag-1 ts
+    delta). Output: (key, tiebreak, lag<n>_<col>..., lead<n>_<col>...),
+    NULL where the offset crosses the key boundary, any column type
+    (values move via Arrow take, never through numpy casts).
+
+    Scale shape: the standard one-shuffle per-key window — hash(key)
+    partitions, one C sort per partition, then each offset is ONE
+    vectorized take with a boundary mask. No per-key loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    for n in list(lags) + list(leads):
+        if n < 1:
+            raise ValueError(f"lag/lead offsets must be >= 1, got {n}")
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        vals = g.column(col).combine_chunks()
+        if not n:
+            cols = {key: g.column(key), tiebreak: g.column(tiebreak)}
+            for off in lags:
+                cols[f"lag{off}_{col}"] = vals
+            for off in leads:
+                cols[f"lead{off}_{col}"] = vals
+            return pa.table(cols)
+        g = _arrow_sorted(g, [key, order, tiebreak])
+        vals = g.column(col).combine_chunks()
+        starts = _key_block_starts(g.column(key))
+        sizes = np.diff(np.r_[starts, n])
+        key_start = np.repeat(starts, sizes)
+        key_end = key_start + np.repeat(sizes, sizes)
+        idx = np.arange(n, dtype=np.int64)
+        cols = {key: g.column(key), tiebreak: g.column(tiebreak)}
+
+        def shifted(off: int, lead: bool):
+            src = idx + off if lead else idx - off
+            ok = (src < key_end) if lead else (src >= key_start)
+            src = np.where(ok, src, 0)
+            taken = vals.take(pa.array(src))
+            return pc.if_else(pa.array(ok), taken,
+                              pa.nulls(n, vals.type))
+
+        for off in lags:
+            cols[f"lag{off}_{col}"] = shifted(off, lead=False)
+        for off in leads:
+            cols[f"lead{off}_{col}"] = shifted(off, lead=True)
+        return pa.table(cols)
+
+    return ds.select_columns(
+        list(dict.fromkeys([key, order, tiebreak, col]))
+    ).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

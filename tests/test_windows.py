@@ -413,3 +413,43 @@ def test_first_last_per_key_ties():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     one = got[got["user_id"] == 999]
     assert (one["first_event_type"] == one["last_event_type"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_lead_boundaries_types_and_ties():
+    """lag_lead vs DuckDB on tie-heavy data: NULL at key boundaries,
+    string column moved via Arrow take (no numpy cast), offsets > 1."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.windows import lag_lead
+
+    rng = np.random.default_rng(31)
+    n = 400
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 7, n).astype("int64"),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 9, n), unit="s"),
+        "event_id": rng.permutation(n).astype("int64"),
+        "event_type": rng.choice(["a", "b", "c", None], n),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = lag_lead(ds, key="user_id", order="ts", tiebreak="event_id",
+                   col="event_type", lags=(1, 3), leads=(2,),
+                   num_partitions=4).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT user_id, event_id,
+               LAG(event_type, 1) OVER w AS lag1_event_type,
+               LAG(event_type, 3) OVER w AS lag3_event_type,
+               LEAD(event_type, 2) OVER w AS lead2_event_type
+        FROM pdf WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lag_lead(ds, key="user_id", order="ts", tiebreak="event_id",
+                 col="event_type", lags=(0,))

@@ -1876,6 +1876,12 @@ def _sampling_oracle_sql() -> dict[str, str]:
                            ELSE {sample_threshold(_STRATA_DEFAULT)} END)
             ORDER BY doc_id
         """,
+        "sample_n_docs": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang FROM documents
+                ORDER BY {mix}, doc_id LIMIT 50
+            ) ORDER BY doc_id
+        """,
         # weighted: mix32 * scale < weight << 32, both sides int64-exact
         "weighted_sample": f"""
             SELECT doc_id, n_chars FROM documents
@@ -1917,6 +1923,17 @@ def q_weighted_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_hash_sample(ds, "doc_id", "n_chars",
                                 scale=_WEIGHTED_SCALE).sort(["doc_id"])
+
+
+def q_sample_n_docs(sf_dir: str):
+    """Deterministic EXACT-50 uniform document sample — the 50 smallest
+    mix32(doc_id) rows (stages/sampling.sample_exact_n, the rerun-stable
+    reservoir equivalent). DuckDB-oracled as ORDER BY mix LIMIT 50 with
+    the identical integer mix expression."""
+    from jsschema_ray.stages.sampling import sample_exact_n
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sample_exact_n(ds, "doc_id", n=50).sort(["doc_id"])
 
 
 def q_stratified_sample(sf_dir: str):
@@ -2106,7 +2123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_phash": q_approx_top_phash,
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
-        "image_drift": q_image_drift,  # rows-only (KS over sketches)
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "similarity_join": q_similarity_join,
@@ -2138,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
+        "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "session_windows": q_session_windows,
@@ -2162,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_orders": q_asof_join_orders,  # driver-green r2/r3, unchanged
         "range_join_acctbal": q_range_join_acctbal,  # driver-green r2/r3, unchanged
         "range_violations": q_range_violations,  # driver-green r1-r3; image_validate covers the DAG path in-window
+        "image_drift": q_image_drift,  # rows-only (KS over sketches), unchanged
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2665,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         # once in Python and interpolated — no independent float rounding)
         "hash_sample": _sampling_oracle_sql()["hash_sample"],
         "weighted_sample": _sampling_oracle_sql()["weighted_sample"],
+        "sample_n_docs": _sampling_oracle_sql()["sample_n_docs"],
         "stratified_sample": _sampling_oracle_sql()["stratified_sample"],
         "cap_per_source": """
             SELECT doc_id, source FROM documents

@@ -207,3 +207,32 @@ def weighted_hash_sample(ds, key_column: str, weight_col: str, scale: int,
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
+
+
+def sample_exact_n(ds, key_column: str, n: int, seed: int = 1,
+                   batch_size: int = 262144):
+    """Deterministic EXACT-size uniform sample: the ``n`` rows with the
+    SMALLEST mix32(key) (key breaks mix ties) — completes the sampling
+    family (fraction → hash_sample, per-stratum → stratified, weighted →
+    weighted_hash_sample, per-key quota → cap_per_key, exact global n →
+    this). Hash-rank selection is the distributed, rerun-stable
+    equivalent of a reservoir sample: same (keys, seed, n) → same rows
+    on any layout, and a SQL oracle mirrors it as ORDER BY mix LIMIT n.
+
+    Scale shape: rides stages/stats.top_k_rows — per-batch pre-trim to
+    the local n smallest (≤ n rows per batch cross the wire), one gather,
+    replay. n is a result size, not data. NULL keys drop."""
+    from jsschema_ray.stages.stats import top_k_rows
+
+    def add_mix(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).combine_chunks()
+        batch = batch.filter(keys.is_valid())
+        k = batch.column(key_column).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column("__mix", pa.array(_mix32(k, seed)))
+
+    withmix = ds.map_batches(add_mix, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+    picked = top_k_rows(withmix, value="__mix", tiebreak=key_column,
+                        k=n, descending=False, batch_size=batch_size)
+    return picked.drop_columns(["__mix"])

@@ -99,3 +99,24 @@ def test_weighted_hash_sample_semantics(ray_session):
                                t.column("w").to_pylist())
             if k is not None and wv is not None and wv >= 250]
     assert set(full) <= got
+
+
+def test_sample_exact_n_layout_independent(ray_session):
+    """sample_exact_n: exactly n rows, the n smallest mix32 keys, same
+    set on every layout; null keys never selected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jsschema_ray.stages.sampling import KNUTH_A, sample_exact_n
+
+    ids = list(range(500))
+    t = pa.table({"k": pa.array([None] + ids, pa.int64()),
+                  "x": pa.array(range(501), pa.int64())})
+    mix = {k: ((k + 1) * KNUTH_A) % (1 << 32) for k in ids}
+    want = set(sorted(ids, key=lambda k: (mix[k], k))[:20])
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = sample_exact_n(ds, "k", n=20, batch_size=64).to_pandas()
+        assert len(out) == 20
+        assert set(out.k) == want

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "event_type_mode",
     "value_cdf",
     "quantity_mad",
+    "event_lag_lead",
+    "weighted_sample",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",

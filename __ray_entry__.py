@@ -1490,6 +1490,26 @@ def q_contamination(sf_dir: str):
     ).sort(["doc_id"])
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental ingest dedup (stages/dedup.incremental_dedup): drop
+    documents whose content already sits in a prior-run hash index (here
+    synthesized deterministically as the doc_id%5==0 slice), then
+    exact-dedup within the new shard (min doc_id survives) — the daily
+    ingest primitive of a continuously growing corpus. DuckDB-oracled
+    via NOT IN over the same slice's texts + QUALIFY."""
+    from jsschema_ray.stages.dedup import add_content_hash, incremental_dedup
+    from jsschema_ray.stages.uniqueness import distinct_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    prior = _mod_filter(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        "doc_id", 5, [0])
+    index = distinct_rows(
+        add_content_hash(prior, "text").select_columns(["content_hash"]))
+    return incremental_dedup(docs, "text", "doc_id",
+                             index=index).select_columns(
+        ["doc_id"]).sort(["doc_id"])
+
+
 def q_near_contamination(sf_dir: str):
     """FUZZY decontamination: corpus docs whose word-5-gram Jaccard with
     ANY doc of the eval slice (doc_id % 37 == 0) is >= 0.7 — catches
@@ -2126,7 +2146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "similarity_join": q_similarity_join,
-        "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
@@ -2155,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
         "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
+        "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "session_windows": q_session_windows,
@@ -2180,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_acctbal": q_range_join_acctbal,  # driver-green r2/r3, unchanged
         "range_violations": q_range_violations,  # driver-green r1-r3; image_validate covers the DAG path in-window
         "image_drift": q_image_drift,  # rows-only (KS over sketches), unchanged
+        "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2353,6 +2374,21 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard (fine at oracle scale) vs the engine's inverted-index
         # SSJoin on the side-marked union — integer-exact threshold on
         # both sides, so any missed/extra pair flips a flag and fails
+        # incremental dedup: the prior-run index is mirrored by content
+        # (text NOT IN the %5 slice's texts — hash-collision-free by the
+        # engine's no-collision correctness requirement), then the
+        # within-shard min-id survivor rule
+        "incremental_dedup": """
+            WITH fresh AS (
+                SELECT doc_id, text FROM documents
+                WHERE text NOT IN (SELECT text FROM documents
+                                   WHERE doc_id % 5 = 0)
+            )
+            SELECT doc_id FROM fresh
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text
+                                       ORDER BY doc_id) = 1
+            ORDER BY doc_id
+        """,
         "near_contamination": """
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(LOWER(text), '[a-z0-9_]+')

@@ -1414,3 +1414,47 @@ def hamming_pairs(ds, column: str = "phash", max_distance: int = 3,
     return ray.data.from_arrow(empty_t).union(
         deduped.map_batches(ensure_typed, batch_format="pyarrow")
     )
+
+
+def incremental_dedup(ds, column: str, key_column: str, index,
+                      out_index_path: str | None = None,
+                      num_buckets: int = 64, batch_size: int = 8192):
+    """INCREMENTAL ingest dedup — the daily-shard shape of a continuously
+    growing corpus: drop rows whose ``column`` content already exists in
+    a persisted ``index`` of prior-run content hashes, then exact-dedup
+    WITHIN the new data (min ``key_column`` survives), and optionally
+    write the UPDATED index (prior ∪ survivors' hashes) as sharded
+    parquet for the next run. Returns the surviving rows (all input
+    columns, content_hash dropped).
+
+    ``index``: a Dataset (or anything read_table accepts) with an int64
+    ``content_hash`` column — produce one with
+    ``add_content_hash(prior, column).select_columns(['content_hash'])``.
+
+    Scale shape: the cross-run check is ONE partitioned anti join keyed
+    on the 63-bit content hash (the shuffle carries hash + projected
+    row, never the prior corpus' payloads — the index is hashes only,
+    re-read from parquet each run, zero driver state), and the
+    within-run dedup is the existing exact_dedup auto strategy. Each
+    run's index write appends only O(new distinct) rows of int64."""
+    from jsschema_ray.stages.join import hash_join
+
+    if isinstance(index, str):
+        from jsschema_ray.sources.io import read_table
+
+        index = read_table(index, columns=["content_hash"])
+    hashed = add_content_hash(ds, column, batch_size=batch_size)
+    fresh = hash_join(hashed, index.select_columns(["content_hash"]),
+                      key="content_hash", how="anti",
+                      num_buckets=num_buckets, batch_size=batch_size)
+    survivors = exact_dedup(fresh.drop_columns(["content_hash"]),
+                            column, key_column, batch_size=batch_size)
+    if out_index_path is not None:
+        from jsschema_ray.stages.uniqueness import distinct_rows
+
+        new_hashes = distinct_rows(
+            add_content_hash(survivors, column, batch_size=batch_size)
+            .select_columns(["content_hash"]))
+        index.select_columns(["content_hash"]).union(
+            new_hashes).write_parquet(out_index_path)
+    return survivors

@@ -750,3 +750,58 @@ def test_fingerprint_batch_matches_serial_reference():
     wc = (hash64(np.array(["" if t is None else t for t in texts],
                           dtype=object)) >> np.uint64(1)).astype("int64")
     assert out.column("fp_content").to_pylist() == list(wc)
+
+
+class TestIncrementalDedup:
+    def test_cross_run_and_within_shard(self, ray_session, tmp_path):
+        """Run 1 builds an index; run 2 drops content seen in run 1 AND
+        dedups within itself (min key survives); the written index
+        round-trips as the next run's input."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jsschema_ray.stages.dedup import (add_content_hash,
+                                               incremental_dedup)
+        from jsschema_ray.stages.uniqueness import distinct_rows
+
+        def tbl(ids, texts):
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "text": pa.array(texts, pa.string())}))
+
+        run1 = tbl([1, 2], ["alpha", "beta"])
+        idx_path = str(tmp_path / "index1")
+        empty_index = rd.from_arrow(pa.table(
+            {"content_hash": pa.array([], pa.int64())}))
+        s1 = incremental_dedup(run1, "text", "doc_id", index=empty_index,
+                               out_index_path=idx_path)
+        assert sorted(r["doc_id"] for r in s1.take_all()) == [1, 2]
+
+        # run 2: 'alpha' already indexed; 'gamma' duplicated within shard
+        run2 = tbl([10, 11, 12, 13], ["alpha", "gamma", "gamma", "delta"])
+        s2 = incremental_dedup(run2, "text", "doc_id", index=idx_path)
+        assert sorted(r["doc_id"] for r in s2.take_all()) == [11, 13]
+
+    def test_index_update_accumulates(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jsschema_ray.stages.dedup import incremental_dedup
+
+        def tbl(ids, texts):
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "text": pa.array(texts, pa.string())}))
+
+        empty = rd.from_arrow(pa.table(
+            {"content_hash": pa.array([], pa.int64())}))
+        p1 = str(tmp_path / "i1")
+        incremental_dedup(tbl([1], ["a"]), "text", "doc_id",
+                          index=empty, out_index_path=p1).materialize()
+        p2 = str(tmp_path / "i2")
+        incremental_dedup(tbl([2], ["b"]), "text", "doc_id",
+                          index=p1, out_index_path=p2).materialize()
+        # index 2 holds both hashes: a third run with 'a' or 'b' drops all
+        s3 = incremental_dedup(tbl([3, 4], ["a", "b"]), "text", "doc_id",
+                               index=p2)
+        assert s3.count() == 0

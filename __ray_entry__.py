@@ -1178,6 +1178,22 @@ def q_event_lag_lead(sf_dir: str):
         ["user_id", "event_id"])
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase per user
+    (stages/windows.funnel_stages): greedy first-match chain under the
+    (ts, event_id) total order, one row per user with stages-reached and
+    the matched event ids. DuckDB-oracled as a cascade of
+    QUALIFY ROW_NUMBER()=1 strictly-after self-joins."""
+    from jsschema_ray.stages.windows import funnel_stages
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return funnel_stages(ds, key="user_id", order="ts",
+                         tiebreak="event_id", stage_col="event_type",
+                         stages=["view", "click", "purchase"]).sort(
+        "user_id")
+
+
 def q_first_last_touch(sf_dir: str):
     """First-touch / last-touch attribution per user
     (stages/windows.first_last_per_key): each user's first and last
@@ -2141,7 +2157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
-        "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
@@ -2175,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
         "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
         "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
+        "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "session_windows": q_session_windows,
@@ -2201,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_violations": q_range_violations,  # driver-green r1-r3; image_validate covers the DAG path in-window
         "image_drift": q_image_drift,  # rows-only (KS over sketches), unchanged
         "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
+        "image_stats": q_image_stats,  # rows-only (sketch output)
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -3376,6 +3393,46 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER (PARTITION BY user_id
                         ORDER BY ts) AS cume_dist
             FROM events ORDER BY user_id, event_id
+        """,
+        # funnel: greedy chain as strictly-after QUALIFY cascades; the
+        # (ts, event_id) lexicographic compare mirrors the engine's total
+        # order so ties cannot diverge
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'view'
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) = 1),
+                 s2 AS (
+                SELECT e.user_id, e.ts, e.event_id
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND (e.ts > s1.ts
+                       OR (e.ts = s1.ts AND e.event_id > s1.event_id))
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                           ORDER BY e.ts, e.event_id) = 1),
+                 s3 AS (
+                SELECT e.user_id, e.ts, e.event_id
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND (e.ts > s2.ts
+                       OR (e.ts = s2.ts AND e.event_id > s2.event_id))
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                           ORDER BY e.ts, e.event_id) = 1),
+                 u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST((s1.event_id IS NOT NULL)::INT
+                        + (s2.event_id IS NOT NULL)::INT
+                        + (s3.event_id IS NOT NULL)::INT AS BIGINT)
+                       AS reached,
+                   s1.event_id AS match1_event_id,
+                   s2.event_id AS match2_event_id,
+                   s3.event_id AS match3_event_id
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+            ORDER BY u.user_id
         """,
         "event_lag_lead": """
             SELECT user_id, event_id,

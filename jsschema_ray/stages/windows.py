@@ -669,3 +669,87 @@ def lag_lead(ds, key: str, order: str, tiebreak: str, col: str,
     ).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def funnel_stages(ds, key: str, order: str, tiebreak: str,
+                  stage_col: str, stages: list,
+                  num_partitions: int = 64):
+    """Ordered funnel matching — for each key, greedily match the stage
+    sequence (``stages[0]`` then the first ``stages[1]`` STRICTLY after
+    it under the (order, tiebreak) total order, then ...): the
+    conversion-funnel / curriculum-progress primitive. Output one row
+    per key: (key, reached int64 = stages completed in order,
+    match<i>_<tiebreak> nullable int64 = the matched event per stage).
+    First-match (greedy) semantics — the same chain SQL expresses as a
+    cascade of QUALIFY ROW_NUMBER()=1 self-joins, which is the oracle.
+
+    Scale shape: the standard one-shuffle per-key window; per partition
+    ONE C sort, then one masked ``np.minimum.reduceat`` segmented min
+    per stage (len(stages) passes over index arrays, never values) — no
+    per-key loop. Greedy is optimal here: the earliest valid match never
+    hurts later stages (matching later can only shrink the suffix)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    if len(stages) < 1:
+        raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct")
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        out_cols = [f"match{i + 1}_{tiebreak}"
+                    for i in range(len(stages))]
+        if not n:
+            cols = {key: g.column(key),
+                    "reached": pa.array([], pa.int64())}
+            for c in out_cols:
+                cols[c] = pa.array([], g.column(tiebreak).type)
+            return pa.table(cols)
+        g = _arrow_sorted(g, [key, order, tiebreak])
+        starts = _key_block_starts(g.column(key))
+        sizes = np.diff(np.r_[starts, n])
+        nkeys = len(starts)
+        key_start = np.repeat(starts, sizes)
+        idx = np.arange(n, dtype=np.int64)
+        svals = g.column(stage_col).combine_chunks()
+        INF = np.int64(n)  # sentinel: no match
+        # prev match position per KEY (start: one before the key block)
+        prev = starts - 1
+        matches = []
+        for s in stages:
+            ok = pc.fill_null(pc.equal(svals, s), False).to_numpy(
+                zero_copy_only=False) & (idx > np.repeat(prev, sizes)) \
+                & (np.repeat(prev, sizes) < INF)
+            cand = np.where(ok, idx, INF)
+            # segmented min per key block: first valid position
+            m = np.minimum.reduceat(np.r_[cand, INF], starts)[:nkeys] \
+                if n else cand
+            matches.append(m)
+            prev = m
+        reached = np.zeros(nkeys, dtype=np.int64)
+        for m in matches:
+            reached += (m < INF).astype(np.int64)
+        tb = g.column(tiebreak).combine_chunks()
+        cols = {key: g.column(key).take(pa.array(starts)),
+                "reached": pa.array(reached)}
+        for c, m in zip(out_cols, matches):
+            hit = m < INF
+            taken = tb.take(pa.array(np.where(hit, m, 0)))
+            cols[c] = pc.if_else(pa.array(hit), taken,
+                                 pa.nulls(nkeys, tb.type))
+        return pa.table(cols)
+
+    return ds.select_columns(
+        list(dict.fromkeys([key, order, tiebreak, stage_col]))
+    ).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

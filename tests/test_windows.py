@@ -453,3 +453,45 @@ def test_lag_lead_boundaries_types_and_ties():
     with _pytest.raises(ValueError):
         lag_lead(ds, key="user_id", order="ts", tiebreak="event_id",
                  col="event_type", lags=(0,))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_stages_greedy_chain_semantics():
+    """funnel_stages: strictly-after matching, ties broken by tiebreak,
+    missing middle stage stops the chain, layout-independent."""
+    import ray.data
+
+    from jsschema_ray.stages.windows import funnel_stages
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        # u1: full funnel; u2: click BEFORE view (chain stops at 1);
+        # u3: view+click same ts (tiebreak orders) then purchase;
+        # u4: no view at all -> reached 0
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 4],
+        "ts": base + pd.to_timedelta([0, 1, 2, 1, 0, 5, 5, 9, 0],
+                                     unit="s"),
+        "event_id": pd.array([10, 11, 12, 20, 21, 30, 31, 32, 40],
+                             dtype="int64"),
+        "event_type": ["view", "click", "purchase",
+                       "view", "click",
+                       "view", "click", "purchase",
+                       "click"],
+    })
+    outs = []
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(pdf).repartition(blocks)
+        out = funnel_stages(ds, key="user_id", order="ts",
+                            tiebreak="event_id", stage_col="event_type",
+                            stages=["view", "click", "purchase"],
+                            num_partitions=2).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    o = outs[0]
+    assert o.reached.tolist() == [3, 1, 3, 0]
+    assert o.match1_event_id.tolist()[0:3] == [10, 20, 30]
+    # u3: click at SAME ts as view but larger event_id -> matches
+    assert o.match2_event_id[2] == 31
+    assert pd.isna(o.match2_event_id[1]) and pd.isna(o.match3_event_id[1])
+    assert pd.isna(o.match1_event_id[3])

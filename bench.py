@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "quantity_mad",
     "event_lag_lead",
     "weighted_sample",
+    "event_funnel",
+    "incremental_dedup",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",

@@ -1178,6 +1178,30 @@ def q_event_lag_lead(sf_dir: str):
         ["user_id", "event_id"])
 
 
+def q_category_drift(sf_dir: str):
+    """EXACT categorical frequency drift of event_type between the
+    even/odd event_id halves (stages/drift.categorical_drift) — the
+    integer-exact, oracle-able companion of the sketch-based KS drift
+    check: tvd_num = |n_a*N_b - n_b*N_a| per category, all int64.
+    DuckDB-oracled with the same cross products."""
+    from jsschema_ray.stages.drift import categorical_drift
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def add_side(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "side": pa.array((eid % 2) == 0),
+        })
+
+    prepped = ds.map_batches(add_side, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return categorical_drift(prepped, "event_type", "side").sort(
+        "event_type")
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered conversion funnel view -> click -> purchase per user
     (stages/windows.funnel_stages): greedy first-match chain under the
@@ -2191,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
         "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
         "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
+        "category_drift": q_category_drift,  # r4 NEW: exact drift
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "session_windows": q_session_windows,
@@ -2200,7 +2225,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_value_events": q_top_value_events,  # r4: int-exact rank fix
         "count_distinct_types": q_count_distinct_types,  # r4: NULL-parity fix
         "best_event_per_user": q_best_event_per_user,  # r4: argmax sort fix
-        "event_type_mode": q_event_type_mode,  # r4 NEW: grouped mode
         "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
         "pivot_events": q_pivot_events,  # driver-green r3, unchanged
         "column_stats": q_column_stats,
@@ -2218,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_drift": q_image_drift,  # rows-only (KS over sketches), unchanged
         "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
         "image_stats": q_image_stats,  # rows-only (sketch output)
+        "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -3393,6 +3418,20 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER (PARTITION BY user_id
                         ORDER BY ts) AS cume_dist
             FROM events ORDER BY user_id, event_id
+        """,
+        # exact categorical drift: same integer cross products
+        "category_drift": """
+            WITH c AS (SELECT event_type,
+                              SUM(CASE WHEN event_id % 2 = 0
+                                       THEN 1 ELSE 0 END) AS n_a,
+                              SUM(CASE WHEN event_id % 2 <> 0
+                                       THEN 1 ELSE 0 END) AS n_b
+                       FROM events GROUP BY 1),
+                 t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c)
+            SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(ABS(n_a * tb - n_b * ta) AS BIGINT) AS tvd_num
+            FROM c, t ORDER BY event_type
         """,
         # funnel: greedy chain as strictly-after QUALIFY cascades; the
         # (ts, event_id) lexicographic compare mirrors the engine's total

@@ -14,6 +14,7 @@ import base64
 import json
 from typing import Any, Optional
 
+import numpy as np
 import pyarrow as pa
 
 from jsschema_ray.stages.stats import StatsSpec, collect_stats
@@ -151,3 +152,69 @@ def drift_check(ds, profile: DriftProfile, columns: list[str],
             ]
         ),
     )
+
+
+def categorical_drift(ds, category_col: str, side_col: str,
+                      batch_size: int = 262144):
+    """EXACT categorical frequency drift between two row slices — the
+    integer-exact companion of the t-digest/KS numeric drift check (which
+    is sketch-based and has no SQL oracle). ``side_col`` is a boolean
+    column marking slice A (true) vs B (false); output one row per
+    category: (category, n_a, n_b, tvd_num) where
+
+        tvd_num = |n_a * N_b - n_b * N_a|        (N = slice totals)
+
+    so total variation distance = sum(tvd_num) / (2 * N_a * N_b) — the
+    compare is pure int64 (no float division inside the engine), hence
+    bit-mirrorable in SQL. Rows with a NULL side OR a NULL category drop
+    (a drift check compares OBSERVED categories; Ray's groupby cannot
+    order null string keys anyway — documented contract).
+
+    Scale shape: one grouped_sums over (category, side) — map-side
+    combined count partials, the only shuffle — then a single-task
+    finish over the O(categories)-row table (same fits-one-worker
+    contract as value_cdf). Guard: slice totals must stay below 2^31 so
+    the cross products fit int64 — beyond that, drift should be measured
+    on deterministic hash samples (stages/sampling) anyway."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(side_col)),
+                       pc.is_valid(batch.column(category_col)))
+        b = batch.select([category_col, side_col]).filter(keep)
+        s = b.column(side_col)
+        return pa.table({
+            category_col: b.column(category_col),
+            "__a": pc.cast(s, pa.int64()),
+            "__b": pc.cast(pc.invert(s), pa.int64()),
+        })
+
+    counts = grouped_sums(
+        ds.select_columns([category_col, side_col]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [category_col], {"n_a": "__a", "n_b": "__b"}, count_alias=None,
+        batch_size=batch_size,
+    ).repartition(1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = t.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ta, tb = int(na.sum()), int(nb.sum())
+        if max(ta, tb) >= (1 << 31):
+            raise ValueError(
+                "categorical_drift slice totals must be < 2^31 for the "
+                "int64-exact cross products; drift-check a deterministic "
+                "hash sample instead")
+        tvd = np.abs(na * tb - nb * ta)
+        return pa.table({
+            category_col: t.column(category_col),
+            "n_a": pa.array(na), "n_b": pa.array(nb),
+            "tvd_num": pa.array(tvd),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -184,3 +184,29 @@ def test_top_k_rows_int64_above_2_53_exact(ray_session):
     got_asc = top_k_rows(rd.from_pandas(pdf).repartition(5), "v", "id",
                          k=5, descending=False, batch_size=64).to_pandas()
     assert sorted(got_asc["v"]) == [base + i for i in range(5)]
+
+
+def test_categorical_drift_exact_and_guard(ray_session):
+    """categorical_drift: integer cross products vs a hand computation;
+    rows with a null side OR null category drop (documented contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jsschema_ray.stages.drift import categorical_drift
+
+    t = pa.table({
+        "cat": pa.array(["x", "x", "y", "y", "y", None, "x"], pa.string()),
+        "side": pa.array([True, False, True, True, None, True, True],
+                         pa.bool_()),
+    })
+    out = categorical_drift(ray.data.from_arrow(t).repartition(3),
+                            "cat", "side", batch_size=2).to_pandas()
+    out = out.sort_values("cat").reset_index(drop=True)
+    # kept rows: (x,A) (x,A) (x,B) (y,A) (y,A) — null side + null cat drop
+    assert out.cat.tolist() == ["x", "y"]
+    assert out.n_a.tolist() == [2, 2]
+    assert out.n_b.tolist() == [1, 0]
+    ta, tb = 4, 1
+    want = [abs(2 * tb - 1 * ta), abs(2 * tb - 0 * ta)]
+    assert out.tvd_num.tolist() == want

@@ -635,6 +635,44 @@ def q_quantity_mad(sf_dir: str):
         "l_returnflag")
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outlier gate composed end-to-end: lineitem rows
+    whose |quantity - median| * 2 > 3 * MAD within their returnflag
+    (grouped_mad + broadcast-joined medians; the x2/x3 integer-ratio
+    compare avoids float division — l_quantity values are small
+    integers in float64, so every product is exact). The skew-robust
+    filter stddev gates can't give. DuckDB-oracled with the same DISC
+    medians and ratio compare."""
+    from jsschema_ray.stages.join import broadcast_join
+    from jsschema_ray.stages.quantiles import grouped_mad, \
+        grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+    med = grouped_quantile_disc(ds, "l_returnflag", "l_quantity", 0.5) \
+        .map_batches(lambda b: b.rename_columns(["l_returnflag", "__med"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    mad = grouped_mad(ds, "l_returnflag", "l_quantity").map_batches(
+        lambda b: b.rename_columns(["l_returnflag", "__mad"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_join(broadcast_join(ds, med, key="l_returnflag"),
+                            mad, key="l_returnflag")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = batch.column("__med").to_numpy(zero_copy_only=False)
+        d = batch.column("__mad").to_numpy(zero_copy_only=False)
+        keep = np.abs(q - m) * 2.0 > 3.0 * d
+        return batch.select(
+            ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+        ).filter(pa.array(keep))
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True).sort(
+        ["l_orderkey", "l_linenumber"])
+
+
 def q_value_cdf(sf_dir: str):
     """Integer-exact global CDF of the event value column
     (stages/quantiles.value_cdf): per distinct value its
@@ -2243,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
+        "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2812,6 +2851,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN med ON l_returnflag = med.g
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        # robust outlier gate: same DISC medians + the x2/x3 integer-
+        # ratio compare (small-int floats -> every product exact)
+        "mad_outliers": """
+            WITH med AS (SELECT l_returnflag AS g,
+                                QUANTILE_DISC(l_quantity, 0.5) AS m
+                         FROM lineitem GROUP BY 1),
+                 mad AS (SELECT l.l_returnflag AS g,
+                                QUANTILE_DISC(ABS(l_quantity - m), 0.5)
+                                    AS d
+                         FROM lineitem l JOIN med ON l.l_returnflag = med.g
+                         GROUP BY 1)
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+            FROM lineitem
+            JOIN med ON l_returnflag = med.g
+            JOIN mad ON l_returnflag = mad.g
+            WHERE ABS(l_quantity - m) * 2 > 3 * d
+            ORDER BY l_orderkey, l_linenumber
         """,
         # exact CDF: running SUM over grouped counts (values are distinct
         # in c, so the ROWS frame equals RANGE); NULLs excluded both sides

@@ -194,6 +194,56 @@ def q_image_validate(sf_dir: str):
     )
 
 
+def q_violation_summary(sf_dir: str):
+    """The validation REPORT shape: per (column, keyword) violation
+    counts + distinct offending keys over the image table — one
+    grouped_sums + one grouped_count_distinct over the violations stream
+    (both map-side combined), the roll-up a 10^12-row run's operator
+    dashboard reads instead of raw violation rows. DuckDB-oracled by
+    aggregating the image_validate violation CTE."""
+    from jsschema_ray.pipelines.image_schema import IMAGE_SCHEMA
+    from jsschema_ray.stages.aggregates import (grouped_count_distinct,
+                                                grouped_sums)
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.validate import violations
+
+    schema = {k: v for k, v in IMAGE_SCHEMA.items() if not k.startswith("x-")}
+    schema["required"] = [r for r in schema["required"] if r != "bytes"]
+    ds = rd.read_parquet(
+        _image_dir(sf_dir),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+    viol = violations(ds, schema, key_column="image_id")
+
+    def ck(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": batch.column("column"),
+            "keyword": batch.column("keyword"),
+            "__ck": pc.binary_join_element_wise(
+                batch.column("column"), batch.column("keyword"), "\x1f"),
+            "key": batch.column("key"),
+        })
+
+    tagged = viol.map_batches(ck, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    counts = grouped_sums(tagged, ["column", "keyword"], {},
+                          count_alias="n_violations")
+    nkeys = grouped_count_distinct(tagged, "__ck", "key").map_batches(
+        lambda b: b.rename_columns(["__ck", "n_keys"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rejoin_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__ck", pc.binary_join_element_wise(
+                batch.column("column"), batch.column("keyword"), "\x1f"))
+
+    out = hash_join(
+        counts.map_batches(rejoin_key, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        nkeys, key="__ck", num_buckets=8)
+    return out.drop_columns(["__ck"]).sort(["column", "keyword"])
+
+
 def q_image_curation_pipeline(sf_dir: str):
     """Composed IMAGE curation chain, end-to-end streaming — the image
     table's counterpart of curation_pipeline: (1) schema-valid rows only
@@ -2212,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never-driver-verified in r3 (rotated in; all oracled unless noted)
         "image_validate": q_image_validate,
+        "violation_summary": q_violation_summary,  # r4 NEW: report roll-up
         "image_stats_exact": q_image_stats_exact,
         "image_unique_phash": q_image_unique_phash,
         "image_exact_dedup": q_image_exact_dedup,
@@ -2219,7 +2270,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
-        "image_decode": q_image_decode,  # rows-only (decoded pixels)
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "similarity_join": q_similarity_join,
@@ -2280,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_drift": q_image_drift,  # rows-only (KS over sketches), unchanged
         "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
         "image_stats": q_image_stats,  # rows-only (sketch output)
+        "image_decode": q_image_decode,  # rows-only (decoded pixels)
         "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
         "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
@@ -3166,6 +3217,40 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(w) AS BIGINT)
                 FROM m
             ) ORDER BY "column"
+        """,
+        # the validation report roll-up: the SAME violation branches as
+        # image_validate, aggregated per (column, keyword)
+        "violation_summary": f"""
+            WITH m AS (SELECT * FROM read_parquet('{meta}')),
+                 v AS (
+                SELECT image_id AS key, 'image_id' AS "column",
+                       'pattern' AS keyword
+                FROM m WHERE NOT regexp_matches(image_id, '^img-[0-9]{{12}}$')
+                UNION ALL
+                SELECT image_id, 'w', 'minimum' FROM m WHERE w < 16
+                UNION ALL
+                SELECT image_id, 'w', 'maximum' FROM m WHERE w > 4096
+                UNION ALL
+                SELECT image_id, 'h', 'minimum' FROM m WHERE h < 16
+                UNION ALL
+                SELECT image_id, 'h', 'maximum' FROM m WHERE h > 4096
+                UNION ALL
+                SELECT image_id, 'fmt', 'enum' FROM m
+                    WHERE fmt NOT IN ('png', 'jpeg', 'webp')
+                UNION ALL
+                SELECT image_id, 'caption', 'minLength' FROM m
+                    WHERE caption IS NOT NULL AND LENGTH(caption) < 5
+                UNION ALL
+                SELECT image_id, 'caption', 'maxLength' FROM m
+                    WHERE caption IS NOT NULL AND LENGTH(caption) > 200
+                UNION ALL
+                SELECT image_id, 'caption', 'caption' FROM m
+                    WHERE caption IS NULL
+                 )
+            SELECT "column", keyword,
+                   COUNT(*) AS n_violations,
+                   CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+            FROM v GROUP BY 1, 2 ORDER BY "column", keyword
         """,
         "image_validate": f"""
             WITH m AS (SELECT * FROM read_parquet('{meta}'))

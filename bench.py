@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "event_funnel",
     "incremental_dedup",
+    "category_drift",
+    "violation_summary",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",

@@ -1618,6 +1618,20 @@ def q_contamination(sf_dir: str):
     ).sort(["doc_id"])
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping word-window chunking (stages/text.chunk_documents):
+    32-word chunks every 24 words — the context-window preparation step
+    between curation and sequence packing. Hopping-explode + ordered
+    STRING_AGG composition; DuckDB-oracled via regexp word lists +
+    LIST_SLICE/ARRAY_TO_STRING with identical \\S+ tokenization."""
+    from jsschema_ray.stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, chunk_words=32, stride_words=24,
+                           batch_size=_doc_batch(sf_dir)).sort(
+        ["doc_id", "chunk_id"])
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental ingest dedup (stages/dedup.incremental_dedup): drop
     documents whose content already sits in a prior-run hash index (here
@@ -2270,7 +2284,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
-        "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "similarity_join": q_similarity_join,
         "hash_sample": q_hash_sample,
@@ -2302,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
         "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
         "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
+        "chunk_documents": q_chunk_documents,  # r4 NEW: context chunking
         "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
         "category_drift": q_category_drift,  # r4 NEW: exact drift
         # --- driver-green representatives (one per family; families whose
@@ -2331,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,  # rows-only (LSH clusters)
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
+        "knn_brute": q_knn_brute,  # driver-green r2, unchanged
         "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
         "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
@@ -2506,6 +2521,24 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard (fine at oracle scale) vs the engine's inverted-index
         # SSJoin on the side-marked union — integer-exact threshold on
         # both sides, so any missed/extra pair flips a flag and fails
+        # chunking: same \S+ word split, 1-based end-inclusive LIST_SLICE
+        # (clamps past the end), single-space joins on both sides
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\\S+') AS w
+                       FROM documents),
+                 g AS (SELECT doc_id, w, LEN(w) AS n
+                       FROM t WHERE LEN(w) > 0),
+                 k AS (SELECT doc_id, w,
+                              UNNEST(RANGE(0, ((n - 1) // 24) + 1))
+                                  AS chunk_id
+                       FROM g)
+            SELECT doc_id, chunk_id,
+                   ARRAY_TO_STRING(
+                       w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                       AS chunk_text
+            FROM k ORDER BY doc_id, chunk_id
+        """,
         # incremental dedup: the prior-run index is mirrored by content
         # (text NOT IN the %5 slice's texts — hash-collision-free by the
         # engine's no-collision correctness requirement), then the

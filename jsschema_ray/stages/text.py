@@ -674,3 +674,100 @@ def tfidf_top_terms(ds, k: int = 5, column: str = "text",
     return joined.map_batches(part, batch_format="pyarrow").groupby(
         "__p"
     ).map_groups(topk, batch_format="pandas")
+
+
+def chunk_documents(ds, column: str = "text", id_column: str = "doc_id",
+                    chunk_words: int = 64, stride_words: int = 48,
+                    num_partitions: int = 64, batch_size: int = 4096,
+                    max_chunks_per_doc: int = 1 << 20):
+    """Overlapping word-window CHUNKING — split each document into chunks
+    of ``chunk_words`` words starting every ``stride_words`` (the
+    context-window preparation step between curation and sequence
+    packing; chunk_words > stride_words gives the standard training
+    overlap). Output one row per chunk: (id_column, chunk_id, chunk_text
+    = the chunk's words joined with single spaces). Tokenization is
+    ``\\S+`` on the ORIGINAL text (no case folding — chunks are training
+    payload), so a SQL mirror via regexp_extract_all + list slicing is
+    byte-exact; original inter-word whitespace is normalized to one
+    space (documented: chunks are word sequences, not substrings).
+    Zero-word documents produce no chunks.
+
+    Scale shape: the hopping-window explode + ordered STRING_AGG
+    composition — each batch explodes to (composite chunk key, word,
+    pos) rows with at most ceil(chunk/stride) memberships per word
+    (vectorized candidate emission + mask, no per-doc loop), and
+    :func:`jsschema_ray.stages.aggregates.grouped_string_agg` does the
+    ONE hash(chunk-key) shuffle with a C-backed join per chunk.
+    Contract: ``id_column`` non-negative int64 with
+    id * max_chunks_per_doc + chunks < 2^63 (guarded loudly), one
+    chunk's words fit a worker (same as session_windows)."""
+    import pandas as pd
+
+    from jsschema_ray.stages.aggregates import grouped_string_agg
+
+    if chunk_words < 1 or stride_words < 1:
+        raise ValueError("chunk_words and stride_words must be >= 1")
+    m = -(-chunk_words // stride_words)  # memberships per word, bounded
+    maxc = max_chunks_per_doc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0
+                         or ids.max() >= (1 << 62) // maxc):
+            raise ValueError(
+                f"chunk_documents needs {id_column} in "
+                f"[0, 2^62/{maxc}) for the composite chunk key")
+        toks = pd.Series(
+            batch.column(column).to_pandas()).fillna("").str.findall(
+            r"\S+")
+        counts = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        words = toks.explode().dropna().to_numpy(dtype=object)
+        if not len(words):
+            return pa.table({
+                "__ck": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "pos": pa.array([], pa.int64()),
+            })
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts)
+        doc_rep = np.repeat(ids, counts)
+        if (counts.max() - 1) // stride_words + 1 > maxc:
+            raise ValueError(
+                f"a document exceeds max_chunks_per_doc={maxc}; raise it "
+                "or enlarge stride_words")
+        kmax = pos // stride_words
+        outs_ck, outs_w, outs_p = [], [], []
+        for j in range(m):
+            k = kmax - j
+            ok = (k >= 0) & (pos < k * stride_words + chunk_words)
+            if not ok.any():
+                continue
+            outs_ck.append(doc_rep[ok] * maxc + k[ok])
+            outs_w.append(words[ok])
+            outs_p.append(pos[ok])
+        return pa.table({
+            "__ck": pa.array(np.concatenate(outs_ck)),
+            "word": pa.array(np.concatenate(outs_w), pa.string()),
+            "pos": pa.array(np.concatenate(outs_p)),
+        })
+
+    exploded = ds.select_columns([id_column, column]).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    agg = grouped_string_agg(exploded, key="__ck", col="word",
+                             order_cols=["pos"], sep=" ",
+                             out_name="chunk_text",
+                             num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ck = batch.column("__ck").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(ck // maxc),
+            "chunk_id": pa.array(ck % maxc),
+            "chunk_text": batch.column("chunk_text"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -225,3 +225,47 @@ class TestNearContamination:
             outs.append(out)
         assert outs[0].equals(outs[1])
         assert outs[0].near_contaminated.all()
+
+
+class TestChunkDocuments:
+    def test_overlap_edges_and_layouts(self, ray_session):
+        """32/24-style chunking on a tiny doc: chunk boundaries, the
+        overlapping tail, whitespace normalization, zero-word docs
+        dropped, layout independence."""
+        import ray.data as rd
+
+        from jsschema_ray.stages.text import chunk_documents
+
+        words = [f"w{i}" for i in range(10)]
+        texts = [" ".join(words),        # 10 words: chunks at 0,4,8
+                 "  spaced\tout  ",      # 2 words -> one chunk
+                 "",                     # no words -> no chunks
+                 None]                   # null -> no chunks
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        outs = []
+        for blocks in (1, 3):
+            ds = rd.from_arrow(t).repartition(blocks)
+            out = chunk_documents(ds, chunk_words=6, stride_words=4,
+                                  batch_size=2).to_pandas() \
+                .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+            outs.append(out)
+        assert outs[0].equals(outs[1])
+        o = outs[0]
+        assert o.doc_id.tolist() == [0, 0, 0, 1]
+        assert o.chunk_id.tolist() == [0, 1, 2, 0]
+        assert o.chunk_text[0] == "w0 w1 w2 w3 w4 w5"
+        assert o.chunk_text[1] == "w4 w5 w6 w7 w8 w9"   # overlap of 2
+        assert o.chunk_text[2] == "w8 w9"               # partial tail
+        assert o.chunk_text[3] == "spaced out"          # ws normalized
+
+    def test_negative_id_rejected(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from jsschema_ray.stages.text import chunk_documents
+
+        t = pa.table({"doc_id": pa.array([-1], pa.int64()),
+                      "text": pa.array(["a b"], pa.string())})
+        with pytest.raises(Exception):
+            chunk_documents(rd.from_arrow(t)).materialize()

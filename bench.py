@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "category_drift",
     "violation_summary",
+    "chunk_documents",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",

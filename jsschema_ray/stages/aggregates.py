@@ -399,6 +399,12 @@ def rollup_sums(ds, keys: list[str], sum_cols: dict[str, str],
         raise ValueError("rollup_sums needs at least one key")
     outs = list(sum_cols)
     all_outs = outs + [count_alias]
+    names = keys + all_outs + [grouping_col]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"rollup output names collide: keys={keys}, "
+            f"sums={outs}, count_alias={count_alias!r}, "
+            f"grouping_col={grouping_col!r} must all be distinct")
 
     ktypes: dict = {}
 
@@ -492,6 +498,12 @@ def grouping_sets_sums(ds, keys: list[str], sets: list[list[str]],
     n = len(keys)
     if n == 0:
         raise ValueError("grouping_sets_sums needs at least one key")
+    gs_names = keys + list(sum_cols) + [count_alias, grouping_col]
+    if len(set(gs_names)) != len(gs_names):
+        raise ValueError(
+            f"grouping-sets output names collide: keys={keys}, "
+            f"sums={list(sum_cols)}, count_alias={count_alias!r}, "
+            f"grouping_col={grouping_col!r} must all be distinct")
     norm_sets = []
     seen = set()
     for s in sets:

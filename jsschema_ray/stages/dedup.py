@@ -1440,8 +1440,17 @@ def incremental_dedup(ds, column: str, key_column: str, index,
     from jsschema_ray.stages.join import hash_join
 
     if isinstance(index, str):
+        import os
+
         from jsschema_ray.sources.io import read_table
 
+        if out_index_path is not None and \
+                os.path.abspath(out_index_path) == os.path.abspath(index):
+            raise ValueError(
+                "out_index_path must differ from the input index path: "
+                "the index is read LAZILY while the update is written, "
+                "so an in-place write would corrupt the read (write to "
+                "a new versioned dir and swap after)")
         index = read_table(index, columns=["content_hash"])
     hashed = add_content_hash(ds, column, batch_size=batch_size)
     fresh = hash_join(hashed, index.select_columns(["content_hash"]),

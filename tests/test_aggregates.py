@@ -368,3 +368,25 @@ def test_cube_sums_all_subsets_exact():
         grouping_sets_sums(ds, ["a", "b"], [["a"], ["a"]], {"sv": "v"})
     with pytest.raises(ValueError):
         grouping_sets_sums(ds, ["a", "b"], [["zz"]], {"sv": "v"})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_single_key_and_name_collision_guards():
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import rollup_sums
+
+    pdf = pd.DataFrame({"a": ["x", "y", "x"],
+                        "v": np.array([1, 2, 3], dtype="int64")})
+    ds = ray.data.from_pandas(pdf)
+    got = rollup_sums(ds, ["a"], {"sv": "v"}).to_pandas()
+    lv0 = got[got.grouping_id == 0].sort_values("a")
+    assert lv0.sv.tolist() == [4, 2]
+    total = got[got.grouping_id == 1]
+    assert len(total) == 1 and int(total.sv.iloc[0]) == 6 \
+        and int(total.n.iloc[0]) == 3 and total.a.isna().all()
+
+    with pytest.raises(ValueError, match="collide"):
+        rollup_sums(ds, ["a"], {"n": "v"})  # collides with count_alias
+    with pytest.raises(ValueError, match="collide"):
+        rollup_sums(ds, ["grouping_id"], {"sv": "v"})

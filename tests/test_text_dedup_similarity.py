@@ -805,3 +805,23 @@ class TestIncrementalDedup:
         s3 = incremental_dedup(tbl([3, 4], ["a", "b"]), "text", "doc_id",
                                index=p2)
         assert s3.count() == 0
+
+
+def test_incremental_dedup_inplace_index_write_refused(ray_session,
+                                                       tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from jsschema_ray.stages.dedup import incremental_dedup
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["a"], pa.string())}))
+    p = str(tmp_path / "idx")
+    empty = rd.from_arrow(pa.table(
+        {"content_hash": pa.array([], pa.int64())}))
+    incremental_dedup(ds, "text", "doc_id", index=empty,
+                      out_index_path=p).materialize()
+    with pytest.raises(ValueError, match="in-place"):
+        incremental_dedup(ds, "text", "doc_id", index=p,
+                          out_index_path=p)

@@ -1632,6 +1632,44 @@ def q_chunk_documents(sf_dir: str):
         ["doc_id", "chunk_id"])
 
 
+def q_chunk_pack_pipeline(sf_dir: str):
+    """THE pretraining data path composed end-to-end: chunk documents
+    into overlapping 32/24 word windows (stages/text.chunk_documents),
+    then pack the chunks into 256-word training sequences in global
+    chunk order (stages/packing.pack_sequences — distributed two-scan
+    prefix sum). Output per chunk: its weight and (seq_id, seq_offset).
+    DuckDB-oracled by chaining the chunk CTE into the window-SUM pack
+    mirror (chunk weight = LEAST(32, n - chunk_id*24), exactly the
+    single-space-join word count)."""
+    from jsschema_ray.stages.packing import pack_sequences
+    from jsschema_ray.stages.text import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_words=32, stride_words=24,
+                             batch_size=_doc_batch(sf_dir))
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cid = batch.column("chunk_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("chunk_text").to_pandas()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "chunk_id": batch.column("chunk_id"),
+            "ck": pa.array(did * (1 << 20) + cid),
+            "w": pa.array((txt.str.count(" ") + 1).to_numpy(
+                dtype=np.int64)),
+        })
+
+    weighted = chunks.map_batches(add_weight, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    packed = pack_sequences(weighted, "ck", "w", budget=256,
+                            bin_width=4096,
+                            keep_columns=["doc_id", "chunk_id"])
+    return packed.select_columns(
+        ["doc_id", "chunk_id", "w", "seq_id", "seq_offset"]
+    ).sort(["doc_id", "chunk_id"])
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental ingest dedup (stages/dedup.incremental_dedup): drop
     documents whose content already sits in a prior-run hash index (here
@@ -2285,7 +2323,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
         "knn_ivf": q_knn_ivf,
-        "similarity_join": q_similarity_join,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
@@ -2316,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
         "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
         "chunk_documents": q_chunk_documents,  # r4 NEW: context chunking
+        "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
         "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
         "category_drift": q_category_drift,  # r4 NEW: exact drift
         # --- driver-green representatives (one per family; families whose
@@ -2346,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
         "knn_brute": q_knn_brute,  # driver-green r2, unchanged
+        "similarity_join": q_similarity_join,  # audit op, local mirror green
         "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
         "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
@@ -2538,6 +2577,31 @@ def oracle_sql() -> dict[str, str]:
                        w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        # chunk -> pack composed: the chunk CTE chained into the pack
+        # window-SUM, weight = the single-space-join word count
+        "chunk_pack_pipeline": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\\S+') AS wds
+                       FROM documents),
+                 g AS (SELECT doc_id, LEN(wds) AS n
+                       FROM t WHERE LEN(wds) > 0),
+                 k AS (SELECT doc_id, n,
+                              UNNEST(RANGE(0, ((n - 1) // 24) + 1))
+                                  AS chunk_id
+                       FROM g),
+                 c AS (SELECT doc_id, chunk_id,
+                              doc_id * 1048576 + chunk_id AS ck,
+                              LEAST(32, n - chunk_id * 24) AS w
+                       FROM k),
+                 p AS (SELECT *, COALESCE(SUM(w) OVER (ORDER BY ck
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS cum
+                       FROM c)
+            SELECT doc_id, chunk_id, CAST(w AS BIGINT) AS w,
+                   CAST(cum // 256 AS BIGINT) AS seq_id,
+                   CAST(cum % 256 AS BIGINT) AS seq_offset
+            FROM p ORDER BY doc_id, chunk_id
         """,
         # incremental dedup: the prior-run index is mirrored by content
         # (text NOT IN the %5 slice's texts — hash-collision-free by the

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "category_drift",
     "violation_summary",
     "chunk_documents",
+    "chunk_pack_pipeline",
     "asof_join_orders",
     "range_join_acctbal",
     "session_windows",

@@ -1632,6 +1632,21 @@ def q_chunk_documents(sf_dir: str):
         ["doc_id", "chunk_id"])
 
 
+def q_unnest_embeddings(sf_dir: str):
+    """List→rows explode of the embedding vectors (stages/transform.
+    unnest_list — zero-copy flatten + one take): per element
+    (vec_id, pos, component), restricted to vec_id % 101 == 0 to keep
+    the oracle result compact. Components pass through bit-exact
+    (float32 column, no arithmetic). DuckDB-oracled via UNNEST WITH
+    ORDINALITY."""
+    from jsschema_ray.stages.transform import unnest_list
+
+    ds = _mod_filter(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     "vec_id", 101, [0])
+    return unnest_list(ds, "embedding", ["vec_id"],
+                       value_name="component").sort(["vec_id", "pos"])
+
+
 def q_chunk_pack_pipeline(sf_dir: str):
     """THE pretraining data path composed end-to-end: chunk documents
     into overlapping 32/24 word windows (stages/text.chunk_documents),
@@ -2387,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": q_similarity_join,  # audit op, local mirror green
         "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
         "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
+        "unnest_embeddings": q_unnest_embeddings,  # r4: reshape family rep (unpivot) is driver-green
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2577,6 +2593,17 @@ def oracle_sql() -> dict[str, str]:
                        w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        # unnest: explicit subscript range (this DuckDB lacks WITH
+        # ORDINALITY), 1-based list index -> 0-based pos
+        "unnest_embeddings": """
+            SELECT vec_id,
+                   CAST(i - 1 AS BIGINT) AS pos,
+                   embedding[i] AS component
+            FROM embeddings,
+                 UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)
+            WHERE vec_id % 101 = 0
+            ORDER BY vec_id, pos
         """,
         # chunk -> pack composed: the chunk CTE chained into the pack
         # window-SUM, weight = the single-space-join word count

@@ -81,3 +81,44 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         melt, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def unnest_list(ds, list_col: str, id_cols: list[str],
+                pos_name: str = "pos", value_name: str = "value",
+                batch_size: int = 65536):
+    """List→rows explode (SQL UNNEST ... WITH ORDINALITY): one output row
+    per list element, columns (id_cols..., pos_name 0-based int64,
+    value_name = element). Completes the reshape family
+    (pivot/unpivot/unnest); the embedding-component table this produces
+    is the input shape for per-dimension stats/drift over vector
+    columns. NULL lists and empty lists produce no rows (DuckDB UNNEST
+    semantics); element NULLs pass through.
+
+    Scale shape: a pure per-batch stateless reshape — the flattened
+    values buffer is ZERO-COPY (`ListArray.flatten`), id columns
+    replicate via one vectorized take on parent indices; no shuffle, no
+    state, output streams block-by-block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col).combine_chunks()
+        # parent index per element + 0-based ordinality from offsets
+        parents = pc.list_parent_indices(col)
+        flat = col.flatten()
+        import numpy as np
+
+        par = parents.to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(col).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        pos = np.arange(len(par), dtype=np.int64) - starts[par]
+        cols = {c: batch.column(c).take(parents) for c in id_cols}
+        cols[pos_name] = pa.array(pos)
+        cols[value_name] = flat
+        return pa.table(cols)
+
+    return ds.select_columns(
+        list(dict.fromkeys(id_cols + [list_col]))
+    ).map_batches(explode, batch_format="pyarrow", batch_size=batch_size,
+                  zero_copy_batch=True)

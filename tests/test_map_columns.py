@@ -132,3 +132,27 @@ _MAP_ROWS = st.lists(
 @given(schema=_MAP_SCHEMA, rows=_MAP_ROWS)
 def test_map_object_keywords_fuzz(schema, rows):
     _agree(schema, _mk(rows))
+
+
+def test_unnest_list_semantics(ray_session):
+    """unnest_list: null/empty lists drop, element nulls pass through,
+    0-based ordinality, id replication, layout independence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jsschema_ray.stages.transform import unnest_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[1.5, None, 3.0], [], None, [7.0]],
+                       pa.list_(pa.float64())),
+    })
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = unnest_list(ds, "xs", ["id"]).to_pandas() \
+            .sort_values(["id", "pos"]).reset_index(drop=True)
+        assert out.id.tolist() == [1, 1, 1, 4]
+        assert out.pos.tolist() == [0, 1, 2, 0]
+        assert out.value[0] == 1.5 and np.isnan(out.value[1]) \
+            and out.value[3] == 7.0

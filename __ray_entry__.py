@@ -1632,6 +1632,21 @@ def q_chunk_documents(sf_dir: str):
         ["doc_id", "chunk_id"])
 
 
+def q_quantity_price_moments(sf_dir: str):
+    """Exact per-returnflag second-moment sums of (quantity, discount)
+    (stages/aggregates.grouped_moments): n, sx, sy, sxx, syy, sxy as
+    x100-scaled int64 — variance/covariance/correlation derive from
+    these with ONE float division on the aggregate, so the distributed
+    sums are bit-mirrorable where per-row float accumulation is not.
+    DuckDB-oracled with the same integer scalings."""
+    from jsschema_ray.stages.aggregates import grouped_moments
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_moments(ds, "l_returnflag", "l_quantity",
+                           "l_discount").sort("l_returnflag")
+
+
 def q_unnest_embeddings(sf_dir: str):
     """List→rows explode of the embedding vectors (stages/transform.
     unnest_list — zero-copy flatten + one take): per element
@@ -2403,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
         "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
         "unnest_embeddings": q_unnest_embeddings,  # r4: reshape family rep (unpivot) is driver-green
+        "quantity_price_moments": q_quantity_price_moments,  # r4: grouped_sums composition, rep in-window
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -2593,6 +2609,25 @@ def oracle_sql() -> dict[str, str]:
                        w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        # moments: identical x100 round-half-away scalings, int64 sums
+        "quantity_price_moments": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity * 100) AS BIGINT)
+                                  AS xv,
+                              CAST(ROUND(l_discount * 100) AS BIGINT)
+                                  AS yv
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_discount IS NOT NULL)
+            SELECT l_returnflag,
+                   CAST(SUM(xv) AS BIGINT) AS sx,
+                   CAST(SUM(yv) AS BIGINT) AS sy,
+                   CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+                   CAST(SUM(yv * yv) AS BIGINT) AS syy,
+                   CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+                   COUNT(*) AS n
+            FROM s GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # unnest: explicit subscript range (this DuckDB lacks WITH
         # ORDINALITY), 1-based list index -> 0-based pos

@@ -589,3 +589,55 @@ def cube_sums(ds, keys: list[str], sum_cols: dict[str, str],
                               count_alias=count_alias,
                               grouping_col=grouping_col,
                               batch_size=batch_size)
+
+
+def grouped_moments(ds, group: str, x: str, y: str, scale: int = 100,
+                    batch_size: int = 65536):
+    """EXACT per-group second-moment sums for two columns — the
+    integer-exact building block of variance / covariance / correlation:
+    (group, n, sx, sy, sxx, syy, sxy) where every value is the x``scale``
+    integer scaling summed as int64 (sxx = sum((x*scale)^2) etc.), so a
+    SQL mirror is bit-equal and downstream float math happens ONCE on
+    the aggregate, not per row. Rows with a NULL x or y drop (SQL
+    two-column aggregate semantics: CORR/COVAR skip pairs with any
+    NULL).
+
+    Scale shape: one :func:`grouped_sums` — per-batch map-side combine
+    of the five product columns, one shuffle of O(groups × batches)
+    partial rows. Guard (documented): |value*scale| must stay below
+    2^31 so squares fit int64; rescale wider domains first."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(x)),
+                       pc.is_valid(batch.column(y)))
+        b = batch.select([group, x, y]).filter(keep)
+        import numpy as np
+
+        xv = round_half_away(
+            b.column(x).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        yv = round_half_away(
+            b.column(y).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        if len(xv) and max(np.abs(xv).max(), np.abs(yv).max()) >= (1 << 31):
+            raise ValueError(
+                f"grouped_moments values exceed 2^31 at scale={scale}; "
+                "squares would overflow int64 — lower the scale")
+        return pa.table({
+            group: b.column(group),
+            "sx": pa.array(xv), "sy": pa.array(yv),
+            "sxx": pa.array(xv * xv), "syy": pa.array(yv * yv),
+            "sxy": pa.array(xv * yv),
+        })
+
+    return grouped_sums(
+        ds.select_columns([group, x, y]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [group], {c: c for c in ("sx", "sy", "sxx", "syy", "sxy")},
+        count_alias="n", batch_size=batch_size,
+    )

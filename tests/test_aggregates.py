@@ -390,3 +390,46 @@ def test_rollup_single_key_and_name_collision_guards():
         rollup_sums(ds, ["a"], {"n": "v"})  # collides with count_alias
     with pytest.raises(ValueError, match="collide"):
         rollup_sums(ds, ["grouping_id"], {"sv": "v"})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_moments_exact_and_guard():
+    """grouped_moments == hand-computed integer moment sums; null pairs
+    drop; correlation derived from the sums matches numpy; overflow
+    guard raises."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_moments
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": np.round(rng.normal(10, 3, n), 2),
+        "y": np.round(rng.normal(5, 1, n), 2),
+    })
+    pdf.loc[rng.choice(n, 30, replace=False), "y"] = np.nan
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = grouped_moments(ds, "g", "x", "y", batch_size=256).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    kept = pdf.dropna(subset=["x", "y"])
+    xv = np.round(kept.x * 100).astype("int64")
+    yv = np.round(kept.y * 100).astype("int64")
+    for _, row in got.iterrows():
+        m = kept.g == row.g
+        assert row.n == int(m.sum())
+        assert row.sx == int(xv[m.values].sum())
+        assert row.sxy == int((xv[m.values] * yv[m.values]).sum())
+        # derived correlation matches numpy on the same float data
+        nn = row.n
+        cov = row.sxy / nn - (row.sx / nn) * (row.sy / nn)
+        vx = row.sxx / nn - (row.sx / nn) ** 2
+        vy = row.syy / nn - (row.sy / nn) ** 2
+        r = cov / np.sqrt(vx * vy)
+        want_r = np.corrcoef(xv[m.values], yv[m.values])[0, 1]
+        np.testing.assert_allclose(r, want_r, rtol=1e-10)
+
+    with pytest.raises(Exception):
+        big = pd.DataFrame({"g": ["a"], "x": [3e7], "y": [1.0]})
+        grouped_moments(ray.data.from_pandas(big), "g", "x", "y") \
+            .materialize()

@@ -244,6 +244,21 @@ def q_violation_summary(sf_dir: str):
     return out.drop_columns(["__ck"]).sort(["column", "keyword"])
 
 
+def q_image_resize_plan(sf_dir: str):
+    """Aspect-preserving resize plan over the image table's metadata
+    (stages/multimodal.resize_plan): integer-exact (target_w, target_h)
+    for max_side=256 via round-half-up integer arithmetic — the
+    planning half of the multimodal resize stage, with the pixel work
+    in the actor-pool ResizeImages. DuckDB-oracled with the identical
+    integer formula."""
+    from jsschema_ray.stages.multimodal import resize_plan
+
+    ds = rd.read_parquet(_image_dir(sf_dir),
+                         columns=["image_id", "w", "h"])
+    return resize_plan(ds).select_columns(
+        ["image_id", "w", "h", "target_w", "target_h"]).sort("image_id")
+
+
 def q_image_curation_pipeline(sf_dir: str):
     """Composed IMAGE curation chain, end-to-end streaming — the image
     table's counterpart of curation_pipeline: (1) schema-valid rows only
@@ -2419,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
         "unnest_embeddings": q_unnest_embeddings,  # r4: reshape family rep (unpivot) is driver-green
         "quantity_price_moments": q_quantity_price_moments,  # r4: grouped_sums composition, rep in-window
+        "image_resize_plan": q_image_resize_plan,  # r4: pure row-local map, violations rep in-window
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,
@@ -3376,6 +3392,24 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(w) AS BIGINT)
                 FROM m
             ) ORDER BY "column"
+        """,
+        # resize plan: identical round-half-up integer formula
+        "image_resize_plan": f"""
+            WITH m AS (SELECT image_id, w, h FROM read_parquet('{meta}'))
+            SELECT image_id, w, h,
+                   CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0
+                        THEN NULL
+                        WHEN GREATEST(w, h) <= 256 THEN CAST(w AS BIGINT)
+                        ELSE (2 * CAST(w AS BIGINT) * 256
+                              + GREATEST(w, h)) // (2 * GREATEST(w, h))
+                   END AS target_w,
+                   CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0
+                        THEN NULL
+                        WHEN GREATEST(w, h) <= 256 THEN CAST(h AS BIGINT)
+                        ELSE (2 * CAST(h AS BIGINT) * 256
+                              + GREATEST(w, h)) // (2 * GREATEST(w, h))
+                   END AS target_h
+            FROM m ORDER BY image_id
         """,
         # the validation report roll-up: the SAME violation branches as
         # image_validate, aggregated per (column, keyword)

@@ -399,3 +399,47 @@ def audio_features(ds, batch_size: int = 256, **kw):
         AudioFeatures(), batch_format="pyarrow", batch_size=batch_size,
         num_cpus=1, **kw,
     )
+
+
+def resize_plan(ds, w_col: str = "w", h_col: str = "h",
+                max_side: int = 256, batch_size: int = 65536):
+    """Aspect-preserving resize PLAN from metadata only — the integer-
+    exact (tw, th) targets the decode/resize actors execute: images whose
+    longest side already fits keep their dims; otherwise the long side
+    becomes ``max_side`` and the short side scales proportionally with
+    round-half-up integer arithmetic
+
+        t = (2 * s * max_side + m) // (2 * m)        (m = max(w, h))
+
+    — no float in the pipeline, so a SQL mirror is bit-equal (planning
+    is the metadata half of the multimodal resize stage; the pixel work
+    stays in ResizeImages). Appends (target_w, target_h) int64; NULL or
+    non-positive dims yield NULL targets."""
+    import pyarrow.compute as pc
+
+    def plan(batch: pa.Table) -> pa.Table:
+        w = batch.column(w_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = batch.column(h_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        valid = (batch.column(w_col).combine_chunks().is_valid()
+                 .to_numpy(zero_copy_only=False)
+                 & batch.column(h_col).combine_chunks().is_valid()
+                 .to_numpy(zero_copy_only=False))
+        w = np.where(valid, w, 1)
+        h = np.where(valid, h, 1)
+        good = valid & (w > 0) & (h > 0)
+        m = np.maximum(w, h)
+        small = m <= max_side
+        tw = np.where(small, w, (2 * w * max_side + m) // (2 * m))
+        th = np.where(small, h, (2 * h * max_side + m) // (2 * m))
+        out = batch
+        for name, vals in (("target_w", tw), ("target_h", th)):
+            arr = pa.array(vals.astype(np.int64), pa.int64())
+            arr = pc.if_else(pa.array(good), arr, pa.nulls(len(w),
+                                                           pa.int64()))
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(plan, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -197,3 +197,29 @@ def test_audio_features_plumbing(ray_session):
     out2 = audio_features(rd.from_arrow(t)).to_pandas().sort_values(
         "audio_id").reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_resize_plan_exact_semantics(ray_session):
+    """resize_plan: small images keep dims, long side lands exactly on
+    max_side, round-half-up on the short side, null/non-positive dims
+    yield null targets."""
+    import pyarrow as pa
+    import ray.data
+
+    from jsschema_ray.stages.multimodal import resize_plan
+
+    t = pa.table({
+        "w": pa.array([100, 512, 1000, 257, None, 0], pa.int32()),
+        "h": pa.array([200, 256, 333, 2, 50, 10], pa.int32()),
+    })
+    out = resize_plan(ray.data.from_arrow(t), max_side=256).to_pandas()
+    # 100x200 fits; 512x256 -> 256x128; 1000x333 -> 256x round(85.248)=85
+    # 257x2 -> 256x round(1.992)=2; nulls/zeros -> null
+    assert out.target_w.tolist()[:4] == [100, 256, 256, 256]
+    assert out.target_h.tolist()[:4] == [200, 128, 85, 2]
+    assert out.target_w.isna().tolist()[4:] == [True, True]
+    # the long side is exactly max_side whenever scaling happened
+    import numpy as np
+
+    scaled = out.dropna().query("w > 256 or h > 256")
+    assert (np.maximum(scaled.target_w, scaled.target_h) == 256).all()

@@ -1705,8 +1705,11 @@ def q_chunk_pack_pipeline(sf_dir: str):
                 dtype=np.int64)),
         })
 
+    # materialize the 4-int-column weight table: the packer's two scans
+    # would otherwise re-execute the chunking shuffle (lazy DAG); the
+    # heavy chunk_text column is already dropped so this is id-sized
     weighted = chunks.map_batches(add_weight, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+                                  zero_copy_batch=True).materialize()
     packed = pack_sequences(weighted, "ck", "w", budget=256,
                             bin_width=4096,
                             keep_columns=["doc_id", "chunk_id"])

@@ -137,23 +137,38 @@ def pack_sequences(ds, order_col: str, weight_col: str, budget: int,
     bases = np.cumsum(s) - s  # exclusive prefix
     offsets_ref = ray.put((bins_sorted, bases))
 
-    # ---- scan 2: co-partition by bin, seeded in-partition prefix sum ----
+    # ---- scan 2: co-partition by a COARSE bin-range key, one vectorized
+    # pass per partition (r4 fix: the previous groupby("__bin") invoked
+    # a pandas body once per BIN — at the 2^21-bin cap that is millions
+    # of per-group calls; ranged partitioning keeps bins contiguous so a
+    # partition still never splits a bin, and the task count is bounded
+    # by scan2_parts regardless of bin count) ----
+    scan2_parts = 256
+    bins_per_part = max(1, -(-max_bins // scan2_parts))
+
     def add_bin(batch: pa.Table) -> pa.Table:
         if proj is not None:
             batch = batch.select(proj)
         o = batch.column(order_col).to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__bin", pa.array((o // eff_width).astype(np.int64))
-        )
+        b = (o // eff_width).astype(np.int64)
+        return batch.append_column("__bin", pa.array(b)).append_column(
+            "__part", pa.array((b // bins_per_part).astype(np.int64)))
 
-    def pack_bin(g: pd.DataFrame) -> pd.DataFrame:
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        # sorting by order_col alone keeps bins contiguous (bin is a
+        # monotone function of order), so one sort serves every bin
         g = g.sort_values(order_col, kind="stable")
         w = g[weight_col].to_numpy(dtype=np.int64)
+        b = g["__bin"].to_numpy(dtype=np.int64)
+        starts = np.r_[0, np.flatnonzero(b[1:] != b[:-1]) + 1]
         all_bins, all_bases = ray.get(offsets_ref)  # plasma, per-node
-        base = int(all_bases[np.searchsorted(all_bins,
-                                             int(g["__bin"].iloc[0]))])
-        cum = base + np.cumsum(w) - w
-        out = g.drop(columns=["__bin"]).copy()
+        base_per_block = all_bases[np.searchsorted(all_bins, b[starts])]
+        cw = np.cumsum(w) - w  # exclusive within-partition prefix
+        sizes = np.diff(np.r_[starts, len(b)])
+        # subtract each bin block's starting prefix, add its global base
+        cum = cw - np.repeat(cw[starts], sizes) + np.repeat(
+            base_per_block, sizes)
+        out = g.drop(columns=["__bin", "__part"]).copy()
         out["seq_id"] = cum // budget
         out["seq_offset"] = cum % budget
         return out
@@ -161,4 +176,4 @@ def pack_sequences(ds, order_col: str, weight_col: str, budget: int,
     return ds.map_batches(
         add_bin, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-    ).groupby("__bin").map_groups(pack_bin, batch_format="pandas")
+    ).groupby("__part").map_groups(pack_part, batch_format="pandas")

@@ -604,11 +604,20 @@ def grouped_moments(ds, group: str, x: str, y: str, scale: int = 100,
 
     Scale shape: one :func:`grouped_sums` — per-batch map-side combine
     of the five product columns, one shuffle of O(groups × batches)
-    partial rows. Guard (documented): |value*scale| must stay below
-    2^31 so squares fit int64; rescale wider domains first."""
+    partial rows. Guard: |value*scale| must stay below 2^31 so each
+    SQUARE fits int64; the SUMS of squares are additionally
+    overflow-checked after the merge against float64 shadow sums (r5
+    ADVICE fix — many near-cap rows can silently wrap the int64 sum
+    while the per-row guard passes; an int64 wrap shifts the value by
+    2^64, which dwarfs float64 summation error at any realistic row
+    count, so |int_sum - float_sum| > 2^62 is an unambiguous wrap
+    detector). On wrap the pipeline raises instead of silently
+    diverging from a HUGEINT-promoting SQL engine."""
     import pyarrow.compute as pc
 
     from jsschema_ray.stages.windows import round_half_away
+
+    int_cols = ("sx", "sy", "sxx", "syy", "sxy")
 
     def prep(batch: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(batch.column(x)),
@@ -626,18 +635,36 @@ def grouped_moments(ds, group: str, x: str, y: str, scale: int = 100,
             raise ValueError(
                 f"grouped_moments values exceed 2^31 at scale={scale}; "
                 "squares would overflow int64 — lower the scale")
-        return pa.table({
-            group: b.column(group),
-            "sx": pa.array(xv), "sy": pa.array(yv),
-            "sxx": pa.array(xv * xv), "syy": pa.array(yv * yv),
-            "sxy": pa.array(xv * yv),
-        })
+        cols = {"sx": xv, "sy": yv, "sxx": xv * xv, "syy": yv * yv,
+                "sxy": xv * yv}
+        out = {group: b.column(group)}
+        for name, v in cols.items():
+            out[name] = pa.array(v)
+            out["f" + name] = pa.array(v.astype(np.float64))
+        return pa.table(out)
 
-    return grouped_sums(
+    merged = grouped_sums(
         ds.select_columns([group, x, y]).map_batches(
             prep, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True,
         ),
-        [group], {c: c for c in ("sx", "sy", "sxx", "syy", "sxy")},
+        [group],
+        {c: c for c in int_cols} | {"f" + c: "f" + c for c in int_cols},
         count_alias="n", batch_size=batch_size,
     )
+
+    def check_wrap(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        for c in int_cols:
+            iv = batch.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            fv = batch.column("f" + c).to_numpy(zero_copy_only=False)
+            if len(iv) and np.abs(iv - fv).max() > float(1 << 62):
+                raise ValueError(
+                    f"grouped_moments: int64 sum of {c} wrapped (exceeds "
+                    f"2^63 at scale={scale}) — lower the scale")
+        return batch.select([group, "n"] + list(int_cols))
+
+    return merged.map_batches(check_wrap, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -144,7 +144,13 @@ def pack_sequences(ds, order_col: str, weight_col: str, budget: int,
     # partition still never splits a bin, and the task count is bounded
     # by scan2_parts regardless of bin count) ----
     scan2_parts = 256
-    bins_per_part = max(1, -(-max_bins // scan2_parts))
+    # partition width comes from the ACTUAL coarse-bin universe (r5
+    # ADVICE fix: deriving it from the max_bins cap collapsed dense
+    # small-bin domains — e.g. 4096 real bins vs an 8192-bin partition
+    # width — into ONE partition, re-serializing scan 2); dense upper
+    # bound max(bin)+1 so partitions stay contiguous bin ranges
+    n_coarse = int(bins_sorted[-1]) + 1 if len(bins_sorted) else 1
+    bins_per_part = max(1, -(-n_coarse // scan2_parts))
 
     def add_bin(batch: pa.Table) -> pa.Table:
         if proj is not None:

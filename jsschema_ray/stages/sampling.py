@@ -190,17 +190,27 @@ def weighted_hash_sample(ds, key_column: str, weight_col: str, scale: int,
     def fn(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column).combine_chunks()
         w = batch.column(weight_col).combine_chunks()
-        k = keys.cast(pa.int64()).fill_null(-1).to_numpy(
+        # only genuine NULLs drop; a negative key or weight raises (r5
+        # ADVICE fix: fill_null(-1) made NULL and -1 indistinguishable,
+        # silently dropping key-domain bugs that _mix32 elsewhere rejects)
+        valid = (np.asarray(keys.is_valid())
+                 & np.asarray(w.is_valid()))
+        k = keys.cast(pa.int64()).fill_null(0).to_numpy(
             zero_copy_only=False)
-        wv = w.cast(pa.int64()).fill_null(-1).to_numpy(
+        wv = w.cast(pa.int64()).fill_null(0).to_numpy(
             zero_copy_only=False)
-        if wv.size and wv.max() >= (1 << 31):
-            raise ValueError(
-                "weighted_hash_sample weights must be < 2^31 for the "
-                "exact int64/SQL mirror; rescale weights first")
-        valid = (k >= 0) & (wv >= 0)
+        if valid.any():
+            if wv[valid].min() < 0:
+                raise ValueError(
+                    "weighted_hash_sample weights must be non-negative "
+                    "(NULL weights drop; negative is a data bug)")
+            if wv[valid].max() >= (1 << 31):
+                raise ValueError(
+                    "weighted_hash_sample weights must be < 2^31 for the "
+                    "exact int64/SQL mirror; rescale weights first")
         keep = np.zeros(len(k), dtype=bool)
         if valid.any():
+            # _mix32 raises on negative or oversized keys
             keep[valid] = (_mix32(k[valid], seed) * np.int64(scale)
                            < (wv[valid] << np.int64(32)))
         return batch.filter(pa.array(keep))

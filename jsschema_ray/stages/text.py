@@ -433,8 +433,16 @@ def near_contamination(ds, eval_ds, threshold: float = 0.7,
     from jsschema_ray.stages.uniqueness import distinct_rows
 
     def int64_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({id_column: batch.column(id_column).cast(pa.int64()),
-                         column: batch.column(column)})
+        ids = batch.column(id_column).cast(pa.int64())
+        # corpus side enforces the same non-negative contract as the eval
+        # side (r5 ADVICE fix: a negative corpus id would silently land in
+        # the eval half-space and misclassify its pairs)
+        mn = pc.min(ids).as_py()
+        if mn is not None and mn < 0:
+            raise ValueError(
+                f"near_contamination needs non-negative {id_column} "
+                "values (the sign marks the eval side)")
+        return pa.table({id_column: ids, column: batch.column(column)})
 
     corpus = ds.select_columns([id_column, column]).map_batches(
         int64_ids, batch_format="pyarrow", batch_size=batch_size)

@@ -41,19 +41,22 @@ def _arrow_sorted(t, cols):
 
 def _key_block_starts(arr) -> np.ndarray:
     """Start offsets of each equal-key run in an already-sorted Arrow
-    array — adjacent not_equal in C, no Python comparisons. A null next to
-    a null starts a new block (fill_null True), matching the NaN != NaN
-    semantics of the pandas bodies these replaced."""
+    array — adjacent not_equal in C, no Python comparisons. Adjacent NULL
+    keys are ONE run (r5 ADVICE fix: SQL PARTITION BY puts all NULLs in
+    one partition; the previous fill_null(True) matched pandas NaN != NaN
+    and gave every NULL-keyed row its own window partition). A run starts
+    where the values differ (both valid) or where validity flips."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if len(a) <= 1:
         return np.zeros(min(len(a), 1), dtype=np.int64)
-    neq = pc.fill_null(
-        pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)), True
-    ).to_numpy(zero_copy_only=False)
-    return np.r_[0, np.flatnonzero(neq) + 1].astype(np.int64)
+    lo, hi = a.slice(0, len(a) - 1), a.slice(1)
+    neq = pc.fill_null(pc.not_equal(hi, lo), False)
+    vflip = pc.xor(pc.is_valid(hi), pc.is_valid(lo))
+    starts = pc.or_(neq, vflip).to_numpy(zero_copy_only=False)
+    return np.r_[0, np.flatnonzero(starts) + 1].astype(np.int64)
 
 
 def hopping_windows(ds, ts: str = "ts", length_s: int = 7200,

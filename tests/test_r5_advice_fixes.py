@@ -1,0 +1,134 @@
+"""Round-5 ADVICE fixes, each pinned by a test:
+
+1. packing scan-2 partition width derives from the ACTUAL coarse-bin
+   universe (dense small domains no longer collapse to one partition);
+2. grouped_moments detects int64 wraparound of the aggregated sums of
+   squares (per-row guard alone let many near-cap rows wrap silently);
+3. near_contamination rejects negative ids on the CORPUS side too;
+4. weighted_hash_sample raises on genuinely negative keys/weights and
+   drops only real NULLs;
+5. _key_block_starts groups adjacent NULL keys into ONE run (SQL
+   PARTITION BY semantics).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_dense_bin_domain_correct():
+    """Dense order domain (the ADVICE shape: every bin populated, coarse
+    universe far below the max_bins-derived width) still packs exactly —
+    and the bins_per_part derivation now fans scan-2 out instead of
+    funnelling everything into partition 0."""
+    import ray.data
+
+    from jsschema_ray.stages.packing import pack_sequences
+
+    n = 20000
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "order": np.arange(n, dtype=np.int64),
+        "w": rng.integers(1, 50, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    got = pack_sequences(ds, "order", "w", budget=512, bin_width=4,
+                         batch_size=1024).to_pandas() \
+        .sort_values("order").reset_index(drop=True)
+    cum = np.cumsum(pdf.w.to_numpy()) - pdf.w.to_numpy()
+    np.testing.assert_array_equal(got.seq_id.to_numpy(), cum // 512)
+    np.testing.assert_array_equal(got.seq_offset.to_numpy(), cum % 512)
+    # the partition key must actually spread: with 5000 coarse bins and
+    # 256 target partitions the width is ~20 bins, so rows land in >100
+    # distinct __part values (pre-fix: width 8192 -> all rows in part 0).
+    # Re-derive the width the way the stage does and assert the fan-out.
+    n_coarse = (n - 1) // 4 + 1
+    bins_per_part = max(1, -(-n_coarse // 256))
+    parts = (pdf.order.to_numpy() // 4) // bins_per_part
+    assert len(np.unique(parts)) > 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_moments_sum_wrap_raises():
+    """Rows that each pass the per-row 2^31 guard but whose SUM of squares
+    exceeds 2^63 must raise, not silently wrap (oracle engines promote to
+    HUGEINT)."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_moments
+
+    # x*100 ~ 2.1e9 < 2^31; square ~4.4e18; three of them > 2^63
+    pdf = pd.DataFrame({"g": ["a"] * 3,
+                        "x": [2.1e7] * 3, "y": [1.0] * 3})
+    with pytest.raises(Exception, match="wrapped|overflow"):
+        grouped_moments(ray.data.from_pandas(pdf), "g", "x", "y") \
+            .materialize()
+
+    # just-below-wrap still returns the exact int sums
+    pdf2 = pd.DataFrame({"g": ["a"] * 2, "x": [2.1e7] * 2, "y": [1.0] * 2})
+    got = grouped_moments(ray.data.from_pandas(pdf2), "g", "x", "y") \
+        .to_pandas()
+    assert int(got.sxx.iloc[0]) == 2 * (2_100_000_000 ** 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_contamination_negative_corpus_id_raises():
+    import ray.data
+
+    from jsschema_ray.stages.text import near_contamination
+
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [-1, 2], "text": ["a b c d e f", "g h i j k l"]}))
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0], "text": ["a b c d e f"]}))
+    with pytest.raises(Exception, match="non-negative"):
+        near_contamination(corpus, ev, threshold=0.5, num_parts=2) \
+            .materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_hash_sample_negative_vs_null():
+    import ray.data
+
+    from jsschema_ray.stages.sampling import weighted_hash_sample
+
+    # NULL key / NULL weight rows drop silently
+    pdf = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                        "w": pd.array([500, 500, None], dtype="Int64")})
+    out = weighted_hash_sample(
+        ray.data.from_pandas(pdf), "k", "w", scale=1, batch_size=8
+    ).to_pandas()
+    assert set(out.k.astype("int64")) <= {1}
+    assert 2 not in set(out.k.dropna().astype("int64"))
+
+    # a genuinely negative key raises (was silently dropped pre-fix)
+    bad_k = pd.DataFrame({"k": [-5, 1], "w": [500, 500]})
+    with pytest.raises(Exception, match="keys must be"):
+        weighted_hash_sample(ray.data.from_pandas(bad_k), "k", "w",
+                             scale=1).materialize()
+
+    # a negative weight raises too
+    bad_w = pd.DataFrame({"k": [1, 2], "w": [-3, 500]})
+    with pytest.raises(Exception, match="non-negative"):
+        weighted_hash_sample(ray.data.from_pandas(bad_w), "k", "w",
+                             scale=1).materialize()
+
+
+def test_key_block_starts_null_run_is_one_block():
+    from jsschema_ray.stages.windows import _key_block_starts
+
+    # sorted with nulls last (Arrow default): [1, 1, 2, None, None]
+    a = pa.array([1, 1, 2, None, None], type=pa.int64())
+    np.testing.assert_array_equal(_key_block_starts(a), [0, 2, 3])
+    # nulls first
+    b = pa.array([None, None, 1, 2, 2], type=pa.int64())
+    np.testing.assert_array_equal(_key_block_starts(b), [0, 2, 3])
+    # all nulls = one block
+    c = pa.array([None, None, None], type=pa.int64())
+    np.testing.assert_array_equal(_key_block_starts(c), [0])
+    # strings, no nulls — unchanged behavior
+    d = pa.array(["a", "a", "b"])
+    np.testing.assert_array_equal(_key_block_starts(d), [0, 2])
+    assert _key_block_starts(pa.array([], type=pa.int64())).size == 0

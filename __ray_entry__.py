@@ -2058,6 +2058,56 @@ def q_group_quantiles(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow").sort(["lang"])
 
 
+def q_group_quantile_sketch(sf_dir: str):
+    """Per-PARTKEY price quantiles via MERGEABLE per-group t-digests
+    (stages/quantiles.grouped_tdigest_quantiles) — the unbounded-group-
+    cardinality quantile shape grouped_quantile_disc's exact histogram
+    trick documents away: one partial sketch blob per (group, batch),
+    one hash(group) co-partition, vectorized merge+query per partition.
+    n/vmin/vmax are EXACT sketch outputs (oracled directly); the sketch
+    median is gated ENGINE-side by a RANK window — it must lie between
+    the exact q45 and q55 per-group order statistics
+    (grouped_quantile_disc; a VALUE tolerance is wrong here because
+    l_extendedprice spans ~50x within a part key, so adjacent order
+    stats near the median legitimately differ by more than any sane
+    relative bound) — and surfaces as the driver-verifiable median_ok
+    column (TRUE in the oracle)."""
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.quantiles import (grouped_quantile_disc,
+                                               grouped_tdigest_quantiles)
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    sk = grouped_tdigest_quantiles(ds, "l_partkey", "l_extendedprice",
+                                   qs=(0.5,))
+
+    def _bound(q, name):
+        out = grouped_quantile_disc(ds, "l_partkey", "l_extendedprice", q)
+        return out.map_batches(
+            lambda b, nm=name: b.rename_columns(["l_partkey", nm]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(
+        hash_join(sk, _bound(0.45, "__lo"), key="l_partkey",
+                  num_buckets=8),
+        _bound(0.55, "__hi"), key="l_partkey", num_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        est = batch.column("q50").to_numpy(zero_copy_only=False)
+        lo = batch.column("__lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("__hi").to_numpy(zero_copy_only=False)
+        ok = (est >= lo) & (est <= hi)
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "n": batch.column("n").cast(pa.int64()),
+            "vmin": batch.column("vmin"),
+            "vmax": batch.column("vmax"),
+            "median_ok": pa.array(ok),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["l_partkey"])
+
+
 def q_top_doc_frequency(sf_dir: str):
     """Vocabulary / IDF builder: corpus-wide document frequency per token
     (stages/text.doc_frequency — explode + per-doc distinct + map-side
@@ -2382,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": q_dedup_components,
         "near_dedup_corpus": q_near_dedup_corpus,
         "group_quantiles": q_group_quantiles,
+        "group_quantile_sketch": q_group_quantile_sketch,  # r5: mergeable per-group t-digest
         "histogram_chars": q_histogram_chars,
         "tfidf_terms": q_tfidf_terms,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2829,6 +2880,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(QUANTILE_DISC(n_chars, 0.5) AS BIGINT)
                        AS p50_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # n/vmin/vmax are exact t-digest outputs; median_ok is the
+        # engine-side sketch-vs-exact accuracy gate (TRUE here keeps the
+        # oracle row deterministic while still failing if the gate trips)
+        "group_quantile_sketch": """
+            SELECT l_partkey, COUNT(l_extendedprice) AS n,
+                   MIN(l_extendedprice) AS vmin,
+                   MAX(l_extendedprice) AS vmax,
+                   TRUE AS median_ok
+            FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
         """,
         # connected components of the jaccard-pair graph: transitive
         # closure by recursive CTE (UNION dedups -> terminates), then

@@ -188,7 +188,12 @@ def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
             .column(group_col).combine_chunks()
         )
         part = (hash64(gcol) % np.uint64(num_parts)).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False).append_column(
+        # strip the pandas schema metadata from_pandas attaches: dict
+        # metadata makes the schema unhashable, which disables Ray's
+        # shuffle schema-dedup fast path and spams reduce-task logs
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None).append_column(
             "__part", pa.array(part)
         )
 
@@ -311,3 +316,109 @@ def grouped_mad(ds, group_col: str, column: str, num_parts: int = 32,
                                  batch_size=batch_size).map_batches(
         lambda b: b.rename_columns([group_col, "mad"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_tdigest_quantiles(ds, group_col: str, column: str,
+                              qs: tuple = (0.5,), compression: float = 200.0,
+                              num_parts: int = 32,
+                              batch_size: int = 262144):
+    """APPROXIMATE per-group quantiles at UNBOUNDED group cardinality —
+    the mergeable-sketch counterpart of :func:`grouped_quantile_disc`
+    (whose exact histogram trick documents a low-cardinality strata
+    contract) built on state/tdigest.TDigest (Dunning & Ertl, public
+    algorithm). Returns a Dataset of
+    (group_col, n, vmin, vmax, q<percent> per requested quantile);
+    n/vmin/vmax are EXACT (counts and extremes survive t-digest merging
+    exactly), quantiles carry the usual t-digest error (tight at the
+    tails, ~1/compression relative rank error in the middle).
+
+    Scale shape — the map-side-combine sketch pattern of
+    aggregates.grouped_sums, applied to a sketch instead of a sum: each
+    batch emits ONE partial blob per (group, batch) — raw packed values
+    while the group's in-batch count is below 8x compression (weight-1
+    centroids ARE a valid t-digest partial), auto-compressed to
+    (means, weights) centroids above it, so a hot group's shuffle
+    volume is bounded by centroid count while a long-tail group costs
+    exactly its values. Partials hash(group)-co-partition ONCE
+    (num_parts tasks, not one UDF call per group), and each partition
+    merges + queries its groups vectorized per blob set. Driver holds
+    nothing; 10^8 groups shuffle O(groups x batches-touching-them)
+    blob rows. NULL values drop (SQL aggregate semantics); groups whose
+    every value is NULL are absent (SQL GROUP BY over the non-null
+    scan)."""
+    import struct
+
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+    from jsschema_ray.state.tdigest import TDigest
+
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be within [0, 1], got {qs}")
+    qcols = [f"q{round(q * 100):02d}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"qs collide at integer percents: {qs}")
+    raw_cap = int(8 * compression)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, column])
+        t = t.filter(t.column(column).is_valid())
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], batch.schema.field(
+                group_col).type), "blob": pa.array([], pa.binary())})
+        gv = t.column(group_col).combine_chunks()
+        vals = t.column(column).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        codes, uniques = pd.factorize(gv.to_pandas(), use_na_sentinel=False)
+        order = np.lexsort((vals, codes))
+        sc, sv = codes[order], vals[order]
+        bounds = np.searchsorted(sc, np.arange(len(uniques) + 1))
+        blobs = []
+        for i in range(len(uniques)):
+            seg = sv[bounds[i]:bounds[i + 1]]
+            if len(seg) > raw_cap:
+                td = TDigest(compression)
+                td.add(seg)
+                td._compress()
+                blobs.append(
+                    struct.pack("<qdd", -len(td.means), seg[0], seg[-1])
+                    + td.means.tobytes() + td.weights.tobytes())
+            else:
+                # raw sorted values, implicit weight 1 — exact partial
+                blobs.append(struct.pack("<qdd", len(seg), seg[0], seg[-1])
+                             + seg.tobytes())
+        gt = pa.array(uniques)
+        out = pa.table({group_col: gt,
+                        "blob": pa.array(blobs, type=pa.binary())})
+        part = (hash64(normalize_zeros(gt)) % np.uint64(num_parts)).astype(
+            np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def merge_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = {group_col: [], "n": [], "vmin": [], "vmax": []}
+        for c in qcols:
+            out[c] = []
+        for key, sub in gdf.groupby(group_col, sort=False, dropna=False):
+            td = TDigest(compression)
+            vmin, vmax = np.inf, -np.inf
+            for blob in sub["blob"]:
+                k, bmin, bmax = struct.unpack_from("<qdd", blob)
+                body = np.frombuffer(blob, dtype="<f8", offset=24)
+                if k >= 0:
+                    td.add(body)
+                else:
+                    td.add(body[:-k], body[-k:])
+                vmin, vmax = min(vmin, bmin), max(vmax, bmax)
+            td._min, td._max = vmin, vmax
+            out[group_col].append(key)
+            out["n"].append(int(round(td.count)))
+            out["vmin"].append(vmin)
+            out["vmax"].append(vmax)
+            for q, c in zip(qs, qcols):
+                out[c].append(td.quantile(q))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(merge_part, batch_format="pandas")

@@ -223,15 +223,19 @@ def value_cdf(ds, col: str, batch_size: int = 262144):
     of a curation pipeline (percent_rank of a value = n_lt / (n_total-1),
     CDF = n_le / n_total), exact where a t-digest estimates.
 
-    Scale shape: the raw scan collapses to per-batch distinct-value count
-    partials (grouped_sums map-side combine — the ONLY row-sized stage);
-    the merged counts table is O(distinct values) and finishes with one
-    sort + cumsum in a single task. Contract (documented, same family as
-    the one-bucket-fits-a-worker join assumption): the DISTINCT-value
-    table fits one worker — for unbounded-cardinality columns use the
-    t-digest sketch in stages/stats instead. NULLs are excluded (SQL
-    aggregate semantics); -0.0/0.0 merge like SQL GROUP BY; NaN groups
-    last (numpy and SQL both order NaN after +inf)."""
+    Scale shape (r5: distributed finish — the former single-task cumsum
+    with its distinct-values-fit-one-worker contract is gone): the raw
+    scan collapses to per-batch distinct-value count partials
+    (grouped_sums map-side combine — the ONLY row-sized stage); the
+    O(distinct)-row counts table is RANGE-partitioned by one Dataset
+    sort, then finishes with the packing.py prefix-sum shape — scan A
+    emits one (block_start_value, block_count_sum) row per sorted BLOCK,
+    the driver folds those O(blocks) rows into exclusive per-block base
+    offsets (never touching value rows), and scan B cumsums each block
+    seeded by its base. No stage holds more than one block of distinct
+    values. NULLs are excluded (SQL aggregate semantics); -0.0/0.0 merge
+    like SQL GROUP BY; NaN groups last (numpy and SQL both order NaN
+    after +inf)."""
     import pyarrow.compute as pc
 
     from jsschema_ray.stages.aggregates import grouped_sums
@@ -247,18 +251,48 @@ def value_cdf(ds, col: str, batch_size: int = 262144):
             zero_copy_batch=True,
         ),
         [col], {}, count_alias="cnt", batch_size=batch_size,
-    ).repartition(1)
+    )
 
+    # range partition: one Dataset sort; blocks hold disjoint, ordered
+    # value ranges and every distinct value exactly once
+    sorted_counts = counts.sort(col).materialize()
+
+    # scan A: one (first_value, cnt_sum) partial per BLOCK
+    # (batch_size=None = whole blocks) — O(blocks) rows to the driver
+    def block_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"first": pa.array([], t.schema.field(col).type),
+                             "csum": pa.array([], pa.int64())})
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({"first": t.column(col).slice(0, 1),
+                         "csum": pa.array([int(c.sum())], pa.int64())})
+
+    parts = sorted_counts.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None).take_all()
+
+    def _key(v):
+        # NaN is a valid (single, last-sorting) distinct value but is
+        # neither orderable in python sorts nor equal to itself in dict
+        # lookups — map it to a sentinel
+        return ("__nan__",) if isinstance(v, float) and v != v else v
+
+    parts.sort(key=lambda r: (isinstance(_key(r["first"]), tuple),
+                              _key(r["first"])))
+    sums = np.array([r["csum"] for r in parts], dtype=np.int64)
+    bases = np.cumsum(sums) - sums  # exclusive prefix per block
+    total = int(sums.sum()) if len(sums) else 0
+    base_by_first = {_key(r["first"]): int(b)
+                     for r, b in zip(parts, bases)}
+
+    # scan B: per-block cumsum seeded by the block's base offset
     def finish(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             e = pa.array([], pa.int64())
             return pa.table({col: t.column(col),
                              "n_lt": e, "n_le": e, "n_total": e})
-        order = pc.sort_indices(t.column(col).combine_chunks())
-        t = t.take(order)
+        base = base_by_first[_key(t.column(col)[0].as_py())]
         c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_le = np.cumsum(c)
-        total = int(n_le[-1])
+        n_le = np.cumsum(c) + base
         return pa.table({
             col: t.column(col),
             "n_lt": pa.array(n_le - c),
@@ -266,10 +300,8 @@ def value_cdf(ds, col: str, batch_size: int = 262144):
             "n_total": pa.array(np.full(len(c), total, dtype=np.int64)),
         })
 
-    # batch_size=None: the single repartitioned block arrives whole, so
-    # the cumsum sees every distinct value exactly once
-    return counts.map_batches(finish, batch_format="pyarrow",
-                              batch_size=None)
+    return sorted_counts.map_batches(finish, batch_format="pyarrow",
+                                     batch_size=None)
 
 
 def grouped_mad(ds, group_col: str, column: str, num_parts: int = 32,

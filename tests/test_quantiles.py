@@ -4,6 +4,7 @@ against np.sort on adversarial distributions; the ORDER BY/OFFSET SQL
 parity runs in test_oracle_parity (percentile_filter)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -163,3 +164,31 @@ def test_grouped_mad_matches_duckdb_disc_form(ray_session):
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_cdf_high_cardinality_multiblock(ray_session):
+    """r5 distributed finish: 300k DISTINCT values spread over many input
+    partitions must produce the exact global cumsum — the regime where
+    the old single-task finish held the whole distinct table in one
+    worker. Verifies the per-block base-offset seeding across block
+    boundaries (every prefix is exact, not just the total)."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.quantiles import value_cdf
+
+    n = 300_000
+    rng = np.random.default_rng(13)
+    vals = rng.permutation(n).astype(np.float64)  # all distinct
+    dup = vals[:5000]  # some repeats so cnt > 1 paths exercise
+    allv = np.concatenate([vals, dup])
+    ds = rd.from_pandas(pd.DataFrame({"x": allv})).repartition(16)
+    got = value_cdf(ds, "x", batch_size=32768).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    assert len(got) == n
+    cnt = np.ones(n, dtype=np.int64)
+    cnt[np.sort(dup.astype(np.int64))] += 1
+    n_le = np.cumsum(cnt)
+    np.testing.assert_array_equal(got.n_le.to_numpy(), n_le)
+    np.testing.assert_array_equal(got.n_lt.to_numpy(), n_le - cnt)
+    assert (got.n_total == len(allv)).all()

@@ -108,6 +108,22 @@ def _doc_batch(sf_dir: str, table: str = "documents",
     return max(512, min(cap, n // 5))
 
 
+def _fanout(sf_dir: str, table: str, rows_per_task: int = 100_000,
+            lo: int = 4, hi: int = 64) -> int:
+    """Input-size-derived shuffle fan-out (r5: fixed num_buckets /
+    num_parts defaults of 32-64 make tiny inputs pay 32-64 per-task
+    fixed costs PER SHUFFLE — the exact term the degraded-host bench
+    windows inflate 5-7x on the sub-second queries). One parquet
+    metadata read (no scan, the _doc_batch pattern); clamped to
+    [lo, hi] so web-scale inputs still spread to the documented
+    defaults — the stage-level knobs remain the explicit override for
+    real clusters."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    return int(np.clip(-(-n // rows_per_task), lo, hi))
+
+
 def _round_away(arr):
     """pc.round with SQL ROUND semantics (half away from zero) — DuckDB's
     ROUND is half-away while pyarrow defaults to half-to-even; every
@@ -622,7 +638,8 @@ def q_join_orders_customers(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = hash_join(orders, cust, key="o_custkey",
-                       right_key="c_custkey", num_buckets=32)
+                       right_key="c_custkey",
+                       num_buckets=_fanout(sf_dir, "orders"))
     return joined.select_columns(
         ["o_orderkey", "o_custkey", "c_mktsegment"]
     ).sort(["o_orderkey"])
@@ -653,7 +670,8 @@ def q_bloom_semi_orders(sf_dir: str):
     # bits -> fp ~ 2%); at 100 TB size num_bits to ~10 bits/key
     return bloom_semi_join(orders, keys, key="o_custkey",
                            right_key="c_custkey", num_bits=1 << 12,
-                           num_buckets=32).sort("o_orderkey")
+                           num_buckets=_fanout(sf_dir, "orders"),
+                           ).sort("o_orderkey")
 
 
 def q_rollup_revenue(sf_dir: str):
@@ -832,13 +850,14 @@ def q_revenue_by_nation(sf_dir: str):
         orders_1996, batch_format="pyarrow", zero_copy_batch=True)
 
     j1 = hash_join(per_order, orders, key="l_orderkey",
-                   right_key="o_orderkey", num_buckets=32)
+                   right_key="o_orderkey",
+                   num_buckets=_fanout(sf_dir, "lineitem"))
     per_cust = grouped_sums(j1, ["o_custkey"],
                             {"rev_x10000": "rev_x10000"}, count_alias=None)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     j2 = hash_join(per_cust, cust, key="o_custkey", right_key="c_custkey",
-                   num_buckets=32)
+                   num_buckets=_fanout(sf_dir, "orders"))
     per_nation = grouped_sums(j2, ["c_nationkey"],
                               {"rev_x10000": "rev_x10000"},
                               count_alias=None)
@@ -888,7 +907,7 @@ def q_left_join_customer_orders(sf_dir: str):
         "o_custkey", 3, [0],
     )
     joined = hash_join(cust, orders, key="c_custkey", right_key="o_custkey",
-                       how="left", num_buckets=32)
+                       how="left", num_buckets=_fanout(sf_dir, "orders"))
     # within one c_custkey group o_orderkey is either all-null (no match —
     # exactly one row) or all non-null, so null placement in the sort can
     # never differ between engines
@@ -912,7 +931,7 @@ def q_outer_join_orders_customers(sf_dir: str):
         "c_custkey", 2, [0],
     )
     joined = hash_join(orders, cust, key="o_custkey", right_key="c_custkey",
-                       how="outer", num_buckets=32)
+                       how="outer", num_buckets=_fanout(sf_dir, "orders"))
     return joined.select_columns(
         ["o_custkey", "o_orderkey", "c_mktsegment"]
     ).sort(["o_custkey", "o_orderkey"])
@@ -928,7 +947,7 @@ def q_anti_join_customers(sf_dir: str):
         expr="o_totalprice > 150000"
     ).select_columns(["o_custkey"])
     joined = hash_join(cust, big, key="c_custkey", right_key="o_custkey",
-                       how="anti", num_buckets=32)
+                       how="anti", num_buckets=_fanout(sf_dir, "orders"))
     return joined.select_columns(["c_custkey", "c_mktsegment"]).sort(
         ["c_custkey"]
     )
@@ -986,7 +1005,7 @@ def q_asof_join_orders(sf_dir: str):
     marks = orders.map_batches(preagg, batch_format="pyarrow")
     joined = asof_join(events, marks, key="user_id", ts="ts",
                        right_key="o_custkey", right_ts="o_orderdate",
-                       how="left", num_buckets=32,
+                       how="left", num_buckets=_fanout(sf_dir, "events"),
                        right_agg={"o_maxkey": "max"})
     return joined.select_columns(["event_id", "user_id", "o_maxkey"]).sort(
         ["event_id"]
@@ -1401,14 +1420,18 @@ def q_duplicate_keys(sf_dir: str):
     from jsschema_ray.stages.uniqueness import duplicate_keys
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-    return duplicate_keys(ds, "l_orderkey").sort(["l_orderkey"])
+    return duplicate_keys(
+        ds, "l_orderkey", num_buckets=_fanout(sf_dir, "lineitem")
+    ).sort(["l_orderkey"])
 
 
 def q_top_duplicates(sf_dir: str):
     from jsschema_ray.stages.uniqueness import duplicate_keys
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-    return duplicate_keys(ds, "l_orderkey").sort(
+    return duplicate_keys(
+        ds, "l_orderkey", num_buckets=_fanout(sf_dir, "lineitem")
+    ).sort(
         ["dup_count", "l_orderkey"], descending=[True, False]
     ).limit(10)
 
@@ -1851,9 +1874,10 @@ def q_jaccard_pairs(sf_dir: str):
     from jsschema_ray.stages.dedup import exact_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_jaccard_pairs(ds, threshold=0.7, k=5).sort(
-        ["doc_a", "doc_b"]
-    )
+    return exact_jaccard_pairs(
+        ds, threshold=0.7, k=5,
+        num_parts=4 * _fanout(sf_dir, "documents", rows_per_task=2_000),
+    ).sort(["doc_a", "doc_b"])
 
 
 def q_dedup_components(sf_dir: str):
@@ -1871,8 +1895,9 @@ def q_dedup_components(sf_dir: str):
     from jsschema_ray.stages.graph import connected_components
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = exact_jaccard_pairs(ds, threshold=0.7, k=5)
-    comp = connected_components(pairs, num_buckets=32)
+    fo = _fanout(sf_dir, "documents", rows_per_task=2_000)
+    pairs = exact_jaccard_pairs(ds, threshold=0.7, k=5, num_parts=4 * fo)
+    comp = connected_components(pairs, num_buckets=fo)
 
     def rename(b):
         return b.rename_columns(["doc_id", "component"])
@@ -1893,8 +1918,9 @@ def q_near_dedup_corpus(sf_dir: str):
 
     ds = _read(sf_dir, "documents",
                ["doc_id", "text", "lang", "source", "n_chars"])
-    out = near_dedup_corpus(ds, threshold=0.7, k=5, num_parts=32,
-                            num_buckets=16)
+    fo = _fanout(sf_dir, "documents", rows_per_task=2_000)
+    out = near_dedup_corpus(ds, threshold=0.7, k=5, num_parts=4 * fo,
+                            num_buckets=fo)
     return out.select_columns(
         ["doc_id", "lang", "source", "n_chars"]
     ).sort("doc_id")

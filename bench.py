@@ -171,12 +171,14 @@ def run_bench() -> dict:
                                             columns=["image_id"])
     )
 
+    probe_before = host_fingerprint()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         rows[name] = _consume(qs[name](sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+    probe_after = host_fingerprint()
 
     total = round(sum(times.values()), 3)
     image_secs = sum(times[n] for n in BENCH_QUERIES if n.startswith("image_"))
@@ -191,6 +193,12 @@ def run_bench() -> dict:
         if image_secs
         else None,
         "image_rows": n_image_rows,
+        # host-window evidence: single-thread compute + memcpy rates and
+        # their ratio to the recorded clean-window reference (BASELINE.md
+        # "host-window variance" tables) — read these before comparing
+        # wall times across rounds
+        "host_probe_before": probe_before,
+        "host_probe_after": probe_after,
     }
     return out
 
@@ -313,6 +321,54 @@ def run_flagship() -> dict:
         "num_cpus": ncpu,
         "rows_per_sec": round(n_rows * len(stages) / total),
         "image_rows": n_rows,
+    }
+
+
+#: single-thread probe rates observed in the cleanest round-5 window
+#: (2026-08-18, 1-min load 0.5): the normalizers that turn a raw in-run
+#: probe into the 0-1-ish "host ceiling" the BASELINE.md variance tables
+#: use. This host's memory subsystem swings 3-10x between windows while
+#: compute stays ~stable — a BENCH json must carry its own evidence.
+_REF_COMPUTE_ITERS = 930.0   # zlib level-6 round-trips/s, 50 KB payload
+_REF_MEMCPY_GBPS = 11.5      # np.copyto GB/s, 50 MB buffers
+
+
+def host_fingerprint(seconds: float = 1.2) -> dict:
+    """One single-process compute + memcpy probe (r5 VERDICT task 6:
+    the bench SUITE json now records its own host-window fingerprint,
+    like --scaling always did, so a degraded driver window is
+    adjudicable without cross-referencing preview files)."""
+    import time as _t
+    import zlib as _z
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=50_000).astype(np.uint8).tobytes()
+    t0 = _t.perf_counter()
+    k = 0
+    while _t.perf_counter() - t0 < seconds:
+        _z.decompress(_z.compress(data, 6))
+        k += 1
+    compute = k / seconds
+    a = np.zeros(50_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    t0 = _t.perf_counter()
+    k = 0
+    while _t.perf_counter() - t0 < seconds:
+        np.copyto(b, a)
+        k += 1
+    memcpy_gbps = k * a.nbytes / seconds / 1e9
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    return {
+        "compute_iters_per_s": round(compute, 1),
+        "memcpy_gb_per_s": round(memcpy_gbps, 2),
+        "compute_vs_clean": round(compute / _REF_COMPUTE_ITERS, 3),
+        "memcpy_vs_clean": round(memcpy_gbps / _REF_MEMCPY_GBPS, 3),
+        "load1": load1,
     }
 
 

@@ -132,3 +132,27 @@ def test_key_block_starts_null_run_is_one_block():
     d = pa.array(["a", "a", "b"])
     np.testing.assert_array_equal(_key_block_starts(d), [0, 2])
     assert _key_block_starts(pa.array([], type=pa.int64())).size == 0
+
+
+def test_fanout_derivation():
+    """_fanout: input-size-derived shuffle fan-out — ceil(rows/target),
+    clamped; the knob that stops tiny inputs paying 32-64 fixed task
+    costs per shuffle (r5 VERDICT task 5)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_mod", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        n = pq.read_metadata(
+            f"/root/testdata/{sf}/lineitem.parquet").num_rows
+        got = mod._fanout(f"/root/testdata/{sf}", "lineitem")
+        assert got == min(64, max(4, -(-n // 100_000)))
+    # tiny table clamps to lo, never 0
+    assert mod._fanout("/root/testdata/sf0.001", "nation") == 4
+    # a huge rows_per_task still clamps at lo; tiny one at hi
+    assert mod._fanout("/root/testdata/sf0.01", "lineitem",
+                       rows_per_task=1) == 64

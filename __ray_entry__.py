@@ -2430,18 +2430,28 @@ def entry():
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness verifies the FIRST 50
-    # entries of this dict. Round-3 verdict: 29 queries registered after slot
-    # 50 never received a driver-oracled row. Round 4 rotates them into the
-    # window; queries already driver-green in r2/r3 keep one representative
-    # per operator family inside the window (families touched by this round's
-    # code changes are ALL kept in-window) and the rest move to the tail.
+    # entries of this dict. Round-5 rotation closes the hard-signal sweep:
+    # the LAST six never-driver-verified oracled queries (similarity_join,
+    # event_type_mode, mad_outliers, unnest_embeddings,
+    # quantity_price_moments, image_resize_plan) move inside the window,
+    # along with every query whose code changed this round (value_cdf,
+    # quantity_price_moments, weighted_sample, minhash/simhash groundings,
+    # the fan-out-touched join/dedup family, group_quantile_sketch).
+    # Rotated OUT to make room: six multi-round driver-green, code-unchanged
+    # representatives (image_stats_exact, image_unique_phash,
+    # image_exact_dedup, top_value_events, count_distinct_types,
+    # best_event_per_user — each green in >=2 driver rounds; the local
+    # mirror tests/test_oracle_parity.py still verifies every pair).
     return {
-        # --- never-driver-verified in r3 (rotated in; all oracled unless noted)
+        # --- r5 window: flagship + the last never-driver-verified six
         "image_validate": q_image_validate,
         "violation_summary": q_violation_summary,  # r4 NEW: report roll-up
-        "image_stats_exact": q_image_stats_exact,
-        "image_unique_phash": q_image_unique_phash,
-        "image_exact_dedup": q_image_exact_dedup,
+        "similarity_join": q_similarity_join,  # r5 sweep: first driver row
+        "event_type_mode": q_event_type_mode,  # r5 sweep: first driver row
+        "mad_outliers": q_mad_outliers,  # r5 sweep: first driver row
+        "unnest_embeddings": q_unnest_embeddings,  # r5 sweep: first driver row
+        "quantity_price_moments": q_quantity_price_moments,  # r5 sweep + overflow-guard change
+        "image_resize_plan": q_image_resize_plan,  # r5 sweep: first driver row
         "phash_near_dup": q_phash_near_dup,
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
@@ -2487,9 +2497,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,
-        "top_value_events": q_top_value_events,  # r4: int-exact rank fix
-        "count_distinct_types": q_count_distinct_types,  # r4: NULL-parity fix
-        "best_event_per_user": q_best_event_per_user,  # r4: argmax sort fix
         "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
         "pivot_events": q_pivot_events,  # driver-green r3, unchanged
         "column_stats": q_column_stats,
@@ -2498,6 +2505,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
         "exact_dedup": q_exact_dedup,
+        "image_stats_exact": q_image_stats_exact,  # driver-green r3+r4, unchanged
+        "image_unique_phash": q_image_unique_phash,  # driver-green r3+r4, unchanged
+        "image_exact_dedup": q_image_exact_dedup,  # driver-green r3+r4, unchanged
+        "top_value_events": q_top_value_events,  # driver-green r3+r4, unchanged
+        "count_distinct_types": q_count_distinct_types,  # driver-green r3+r4, unchanged
+        "best_event_per_user": q_best_event_per_user,  # driver-green r3+r4, unchanged
         "document_violations": q_document_violations,  # driver-green r1-r3, unchanged
         "combinator_violations": q_combinator_violations,  # driver-green r1-r3, unchanged
         "join_orders_customers": q_join_orders_customers,  # driver-green r2/r3, unchanged
@@ -2509,12 +2522,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats": q_image_stats,  # rows-only (sketch output)
         "image_decode": q_image_decode,  # rows-only (decoded pixels)
         "knn_brute": q_knn_brute,  # driver-green r2, unchanged
-        "similarity_join": q_similarity_join,  # audit op, local mirror green
-        "event_type_mode": q_event_type_mode,  # r4 composition of in-window-checked primitives
-        "mad_outliers": q_mad_outliers,  # r4 composition of in-window-checked primitives
-        "unnest_embeddings": q_unnest_embeddings,  # r4: reshape family rep (unpivot) is driver-green
-        "quantity_price_moments": q_quantity_price_moments,  # r4: grouped_sums composition, rep in-window
-        "image_resize_plan": q_image_resize_plan,  # r4: pure row-local map, violations rep in-window
         "pack_sequences": q_pack_sequences,  # r4: distributed bin fold
         "pattern_enum_violations": q_pattern_enum_violations,
         "window_events": q_window_events,

@@ -118,3 +118,24 @@ def test_embedding_dedup_dup_storm_via_components(ray_session):
     assert len(res["clusters"]) == 1
     assert res["clusters"][0] == list(range(n))
     assert res["drop_keys"] == list(range(1, n))
+
+
+def test_max_rows_refusal_exact_boundary(ray_session):
+    """r5: the refusal pins the EXACT boundary — n == max_rows runs,
+    n == max_rows + 1 refuses (the guard is >, not >=)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 12
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(rng.normal(size=(n, 8))
+                                   .astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+    # at the boundary: runs (random gaussians at 0.95 threshold -> no
+    # pairs is fine; completing without the refusal is the assertion)
+    similarity_join(rd.from_arrow(t), threshold=0.95, max_rows=n) \
+        .materialize()
+    with pytest.raises(ValueError, match="quadratic audit path"):
+        similarity_join(rd.from_arrow(t), threshold=0.95, max_rows=n - 1)

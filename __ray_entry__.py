@@ -2134,6 +2134,44 @@ def q_group_quantile_sketch(sf_dir: str):
         .sort(["l_partkey"])
 
 
+def q_distinct_orders_sketch(sf_dir: str):
+    """Per-returnflag distinct-orderkey counts via MERGEABLE per-group
+    HyperLogLog sketches (stages/stats.grouped_distinct_sketch) — the
+    grouped form of the §2.C column-statistics HLL, for unbounded group
+    cardinality. ~20k distinct keys per group >> the 2^p/8 raw cap, so
+    the driver exercises the ESTIMATE path. nd (exact COUNT DISTINCT via
+    aggregates.grouped_count_distinct) and n_rows are oracled directly;
+    the sketch estimate is gated engine-side at 5% (3 sigma for p=12)
+    and surfaces as the driver-verifiable est_ok column."""
+    from jsschema_ray.stages.aggregates import grouped_count_distinct
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.stats import grouped_distinct_sketch
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+    sk = grouped_distinct_sketch(ds, "l_returnflag", "l_orderkey", p=12,
+                                 num_parts=4)
+    exact = grouped_count_distinct(ds, "l_returnflag", "l_orderkey",
+                                   num_partitions=4)
+    joined = hash_join(sk, exact.map_batches(
+        lambda b: b.rename_columns(["l_returnflag", "nd"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ), key="l_returnflag", num_buckets=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        est = batch.column("distinct_est").to_numpy(zero_copy_only=False)
+        nd = batch.column("nd").to_numpy(zero_copy_only=False)
+        ok = np.abs(est - nd) <= 0.05 * nd + 2
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "nd": batch.column("nd").cast(pa.int64()),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            "est_ok": pa.array(ok),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["l_returnflag"])
+
+
 def q_top_doc_frequency(sf_dir: str):
     """Vocabulary / IDF builder: corpus-wide document frequency per token
     (stages/text.doc_frequency — explode + per-doc distinct + map-side
@@ -2469,9 +2507,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_corpus": q_near_dedup_corpus,
         "group_quantiles": q_group_quantiles,
         "group_quantile_sketch": q_group_quantile_sketch,  # r5: mergeable per-group t-digest
+        "distinct_orders_sketch": q_distinct_orders_sketch,  # r5: grouped HLL
         "histogram_chars": q_histogram_chars,
         "tfidf_terms": q_tfidf_terms,
-        "revenue_by_nation": q_revenue_by_nation,
         "curation_pipeline": q_curation_pipeline,
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
         # --- new round-4 hard-signal groundings for the sketch dedups
@@ -2498,13 +2536,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,
         "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
-        "pivot_events": q_pivot_events,  # driver-green r3, unchanged
         "column_stats": q_column_stats,
         "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
         "exact_dedup": q_exact_dedup,
+        "revenue_by_nation": q_revenue_by_nation,  # driver-green r4, unchanged (join+agg primitives all in-window)
+        "pivot_events": q_pivot_events,  # driver-green r3+r4, unchanged
         "image_stats_exact": q_image_stats_exact,  # driver-green r3+r4, unchanged
         "image_unique_phash": q_image_unique_phash,  # driver-green r3+r4, unchanged
         "image_exact_dedup": q_image_exact_dedup,  # driver-green r3+r4, unchanged
@@ -2923,6 +2962,12 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_extendedprice) AS vmax,
                    TRUE AS median_ok
             FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+        """,
+        # nd/n_rows exact; est_ok is the engine-side HLL-vs-exact 5%% gate
+        "distinct_orders_sketch": """
+            SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS nd,
+                   COUNT(l_orderkey) AS n_rows, TRUE AS est_ok
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # connected components of the jaccard-pair graph: transitive
         # closure by recursive CTE (UNION dedups -> terminates), then

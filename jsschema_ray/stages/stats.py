@@ -566,3 +566,110 @@ def top_k_rows(ds, value: str, tiebreak: str, k: int = 10,
     return ds.map_batches(
         local_topk, batch_format="pandas", batch_size=batch_size,
     ).repartition(1).map_batches(local_topk, batch_format="pandas")
+
+
+def grouped_distinct_sketch(ds, group_col: str, column: str, p: int = 12,
+                            num_parts: int = 32,
+                            batch_size: int = 262144):
+    """APPROXIMATE per-group COUNT(DISTINCT ``column``) at UNBOUNDED
+    group cardinality — the HyperLogLog companion of
+    quantiles.grouped_tdigest_quantiles, extending the global HLL in
+    the §2.C column-statistics actor pool to grouped form. Returns
+    (group_col, distinct_est: float64, is_exact: bool, n_rows: int64).
+
+    Hybrid partials, layout-STABLE results: each batch emits one blob
+    per (group, batch) — the batch's distinct 64-bit value hashes RAW
+    while their count is <= 2^p/8 (raw is smaller than registers there),
+    else 2^p HLL registers. At merge, a group whose UNION of raw hashes
+    stays <= 2^p/8 reports the EXACT distinct count (is_exact=True);
+    larger groups fold into one HLL (register max — order-free) and
+    report the estimate. The exact/estimate decision depends only on
+    the group's true distinct set, never on batch boundaries: any batch
+    that crossed the per-batch threshold forces the union past the same
+    merge threshold, so reruns on any layout agree. NULL values drop
+    (SQL COUNT(DISTINCT) semantics); n_rows counts the group's non-null
+    rows exactly.
+
+    Scale shape: the map-side-combine sketch pattern — the one shuffle
+    carries O(groups x batches) blob rows (each <= max(8 x 2^p/8, 2^p)
+    bytes); merge is one hash(group) co-partition, no per-group UDF
+    calls. No reference analogue (single-value validator); extends the
+    driver-mandated §2.C column statistics."""
+    import struct
+
+    import pandas as pd
+
+    from jsschema_ray.state.hll import HyperLogLog, hash64, normalize_zeros
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    raw_cap = (1 << p) // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, column])
+        t = t.filter(t.column(column).is_valid())
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], batch.schema.field(group_col).type),
+                "blob": pa.array([], pa.binary()),
+                "n_rows": pa.array([], pa.int64()),
+            })
+        gv = t.column(group_col).combine_chunks()
+        h = hash64(normalize_zeros(t.column(column).combine_chunks()))
+        codes, uniques = pd.factorize(gv.to_pandas(), use_na_sentinel=False)
+        order = np.lexsort((h, codes))
+        sc, sh = codes[order], h[order]
+        keep = np.r_[True, (sc[1:] != sc[:-1]) | (sh[1:] != sh[:-1])]
+        dc, dh = sc[keep], sh[keep]
+        bounds = np.searchsorted(dc, np.arange(len(uniques) + 1))
+        n_rows = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        blobs = []
+        for i in range(len(uniques)):
+            seg = dh[bounds[i]:bounds[i + 1]]
+            if len(seg) > raw_cap:
+                hll = HyperLogLog(p)
+                hll.add_hashes(seg)
+                blobs.append(struct.pack("<q", -1)
+                             + hll.registers.tobytes())
+            else:
+                blobs.append(struct.pack("<q", len(seg)) + seg.tobytes())
+        out = pa.table({group_col: pa.array(uniques),
+                        "blob": pa.array(blobs, type=pa.binary()),
+                        "n_rows": pa.array(n_rows)})
+        part = (hash64(normalize_zeros(out.column(group_col)))
+                % np.uint64(num_parts)).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def merge_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = {group_col: [], "distinct_est": [], "is_exact": [],
+               "n_rows": []}
+        for key, sub in gdf.groupby(group_col, sort=False, dropna=False):
+            raws, regs = [], None
+            for blob in sub["blob"]:
+                (k,) = struct.unpack_from("<q", blob)
+                if k >= 0:
+                    raws.append(np.frombuffer(blob, dtype=np.uint64,
+                                              offset=8))
+                else:
+                    r = np.frombuffer(blob, dtype=np.uint8, offset=8)
+                    regs = r.copy() if regs is None else \
+                        np.maximum(regs, r)
+            union = (np.unique(np.concatenate(raws)) if raws
+                     else np.empty(0, dtype=np.uint64))
+            if regs is None and len(union) <= raw_cap:
+                est, exact = float(len(union)), True
+            else:
+                hll = HyperLogLog(p, registers=regs)
+                if len(union):
+                    hll.add_hashes(union)
+                est, exact = hll.estimate(), False
+            out[group_col].append(key)
+            out["distinct_est"].append(est)
+            out["is_exact"].append(exact)
+            out["n_rows"].append(int(sub["n_rows"].sum()))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(merge_part, batch_format="pandas")

@@ -94,3 +94,73 @@ def test_grouped_tdigest_hot_group_compresses():
 
     with pytest.raises(ValueError, match="within"):
         grouped_tdigest_quantiles(ds, "g", "x", qs=(1.5,))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_distinct_sketch_exact_and_estimate():
+    """Small groups report EXACT distinct counts (raw-hash union under
+    the 2^p/8 cap); hot groups fold to HLL registers and estimate within
+    3 sigma; n_rows exact everywhere; NULLs drop."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import grouped_distinct_sketch
+
+    rng = np.random.default_rng(3)
+    hot = pd.DataFrame({"g": "hot", "v": rng.integers(0, 40_000, 120_000)})
+    cold = pd.DataFrame({"g": "cold", "v": [1, 1, 2, 3, None]})
+    ds = rd.from_pandas(pd.concat([hot, cold], ignore_index=True)) \
+        .repartition(6)
+    got = grouped_distinct_sketch(ds, "g", "v", p=12, batch_size=16384) \
+        .to_pandas().set_index("g")
+    assert bool(got.loc["cold", "is_exact"])
+    assert got.loc["cold", "distinct_est"] == 3
+    assert got.loc["cold", "n_rows"] == 4  # null dropped
+    assert not bool(got.loc["hot", "is_exact"])
+    true_nd = hot.v.nunique()
+    assert abs(got.loc["hot", "distinct_est"] - true_nd) <= 0.05 * true_nd
+    assert got.loc["hot", "n_rows"] == len(hot)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_distinct_sketch_layout_stable():
+    """The exact/estimate decision and the estimate itself depend only on
+    the group's distinct set, not batch boundaries: two very different
+    layouts must return identical rows."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import grouped_distinct_sketch
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 30_000),
+        "v": rng.integers(0, 5_000, 30_000),
+    })
+    outs = []
+    for rep, bs in [(2, 16384), (12, 1024)]:
+        ds = rd.from_pandas(pdf).repartition(rep)
+        outs.append(grouped_distinct_sketch(ds, "g", "v", p=12,
+                                            batch_size=bs).to_pandas()
+                    .sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_distinct_sketch_many_groups():
+    """100k groups, tiny each: every count exact, one shuffle."""
+    import ray.data as rd
+
+    from jsschema_ray.stages.stats import grouped_distinct_sketch
+
+    n_groups = 100_000
+    g = np.repeat(np.arange(n_groups, dtype=np.int64), 2)
+    v = np.repeat(np.arange(n_groups, dtype=np.int64), 2)  # 1 distinct/group
+    ds = rd.from_pandas(pd.DataFrame({"g": g, "v": v})).repartition(8)
+    got = grouped_distinct_sketch(ds, "g", "v", p=12,
+                                  batch_size=65536).to_pandas()
+    assert len(got) == n_groups
+    assert got.is_exact.all()
+    assert (got.distinct_est == 1.0).all()
+    assert (got.n_rows == 2).all()
+
+    with pytest.raises(ValueError, match="p must be"):
+        grouped_distinct_sketch(ds, "g", "v", p=2)

@@ -1685,6 +1685,22 @@ def q_quantity_price_moments(sf_dir: str):
                            "l_discount").sort("l_returnflag")
 
 
+def q_quantity_price_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation + population covariance of
+    (quantity, extendedprice) (stages/aggregates.grouped_corr): exact
+    x10-scaled int64 moment sums, ONE fixed-op-order float64 finish per
+    group — the SQL oracle spells the identical casts and operation
+    order over the identical integer sums, so the float64 bits match
+    and the row hashes without tolerance. scale=10 keeps
+    sum((price*10)^2) < 2^63 at any tested sf."""
+    from jsschema_ray.stages.aggregates import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity",
+                        "l_extendedprice", scale=10).sort("l_returnflag")
+
+
 def q_unnest_embeddings(sf_dir: str):
     """List→rows explode of the embedding vectors (stages/transform.
     unnest_list — zero-copy flatten + one take): per element
@@ -2531,7 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "category_drift": q_category_drift,  # r4 NEW: exact drift
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
-        "session_windows": q_session_windows,
+        "quantity_price_corr": q_quantity_price_corr,  # r5 NEW: grouped Pearson corr (bit-mirrored float finish)
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,
@@ -2541,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_orphans": q_referential_orphans,
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
+        "session_windows": q_session_windows,  # driver-green r2+r3+r4, unchanged — rotated out for quantity_price_corr
         "exact_dedup": q_exact_dedup,
         "revenue_by_nation": q_revenue_by_nation,  # driver-green r4, unchanged (join+agg primitives all in-window)
         "pivot_events": q_pivot_events,  # driver-green r3+r4, unchanged
@@ -2770,6 +2787,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(xv * yv) AS BIGINT) AS sxy,
                    COUNT(*) AS n
             FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # corr: EXACT int sums, then the engine's fixed-op-order float64
+        # finish spelled verbatim (same casts, same association) so the
+        # float bits match grouped_corr's numpy expression
+        "quantity_price_corr": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity * 10) AS BIGINT)
+                                  AS xv,
+                              CAST(ROUND(l_extendedprice * 10) AS BIGINT)
+                                  AS yv
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL),
+            m AS (SELECT l_returnflag,
+                         CAST(COUNT(*) AS DOUBLE) AS fn,
+                         COUNT(*) AS n,
+                         CAST(SUM(xv) AS DOUBLE) AS sx,
+                         CAST(SUM(yv) AS DOUBLE) AS sy,
+                         CAST(SUM(xv * xv) AS DOUBLE) AS sxx,
+                         CAST(SUM(yv * yv) AS DOUBLE) AS syy,
+                         CAST(SUM(xv * yv) AS DOUBLE) AS sxy
+                  FROM s GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CASE WHEN (fn * sxx - sx * sx) * (fn * syy - sy * sy)
+                             > 0
+                        THEN (fn * sxy - sx * sy)
+                             / SQRT((fn * sxx - sx * sx)
+                                    * (fn * syy - sy * sy))
+                        ELSE NULL END AS corr_xy,
+                   (fn * sxy - sx * sy) / (fn * fn) AS cov_scaled
+            FROM m ORDER BY l_returnflag
         """,
         # unnest: explicit subscript range (this DuckDB lacks WITH
         # ORDINALITY), 1-based list index -> 0-based pos

@@ -668,3 +668,61 @@ def grouped_moments(ds, group: str, x: str, y: str, scale: int = 100,
 
     return merged.map_batches(check_wrap, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_corr(ds, group: str, x: str, y: str, scale: int = 100,
+                 batch_size: int = 65536):
+    """Per-group Pearson correlation + population covariance, derived
+    from :func:`grouped_moments`' EXACT int64 sums with the float math
+    done ONCE per group on the tiny aggregate (reference analogue: the
+    single-value statistics jsschema validates per field,
+    /root/reference/schema.go numeric constraints — extended here to a
+    cross-column grouped statistic).
+
+    Float-parity contract: the finishing expression is computed in one
+    fixed operation order —
+
+        num  = f(n)*f(sxy) - f(sx)*f(sy)
+        denx = f(n)*f(sxx) - f(sx)*f(sx)
+        deny = f(n)*f(syy) - f(sy)*f(sy)
+        corr = num / sqrt(denx * deny)      (NULL unless denx*deny > 0)
+        cov  = num / (f(n) * f(n))          (of the x``scale`` ints)
+
+    where f() is an exact int64→float64 cast of the merged sums. A SQL
+    mirror spelling the SAME casts and op order over the SAME integer
+    sums reproduces the float64 bits exactly (plain IEEE multiplies /
+    subtracts / divides — neither numpy nor DuckDB fuses them), so the
+    result is oracle-hashable without tolerance. Zero-variance groups:
+    the exact value of denx/deny is >= 0, but at >2^53 the two float
+    products can round one ulp apart; any group whose denx*deny is not
+    strictly positive yields NULL corr (both engines, same rule).
+
+    Scale shape: identical to grouped_moments — one map-side-combined
+    shuffle of O(groups x batches) partial rows; the finish is a
+    row-local map over one row per group."""
+    m = grouped_moments(ds, group, x, y, scale=scale,
+                        batch_size=batch_size)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = {c: batch.column(c).to_numpy(zero_copy_only=False).astype(
+            np.float64) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        denx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        deny = f["n"] * f["syy"] - f["sy"] * f["sy"]
+        prod = denx * deny
+        ok = prod > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(ok, num / np.sqrt(np.where(ok, prod, 1.0)),
+                            0.0)
+        cov = num / (f["n"] * f["n"])
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "corr_xy": pa.array(corr, pa.float64(), mask=~ok),
+            "cov_scaled": pa.array(cov, pa.float64()),
+        })
+
+    return m.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)

@@ -433,3 +433,75 @@ def test_grouped_moments_exact_and_guard():
         big = pd.DataFrame({"g": ["a"], "x": [3e7], "y": [1.0]})
         grouped_moments(ray.data.from_pandas(big), "g", "x", "y") \
             .materialize()
+
+
+def test_grouped_corr_matches_numpy_and_duckdb_bits():
+    """grouped_corr == np.corrcoef on the rounded ints (tolerance), AND
+    bit-equal to the DuckDB mirror expression (the oracle contract);
+    zero-variance group yields NULL corr."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_corr
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": np.round(rng.normal(10, 3, n), 2),
+        "y": np.round(rng.normal(5, 1, n), 2),
+    })
+    # group c: y anti-correlates; group z: constant x (zero variance)
+    cm = pdf.g == "c"
+    pdf.loc[cm, "y"] = np.round(-2.0 * pdf.loc[cm, "x"]
+                                + rng.normal(0, 0.5, int(cm.sum())), 2)
+    pdf = pd.concat([pdf, pd.DataFrame(
+        {"g": ["z"] * 50, "x": 7.0, "y": rng.normal(1, 1, 50)})],
+        ignore_index=True)
+    pdf.loc[rng.choice(n, 40, replace=False), "y"] = np.nan
+
+    ds = ray.data.from_pandas(pdf).repartition(7)
+    got = grouped_corr(ds, "g", "x", "y", batch_size=512).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+
+    assert list(got.columns) == ["g", "n", "corr_xy", "cov_scaled"]
+    assert got.loc[got.g == "z", "corr_xy"].isna().all()
+    kept = pdf.dropna(subset=["x", "y"])
+    for gname, want_sign in [("a", None), ("b", None), ("c", -1)]:
+        m = (kept.g == gname).values
+        xv = np.round(kept.x[m] * 100).astype("int64")
+        yv = np.round(kept.y[m] * 100).astype("int64")
+        want = np.corrcoef(xv, yv)[0, 1]
+        have = float(got.loc[got.g == gname, "corr_xy"].iloc[0])
+        np.testing.assert_allclose(have, want, rtol=1e-9)
+        if want_sign:
+            assert np.sign(have) == want_sign
+        assert abs(float(got.loc[got.g == gname, "corr_xy"].iloc[0])) <= 1.0
+
+    # bit-parity with the DuckDB mirror (same casts, same op order)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mirror = con.execute("""
+        WITH s AS (SELECT g, CAST(ROUND(x * 100) AS BIGINT) AS xv,
+                          CAST(ROUND(y * 100) AS BIGINT) AS yv
+                   FROM t WHERE x IS NOT NULL AND y IS NOT NULL),
+        m AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS fn, COUNT(*) AS n,
+                     CAST(SUM(xv) AS DOUBLE) AS sx,
+                     CAST(SUM(yv) AS DOUBLE) AS sy,
+                     CAST(SUM(xv * xv) AS DOUBLE) AS sxx,
+                     CAST(SUM(yv * yv) AS DOUBLE) AS syy,
+                     CAST(SUM(xv * yv) AS DOUBLE) AS sxy
+              FROM s GROUP BY g)
+        SELECT g, n,
+               CASE WHEN (fn * sxx - sx * sx) * (fn * syy - sy * sy) > 0
+                    THEN (fn * sxy - sx * sy)
+                         / SQRT((fn * sxx - sx * sx)
+                                * (fn * syy - sy * sy))
+                    ELSE NULL END AS corr_xy,
+               (fn * sxy - sx * sy) / (fn * fn) AS cov_scaled
+        FROM m ORDER BY g
+    """).df()
+    for col in ("corr_xy", "cov_scaled"):
+        a = got[col].to_numpy(dtype=np.float64)
+        b = mirror[col].to_numpy(dtype=np.float64)
+        assert np.array_equal(a, b, equal_nan=True), col

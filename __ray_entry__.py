@@ -1701,6 +1701,20 @@ def q_quantity_price_corr(sf_dir: str):
                         "l_extendedprice", scale=10).sort("l_returnflag")
 
 
+def q_brand_price_linreg(sf_dir: str):
+    """Per-brand least-squares fit of retailprice on size
+    (stages/aggregates.grouped_linreg): exact x100-scaled int64 moment
+    sums, fixed-op-order float64 slope/intercept finish — SQL-mirrored
+    bit-exact (DuckDB's REGR_SLOPE streams floats in row order and is
+    NOT mirrorable; the exact-int-sums detour is). Zero-variance groups
+    yield NULL by the same rule in both engines."""
+    from jsschema_ray.stages.aggregates import grouped_linreg
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    return grouped_linreg(ds, "p_brand", "p_size",
+                          "p_retailprice").sort("p_brand")
+
+
 def q_unnest_embeddings(sf_dir: str):
     """List→rows explode of the embedding vectors (stages/transform.
     unnest_list — zero-copy flatten + one take): per element
@@ -2548,9 +2562,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "quantity_price_corr": q_quantity_price_corr,  # r5 NEW: grouped Pearson corr (bit-mirrored float finish)
+        "brand_price_linreg": q_brand_price_linreg,  # r5 NEW: grouped least-squares fit (bit-mirrored float finish)
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
-        "event_ranks": q_event_ranks,
+        "event_ranks": q_event_ranks,  # pos 51+: driver-green r3+r4, unchanged — rotated out for brand_price_linreg
         "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
         "column_stats": q_column_stats,
         "duplicate_keys": q_duplicate_keys,
@@ -2818,6 +2833,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS corr_xy,
                    (fn * sxy - sx * sy) / (fn * fn) AS cov_scaled
             FROM m ORDER BY l_returnflag
+        """,
+        # linreg: same exact-int-sums detour as corr — REGR_SLOPE would
+        # stream float accumulators in row order and never match bits
+        "brand_price_linreg": """
+            WITH s AS (SELECT p_brand,
+                              CAST(ROUND(p_size * 100) AS BIGINT) AS xv,
+                              CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                                  AS yv
+                       FROM part
+                       WHERE p_size IS NOT NULL
+                         AND p_retailprice IS NOT NULL),
+            m AS (SELECT p_brand,
+                         CAST(COUNT(*) AS DOUBLE) AS fn,
+                         COUNT(*) AS n,
+                         CAST(SUM(xv) AS DOUBLE) AS sx,
+                         CAST(SUM(yv) AS DOUBLE) AS sy,
+                         CAST(SUM(xv * xv) AS DOUBLE) AS sxx,
+                         CAST(SUM(xv * yv) AS DOUBLE) AS sxy
+                  FROM s GROUP BY p_brand)
+            SELECT p_brand, n,
+                   CASE WHEN fn * sxx - sx * sx > 0
+                        THEN (fn * sxy - sx * sy)
+                             / (fn * sxx - sx * sx)
+                        ELSE NULL END AS slope,
+                   CASE WHEN fn * sxx - sx * sx > 0
+                        THEN (sy - ((fn * sxy - sx * sy)
+                                    / (fn * sxx - sx * sx)) * sx) / fn
+                        ELSE NULL END AS intercept
+            FROM m ORDER BY p_brand
         """,
         # unnest: explicit subscript range (this DuckDB lacks WITH
         # ORDINALITY), 1-based list index -> 0-based pos

@@ -726,3 +726,52 @@ def grouped_corr(ds, group: str, x: str, y: str, scale: int = 100,
 
     return m.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def grouped_linreg(ds, group: str, x: str, y: str, scale: int = 100,
+                   batch_size: int = 65536):
+    """Per-group simple linear regression y = slope*x + intercept (of
+    the x``scale``-rounded values), derived — like :func:`grouped_corr`
+    — from :func:`grouped_moments`' EXACT int64 sums with the float math
+    done ONCE per group in a FIXED operation order:
+
+        num   = f(n)*f(sxy) - f(sx)*f(sy)
+        denx  = f(n)*f(sxx) - f(sx)*f(sx)
+        slope = num / denx                      (NULL unless denx > 0)
+        intercept = (f(sy) - slope * f(sx)) / f(n)
+
+    Same float-parity contract as grouped_corr: a SQL mirror with the
+    identical casts and association reproduces the float64 bits, so the
+    result hashes against a DuckDB oracle without tolerance (DuckDB's
+    own REGR_SLOPE streams float accumulators in row order and is NOT
+    mirrorable — the exact-int-sums detour is what makes the
+    distributed result deterministic and oracle-hashable). slope is
+    scale-invariant (both columns share ``scale``); intercept is in
+    x``scale`` units. Zero-x-variance groups yield NULL slope AND NULL
+    intercept (both engines, same >0 rule).
+
+    Scale shape: identical to grouped_moments — one map-side-combined
+    shuffle of O(groups x batches) partial rows, row-local finish."""
+    m = grouped_moments(ds, group, x, y, scale=scale,
+                        batch_size=batch_size)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = {c: batch.column(c).to_numpy(zero_copy_only=False).astype(
+            np.float64) for c in ("n", "sx", "sy", "sxx", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        denx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        ok = denx > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(ok, num / np.where(ok, denx, 1.0), 0.0)
+            intercept = (f["sy"] - slope * f["sx"]) / f["n"]
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "slope": pa.array(slope, pa.float64(), mask=~ok),
+            "intercept": pa.array(intercept, pa.float64(), mask=~ok),
+        })
+
+    return m.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)

@@ -505,3 +505,73 @@ def test_grouped_corr_matches_numpy_and_duckdb_bits():
         a = got[col].to_numpy(dtype=np.float64)
         b = mirror[col].to_numpy(dtype=np.float64)
         assert np.array_equal(a, b, equal_nan=True), col
+
+
+def test_grouped_linreg_matches_numpy_and_duckdb_bits():
+    """grouped_linreg == np.polyfit on the rounded ints (tolerance) AND
+    bit-equal to the DuckDB mirror; zero-x-variance group yields NULL."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_linreg
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": np.round(rng.uniform(1, 50, n), 2),
+    })
+    pdf["y"] = np.round(3.5 * pdf.x + rng.normal(0, 4, n) +
+                        np.where(pdf.g == "b", 100.0, 0.0), 2)
+    pdf = pd.concat([pdf, pd.DataFrame(
+        {"g": ["z"] * 40, "x": 5.0, "y": rng.normal(1, 1, 40)})],
+        ignore_index=True)
+    pdf.loc[rng.choice(n, 25, replace=False), "y"] = np.nan
+
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    got = grouped_linreg(ds, "g", "x", "y", batch_size=512).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(got.columns) == ["g", "n", "slope", "intercept"]
+    assert got.loc[got.g == "z", ["slope", "intercept"]].isna().all().all()
+
+    kept = pdf.dropna(subset=["x", "y"])
+    for gname in ("a", "b"):
+        m = (kept.g == gname).values
+        xv = np.round(kept.x[m] * 100).astype("int64").to_numpy()
+        yv = np.round(kept.y[m] * 100).astype("int64").to_numpy()
+        want_slope, want_icpt = np.polyfit(
+            xv.astype(np.float64), yv.astype(np.float64), 1)
+        row = got.loc[got.g == gname]
+        np.testing.assert_allclose(float(row.slope.iloc[0]), want_slope,
+                                   rtol=1e-8)
+        np.testing.assert_allclose(float(row.intercept.iloc[0]),
+                                   want_icpt, rtol=1e-6)
+        np.testing.assert_allclose(float(row.slope.iloc[0]), 3.5,
+                                   rtol=0.05)
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mirror = con.execute("""
+        WITH s AS (SELECT g, CAST(ROUND(x * 100) AS BIGINT) AS xv,
+                          CAST(ROUND(y * 100) AS BIGINT) AS yv
+                   FROM t WHERE x IS NOT NULL AND y IS NOT NULL),
+        m AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS fn, COUNT(*) AS n,
+                     CAST(SUM(xv) AS DOUBLE) AS sx,
+                     CAST(SUM(yv) AS DOUBLE) AS sy,
+                     CAST(SUM(xv * xv) AS DOUBLE) AS sxx,
+                     CAST(SUM(xv * yv) AS DOUBLE) AS sxy
+              FROM s GROUP BY g)
+        SELECT g, n,
+               CASE WHEN fn * sxx - sx * sx > 0
+                    THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx)
+                    ELSE NULL END AS slope,
+               CASE WHEN fn * sxx - sx * sx > 0
+                    THEN (sy - ((fn * sxy - sx * sy)
+                                / (fn * sxx - sx * sx)) * sx) / fn
+                    ELSE NULL END AS intercept
+        FROM m ORDER BY g
+    """).df()
+    for col in ("slope", "intercept"):
+        a = got[col].to_numpy(dtype=np.float64)
+        b = mirror[col].to_numpy(dtype=np.float64)
+        assert np.array_equal(a, b, equal_nan=True), col

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "event_type_mode",
     "value_cdf",
     "quantity_mad",
+    "quantity_price_corr",
+    "brand_price_linreg",
     "event_lag_lead",
     "weighted_sample",
     "event_funnel",

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (108 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (101 — identical
+§2 + the training-data operators (111 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (104 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,54 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_quantity_stddev(sf_dir: str):
+    """Per-returnflag sample stddev / variance / mean of l_quantity
+    (stages/aggregates.grouped_stddev): exact x100-scaled int64 sums,
+    ONE fixed-op-order float64 finish per group — the SQL oracle spells
+    the identical casts, literals and left-to-right association over the
+    identical integer sums, so the float64 bits match and the rows hash
+    without tolerance (DuckDB's own STDDEV_SAMP streams float
+    accumulators in row order and is NOT mirrorable; the exact-int-sums
+    detour is the repo's general recipe for float-valued aggregates)."""
+    from jsschema_ray.stages.aggregates import grouped_stddev
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_stddev(ds, "l_returnflag",
+                          "l_quantity").sort("l_returnflag")
+
+
+def q_aspect_bucket_stats(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing over the image table
+    (stages/multimodal.aspect_bucket_stats) — the training-batch
+    collation op: every image with positive non-NULL dims goes to the
+    nearest of 9 canonical (w, h) buckets by |w/h - bw/bh| (lower
+    bucket index wins ties), rolled up to per-bucket counts + EXACT
+    int64 pixel sums. Distances are plain IEEE float64 ops over exact
+    ints, so the DuckDB oracle's ROW_NUMBER() OVER (ORDER BY dist,
+    bucket_id) picks bit-identical winners and the result hashes
+    without tolerance."""
+    from jsschema_ray.stages.multimodal import aspect_bucket_stats
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["w", "h"])
+    return aspect_bucket_stats(ds).sort("bucket_id")
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix over events
+    (stages/windows.cohort_retention): cohort = each user's first-ever
+    epoch week (epoch_us // one week of ticks, exact int64), n_users =
+    distinct users active per (cohort_week, offset_weeks). Join-free:
+    distinct (user, week) pairs shuffle ONCE partitioned by user, the
+    per-user min + offsets fold in one C sort, and the count is a
+    map-side-combined COUNT(*). Raises on pre-1970 timestamps (numpy
+    floors, SQL truncates — divergence is refused, not papered over)."""
+    from jsschema_ray.stages.windows import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts").sort(
+        ["cohort_week", "offset_weeks"])
+
+
 def q_unnest_embeddings(sf_dir: str):
     """List→rows explode of the embedding vectors (stages/transform.
     unnest_list — zero-copy flatten + one take): per element
@@ -2528,10 +2576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
-        "multikey_join": q_multikey_join,
+        "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
         "distinct_lang_source": q_distinct_lang_source,
-        "except_customers": q_except_customers,
-        "intersect_event_users": q_intersect_event_users,
+        "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
+        "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_components": q_dedup_components,
         "near_dedup_corpus": q_near_dedup_corpus,
@@ -2573,6 +2621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
         "session_windows": q_session_windows,  # driver-green r2+r3+r4, unchanged — rotated out for quantity_price_corr
+        "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
+        "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
+        "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
         "exact_dedup": q_exact_dedup,
         "revenue_by_nation": q_revenue_by_nation,  # driver-green r4, unchanged (join+agg primitives all in-window)
         "pivot_events": q_pivot_events,  # driver-green r3+r4, unchanged
@@ -2862,6 +2913,83 @@ def oracle_sql() -> dict[str, str]:
                                     / (fn * sxx - sx * sx)) * sx) / fn
                         ELSE NULL END AS intercept
             FROM m ORDER BY p_brand
+        """,
+        # stddev: same exact-int-sums detour — STDDEV_SAMP would stream
+        # float accumulators in row order and never match bits
+        "quantity_stddev": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity * 100) AS BIGINT)
+                                  AS xv
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL),
+            m AS (SELECT l_returnflag,
+                         COUNT(*) AS n,
+                         CAST(COUNT(*) AS DOUBLE) AS fn,
+                         CAST(SUM(xv) AS DOUBLE) AS sx,
+                         CAST(SUM(xv * xv) AS DOUBLE) AS sxx
+                  FROM s GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   sx / fn / 100.0 AS mean_x,
+                   CASE WHEN n < 2 THEN NULL
+                        WHEN fn * sxx - sx * sx <= 0 THEN 0.0
+                        ELSE (fn * sxx - sx * sx) / (fn * (fn - 1.0))
+                             / 10000.0
+                   END AS var_samp,
+                   CASE WHEN n < 2 THEN NULL
+                        WHEN fn * sxx - sx * sx <= 0 THEN 0.0
+                        ELSE SQRT((fn * sxx - sx * sx)
+                                  / (fn * (fn - 1.0))) / 100.0
+                   END AS stddev_samp
+            FROM m ORDER BY l_returnflag
+        """,
+        # aspect buckets: nearest-ratio assignment — dist is plain IEEE
+        # float64 over exact ints, so ORDER BY dist, bucket_id picks the
+        # identical winner as the engine's first-minimum argmin
+        "aspect_bucket_stats": f"""
+            WITH m AS (SELECT ROW_NUMBER() OVER () AS rid, w, h
+                       FROM read_parquet('{meta}')
+                       WHERE w IS NOT NULL AND h IS NOT NULL
+                         AND w > 0 AND h > 0),
+            b(bucket_id, bw, bh) AS (VALUES
+                (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+                (3, 1216, 832), (4, 832, 1216), (5, 1344, 768),
+                (6, 768, 1344), (7, 1536, 640), (8, 640, 1536)),
+            d AS (SELECT m.rid, m.w, m.h, b.bucket_id, b.bw, b.bh,
+                         ABS(CAST(m.w AS DOUBLE) / m.h
+                             - CAST(b.bw AS DOUBLE) / b.bh) AS dist
+                  FROM m CROSS JOIN b),
+            -- rid (NOT image_id): the image table intentionally carries
+            -- duplicate image_ids for the dedup operators, and bucketing
+            -- is per image ROW
+            a AS (SELECT rid, w, h, bucket_id, bw, bh,
+                         ROW_NUMBER() OVER (PARTITION BY rid
+                                            ORDER BY dist, bucket_id)
+                             AS rn
+                  FROM d)
+            SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+                   CAST(bw AS BIGINT) AS bucket_w,
+                   CAST(bh AS BIGINT) AS bucket_h,
+                   COUNT(*) AS n_images,
+                   CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT)
+                       AS sum_pixels
+            FROM a WHERE rn = 1
+            GROUP BY bucket_id, bw, bh ORDER BY bucket_id
+        """,
+        # cohort retention: exact integer week index; all event epochs
+        # are positive so numpy floor == SQL truncating division (the
+        # engine raises on negative epochs rather than diverging)
+        "cohort_retention": """
+            WITH e AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT user_id, MIN(wk) AS cohort_week
+                  FROM e GROUP BY user_id)
+            SELECT c.cohort_week,
+                   e.wk - c.cohort_week AS offset_weeks,
+                   COUNT(*) AS n_users
+            FROM e JOIN c ON e.user_id = c.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # unnest: explicit subscript range (this DuckDB lacks WITH
         # ORDINALITY), 1-based list index -> 0-based pos

@@ -728,6 +728,113 @@ def grouped_corr(ds, group: str, x: str, y: str, scale: int = 100,
                          zero_copy_batch=True)
 
 
+def grouped_stddev(ds, group: str, x: str, scale: int = 100,
+                   batch_size: int = 65536):
+    """Per-group sample standard deviation / variance / mean of the
+    x``scale``-rounded values — the single-column member of the
+    exact-int-sums family (:func:`grouped_moments` / :func:`grouped_corr`
+    / :func:`grouped_linreg`; reference analogue: the per-field numeric
+    constraints jsschema validates one value at a time,
+    /root/reference/schema.go — extended to a grouped corpus statistic).
+    Output columns: (group, n, mean_x, var_samp, stddev_samp), in
+    ORIGINAL column units.
+
+    Float-parity contract (the bit-mirrored finish recipe): the merged
+    sums are EXACT int64 (n, sx = sum(xv), sxx = sum(xv*xv) of the
+    x``scale`` half-away-rounded ints, NULLs dropped), and the finish is
+    one fixed operation order —
+
+        num    = f(n)*f(sxx) - f(sx)*f(sx)
+        den    = f(n)*(f(n) - 1.0)
+        var    = num / den / (scale*scale as a float literal)
+        stddev = sqrt(num / den) / float(scale)
+        mean   = f(sx) / f(n) / float(scale)
+
+    with n < 2 -> NULL var/stddev and num <= 0 -> 0.0 (exact num is
+    always >= 0; past 2^53 the two float products can round to a tiny
+    negative, but BOTH engines compute the same bits and take the same
+    branch). A SQL mirror spelling the same casts, literals and
+    left-to-right association reproduces the float64 bits exactly, so
+    the result hashes against a DuckDB oracle without tolerance
+    (DuckDB's own STDDEV_SAMP streams float accumulators in row order
+    and can never be mirrored by a distributed engine).
+
+    Scale shape: one :func:`grouped_sums` — per-batch map-side combine,
+    one shuffle of O(groups x batches) partial rows, row-local finish.
+    Same 2^31 per-value guard and float-shadow int64 wrap check as
+    grouped_moments."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.select([group, x]).filter(pc.is_valid(batch.column(x)))
+        xv = round_half_away(
+            b.column(x).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        if len(xv) and np.abs(xv).max() >= (1 << 31):
+            raise ValueError(
+                f"grouped_stddev values exceed 2^31 at scale={scale}; "
+                "squares would overflow int64 — lower the scale")
+        sq = xv * xv
+        return pa.table({
+            group: b.column(group),
+            "sx": pa.array(xv), "sxx": pa.array(sq),
+            "fsx": pa.array(xv.astype(np.float64)),
+            "fsxx": pa.array(sq.astype(np.float64)),
+        })
+
+    merged = grouped_sums(
+        ds.select_columns([group, x]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [group],
+        {c: c for c in ("sx", "sxx", "fsx", "fsxx")},
+        count_alias="n", batch_size=batch_size,
+    )
+
+    sc = float(scale)
+    sc2 = float(scale * scale)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        for c in ("sx", "sxx"):
+            iv = batch.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            fv = batch.column("fs" + c[1:]).to_numpy(zero_copy_only=False)
+            if len(iv) and np.abs(iv - fv).max() > float(1 << 62):
+                raise ValueError(
+                    f"grouped_stddev: int64 sum of {c} wrapped (exceeds "
+                    f"2^63 at scale={scale}) — lower the scale")
+        n_i = batch.column("n").to_numpy(zero_copy_only=False)
+        fn = n_i.astype(np.float64)
+        fsx = batch.column("sx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        fsxx = batch.column("sxx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        num = fn * fsxx - fsx * fsx
+        den = fn * (fn - 1.0)
+        enough = n_i >= 2
+        pos = num > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(enough & pos, num, 0.0) / np.where(
+                enough, den, 1.0)
+            var = ratio / sc2
+            std = np.sqrt(ratio) / sc
+            mean = fsx / fn / sc
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "mean_x": pa.array(mean, pa.float64()),
+            "var_samp": pa.array(var, pa.float64(), mask=~enough),
+            "stddev_samp": pa.array(std, pa.float64(), mask=~enough),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def grouped_linreg(ds, group: str, x: str, y: str, scale: int = 100,
                    batch_size: int = 65536):
     """Per-group simple linear regression y = slope*x + intercept (of

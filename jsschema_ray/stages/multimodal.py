@@ -443,3 +443,106 @@ def resize_plan(ds, w_col: str = "w", h_col: str = "h",
 
     return ds.map_batches(plan, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+#: SDXL-style aspect buckets (public recipe: a fixed pixel-budget ladder
+#: of (w, h) pairs; NovelAI/SDXL aspect-ratio bucketing, arXiv:2307.01952
+#: appendix I) — the default bucket universe for aspect_bucket_stats.
+ASPECT_BUCKETS_1024 = (
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+)
+
+
+def aspect_bucket_stats(ds, buckets=ASPECT_BUCKETS_1024, w_col: str = "w",
+                        h_col: str = "h", batch_size: int = 65536):
+    """Aspect-ratio bucketing — the training-batch collation op every
+    large image-corpus pipeline runs (group images by nearest canonical
+    aspect ratio so a batch shares one target shape; the metadata half —
+    the pixel resize stays in ResizeImages, reference analogue: the
+    per-field numeric checks of /root/reference/schema.go applied to a
+    corpus-level layout decision). Each row with positive non-NULL dims
+    is assigned to the bucket minimizing
+
+        dist = abs(f(w)/f(h) - f(bw)/f(bh))     (f = exact int->float64)
+
+    with ties broken by LOWER bucket index; NULL / non-positive dims are
+    excluded. Returns the per-bucket roll-up (bucket_id, bucket_w,
+    bucket_h, n_images, sum_pixels) with exact int64 pixel sums, empty
+    buckets absent (SQL GROUP BY presence semantics).
+
+    Float-parity contract: every distance is plain IEEE divide /
+    subtract / abs over exactly-representable ints — DuckDB computes the
+    identical float64 bits, so `ROW_NUMBER() OVER (ORDER BY dist,
+    bucket_id)` in the oracle picks the identical bucket as the numpy
+    argmin (which also takes the first minimum).
+
+    Scale shape: the bucket list is a tiny in-code constant (a schema,
+    not data); per batch one (rows x K) vectorized distance argmin folds
+    into K partial rows (np.bincount counts + np.add.at exact int64
+    pixel sums), and the only shuffle moves those width-3 partials
+    through grouped_sums."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    bw = np.asarray([b[0] for b in buckets], dtype=np.int64)
+    bh = np.asarray([b[1] for b in buckets], dtype=np.int64)
+    if len(bw) == 0:
+        raise ValueError("aspect_bucket_stats needs >= 1 bucket")
+    if (bw <= 0).any() or (bh <= 0).any():
+        raise ValueError("bucket dims must be positive")
+    ratios = bw.astype(np.float64) / bh.astype(np.float64)
+    k = len(ratios)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wc = batch.column(w_col).combine_chunks()
+        hc = batch.column(h_col).combine_chunks()
+        w = wc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = hc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        good = (wc.is_valid().to_numpy(zero_copy_only=False)
+                & hc.is_valid().to_numpy(zero_copy_only=False))
+        w = np.where(good, w, 1)
+        h = np.where(good, h, 1)
+        good &= (w > 0) & (h > 0)
+        w, h = w[good], h[good]
+        if not len(w):
+            return pa.table({"bucket_id": pa.array([], pa.int64()),
+                             "n_images": pa.array([], pa.int64()),
+                             "sum_pixels": pa.array([], pa.int64())})
+        ar = w.astype(np.float64) / h.astype(np.float64)
+        # (rows x K) distances; argmin returns the FIRST minimum = the
+        # lowest bucket index on ties, matching the oracle's tiebreak
+        bidx = np.argmin(np.abs(ar[:, None] - ratios[None, :]), axis=1)
+        counts = np.bincount(bidx, minlength=k)
+        pixels = np.zeros(k, dtype=np.int64)
+        np.add.at(pixels, bidx, w * h)
+        nz = counts > 0
+        return pa.table({
+            "bucket_id": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+            "n_images": pa.array(counts[nz].astype(np.int64)),
+            "sum_pixels": pa.array(pixels[nz]),
+        })
+
+    merged = grouped_sums(
+        ds.select_columns([w_col, h_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        ["bucket_id"],
+        {"n_images": "n_images", "sum_pixels": "sum_pixels"},
+        count_alias=None,
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("bucket_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket_id": batch.column("bucket_id"),
+            "bucket_w": pa.array(bw[ids]),
+            "bucket_h": pa.array(bh[ids]),
+            "n_images": batch.column("n_images"),
+            "sum_pixels": batch.column("sum_pixels"),
+        })
+
+    return merged.map_batches(widen, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -756,3 +756,85 @@ def funnel_stages(ds, key: str, order: str, tiebreak: str,
     ).map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def cohort_retention(ds, key: str = "user_id", ts: str = "ts",
+                     period_us: int = 604_800_000_000,
+                     num_partitions: int = 64, batch_size: int = 65536):
+    """Cohort retention matrix — the activation/retention report every
+    event-analytics pipeline runs: bucket each key's FIRST-ever activity
+    period as its cohort, then count distinct keys active at each offset
+    (cohort_week, offset_weeks, n_users). period_us defaults to one week
+    of timestamp[us] ticks; rows with a NULL key or NULL ts drop.
+
+    Exactness contract: period index = epoch_us // period_us in int64 —
+    but numpy's ``//`` floors while DuckDB's ``//`` truncates toward
+    zero, so NEGATIVE epochs (pre-1970 timestamps) would silently
+    diverge; this stage raises on them instead (the repo's
+    fail-loud-on-domain-edge discipline).
+
+    Scale shape: NO join — a key's cohort is derivable from its own
+    rows, so each batch pre-trims to distinct (key, period) pairs (one
+    ``pyarrow.Table.group_by``, map-side combine), pairs hash-partition
+    on key (the ONLY wide shuffle — distinct pairs, never raw events),
+    and each partition computes per-key min-period + offsets in one C
+    sort + ``np.repeat`` (no per-key loop). Every surviving pair is a
+    distinct (key, offset) observation, so the final count is one
+    map-side-combined grouped_sums COUNT(*) over width-2 rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.state.hll import hash64
+
+    if period_us <= 0:
+        raise ValueError("period_us must be positive")
+
+    def pre_trim(batch: "pa.Table") -> "pa.Table":
+        keep = pc.and_(pc.is_valid(batch.column(key)),
+                       pc.is_valid(batch.column(ts)))
+        b = batch.select([key, ts]).filter(keep)
+        # normalize to µs ticks FIRST: parquet carries timestamp[us] but
+        # pandas-origin blocks carry timestamp[ns], and a bare int64 cast
+        # of ns ticks would silently shift every period index 1000x
+        tsv = b.column(ts).combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(tsv) and tsv.min() < 0:
+            raise ValueError(
+                "cohort_retention: negative epoch timestamps — numpy "
+                "floor division and SQL truncating division disagree "
+                "below 1970; shift the timeline or pre-filter")
+        pairs = pa.table({
+            key: b.column(key),
+            "__wk": pa.array(tsv // np.int64(period_us)),
+        }).group_by([key, "__wk"]).aggregate([])
+        part = (hash64(pairs.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pairs.append_column("__part", pa.array(part))
+
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["__part"]).group_by(
+            [key, "__wk"]).aggregate([])
+        n = g.num_rows
+        if not n:
+            return pa.table({
+                "cohort_week": pa.array([], pa.int64()),
+                "offset_weeks": pa.array([], pa.int64()),
+            })
+        g = _arrow_sorted(g, [key, "__wk"])
+        starts = _key_block_starts(g.column(key))
+        sizes = np.diff(np.r_[starts, n])
+        wk = g.column("__wk").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cohort = np.repeat(wk[starts], sizes)
+        return pa.table({
+            "cohort_week": pa.array(cohort),
+            "offset_weeks": pa.array(wk - cohort),
+        })
+
+    pairs = ds.select_columns([key, ts]).map_batches(
+        pre_trim, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+    return grouped_sums(pairs, ["cohort_week", "offset_weeks"], {},
+                        count_alias="n_users", batch_size=batch_size)

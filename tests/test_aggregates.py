@@ -575,3 +575,81 @@ def test_grouped_linreg_matches_numpy_and_duckdb_bits():
         a = got[col].to_numpy(dtype=np.float64)
         b = mirror[col].to_numpy(dtype=np.float64)
         assert np.array_equal(a, b, equal_nan=True), col
+
+
+def test_grouped_stddev_matches_numpy_and_duckdb_bits(ray_session):
+    """grouped_stddev == np.std(ddof=1) on the rounded ints (tolerance),
+    AND bit-equal to the DuckDB mirror expression (the oracle contract);
+    n=1 group yields NULL var/stddev, constant group yields 0.0, NULLs
+    drop."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_stddev
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": np.round(rng.normal(20, 6, n), 2),
+    })
+    pdf = pd.concat([pdf,
+                     pd.DataFrame({"g": ["one"], "x": [4.25]}),
+                     pd.DataFrame({"g": ["z"] * 30, "x": 7.5})],
+                    ignore_index=True)
+    pdf.loc[rng.choice(n, 35, replace=False), "x"] = np.nan
+
+    ds = ray.data.from_pandas(pdf).repartition(7)
+    got = grouped_stddev(ds, "g", "x", batch_size=512).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(got.columns) == ["g", "n", "mean_x", "var_samp",
+                                 "stddev_samp"]
+    one = got.loc[got.g == "one"]
+    assert int(one.n.iloc[0]) == 1
+    assert one.var_samp.isna().all() and one.stddev_samp.isna().all()
+    assert float(one.mean_x.iloc[0]) == 4.25
+    zz = got.loc[got.g == "z"]
+    assert float(zz.var_samp.iloc[0]) == 0.0
+    assert float(zz.stddev_samp.iloc[0]) == 0.0
+
+    kept = pdf.dropna(subset=["x"])
+    for gname in ("a", "b", "c"):
+        xv = np.round(kept.x[kept.g == gname] * 100).astype("int64") \
+            .to_numpy()
+        row = got.loc[got.g == gname]
+        np.testing.assert_allclose(float(row.stddev_samp.iloc[0]),
+                                   np.std(xv, ddof=1) / 100.0, rtol=1e-9)
+        np.testing.assert_allclose(float(row.var_samp.iloc[0]),
+                                   np.var(xv, ddof=1) / 1e4, rtol=1e-9)
+        np.testing.assert_allclose(float(row.mean_x.iloc[0]),
+                                   xv.mean() / 100.0, rtol=1e-12)
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mirror = con.execute("""
+        WITH s AS (SELECT g, CAST(ROUND(x * 100) AS BIGINT) AS xv
+                   FROM t WHERE x IS NOT NULL),
+        m AS (SELECT g, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS fn,
+                     CAST(SUM(xv) AS DOUBLE) AS sx,
+                     CAST(SUM(xv * xv) AS DOUBLE) AS sxx
+              FROM s GROUP BY g)
+        SELECT g, n, sx / fn / 100.0 AS mean_x,
+               CASE WHEN n < 2 THEN NULL
+                    WHEN fn * sxx - sx * sx <= 0 THEN 0.0
+                    ELSE (fn * sxx - sx * sx) / (fn * (fn - 1.0))
+                         / 10000.0 END AS var_samp,
+               CASE WHEN n < 2 THEN NULL
+                    WHEN fn * sxx - sx * sx <= 0 THEN 0.0
+                    ELSE SQRT((fn * sxx - sx * sx) / (fn * (fn - 1.0)))
+                         / 100.0 END AS stddev_samp
+        FROM m ORDER BY g
+    """).df()
+    for col in ("mean_x", "var_samp", "stddev_samp"):
+        a = got[col].to_numpy(dtype=np.float64)
+        b = mirror[col].to_numpy(dtype=np.float64)
+        assert np.array_equal(a, b, equal_nan=True), col
+
+    # per-value overflow guard
+    with pytest.raises(Exception):
+        big = pd.DataFrame({"g": ["a"], "x": [3e7]})
+        grouped_stddev(ray.data.from_pandas(big), "g", "x").materialize()

@@ -223,3 +223,56 @@ def test_resize_plan_exact_semantics(ray_session):
 
     scaled = out.dropna().query("w > 256 or h > 256")
     assert (np.maximum(scaled.target_w, scaled.target_h) == 256).all()
+
+
+def test_aspect_bucket_stats_assignment_and_exact_sums(ray_session):
+    """aspect_bucket_stats: nearest-ratio assignment with lower-index
+    tiebreak, NULL / non-positive exclusion, exact int64 pixel sums,
+    empty buckets absent."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.multimodal import aspect_bucket_stats
+
+    # custom buckets with ratios 1.0 and 3.0: w/h = 2.0 is EXACTLY
+    # equidistant -> lower bucket index (0) must win the tie
+    pdf = pd.DataFrame({
+        "w": [100, 300, 200, 210, None, -5, 64],
+        "h": [100, 100, 100, 100, 50, 10, 0],
+    }).astype({"w": "Int64", "h": "Int64"})
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    got = aspect_bucket_stats(
+        ds, buckets=((100, 100), (300, 100))
+    ).to_pandas().sort_values("bucket_id").reset_index(drop=True)
+    # rows kept: (100,100)->b0, (300,100)->b1, (200,100) tie->b0,
+    # (210,100) ar 2.1 -> b1; NULL w, negative w, zero h excluded
+    assert got.bucket_id.tolist() == [0, 1]
+    assert got.n_images.tolist() == [2, 2]
+    assert got.sum_pixels.tolist() == [100 * 100 + 200 * 100,
+                                       300 * 100 + 210 * 100]
+    assert got.bucket_w.tolist() == [100, 300]
+    assert got.bucket_h.tolist() == [100, 100]
+    assert got.dtypes.astype(str).tolist() == ["int64"] * 5
+
+    # default SDXL ladder: brute-force reference assignment over a
+    # random dim sweep must agree exactly
+    import numpy as np
+
+    from jsschema_ray.stages.multimodal import ASPECT_BUCKETS_1024
+
+    rng = np.random.default_rng(11)
+    w = rng.integers(64, 2048, 500)
+    h = rng.integers(64, 2048, 500)
+    ds2 = ray.data.from_pandas(pd.DataFrame({"w": w, "h": h})) \
+        .repartition(4)
+    got2 = aspect_bucket_stats(ds2).to_pandas() \
+        .sort_values("bucket_id").reset_index(drop=True)
+    r = np.array([bw / bh for bw, bh in ASPECT_BUCKETS_1024])
+    bidx = np.argmin(
+        np.abs((w.astype(np.float64) / h.astype(np.float64))[:, None]
+               - r[None, :]), axis=1)
+    want = pd.DataFrame({"bucket_id": bidx, "px": w * h}).groupby(
+        "bucket_id").agg(n_images=("px", "size"), sum_pixels=("px", "sum"))
+    assert got2.bucket_id.tolist() == want.index.tolist()
+    assert got2.n_images.tolist() == want.n_images.tolist()
+    assert got2.sum_pixels.tolist() == want.sum_pixels.tolist()

@@ -495,3 +495,46 @@ def test_funnel_stages_greedy_chain_semantics():
     assert o.match2_event_id[2] == 31
     assert pd.isna(o.match2_event_id[1]) and pd.isna(o.match3_event_id[1])
     assert pd.isna(o.match1_event_id[3])
+
+
+def test_cohort_retention_semantics(ray_session):
+    """cohort_retention: cohort = first epoch week per user, one count
+    per distinct (user, week); duplicate events collapse; NULL user/ts
+    drop; negative epochs raise."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.windows import cohort_retention
+
+    WK = 604_800_000_000
+    base = pd.Timestamp("2024-01-01")  # well past 1970
+
+    def at(week, us=0):
+        return base + pd.to_timedelta(week * WK + us, unit="us")
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 3, None, 4],
+        "ts": [at(0), at(0, 5), at(2), at(2, 9), at(1), at(3),
+               at(1), at(0), pd.NaT],
+    })
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    got = cohort_retention(ds, "user_id", "ts", num_partitions=4) \
+        .to_pandas().sort_values(["cohort_week", "offset_weeks"]) \
+        .reset_index(drop=True)
+    base_wk = int(base.value // 1000 // WK)
+    # user1: cohort wk0, offsets {0, 2}; user2: cohort wk1, offsets
+    # {0, 2}; user3: cohort wk1, offset {0}; NULL rows drop
+    want = pd.DataFrame({
+        "cohort_week": [base_wk, base_wk, base_wk + 1, base_wk + 1],
+        "offset_weeks": [0, 2, 0, 2],
+        "n_users": [1, 1, 2, 1],
+    })
+    pd.testing.assert_frame_equal(
+        got.astype({"cohort_week": "int64", "offset_weeks": "int64",
+                    "n_users": "int64"}), want)
+
+    neg = pd.DataFrame({"user_id": [1],
+                        "ts": [pd.Timestamp("1960-01-01")]})
+    with pytest.raises(Exception):
+        cohort_retention(ray.data.from_pandas(neg), "user_id",
+                         "ts").materialize()

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "approx_top_phash",
     "image_near_dup_components",
     "image_curation_pipeline",
+    "aspect_bucket_stats",
     # tabular validation + aggregation + global constraints
     "range_violations",
     "group_stats",
@@ -51,6 +52,10 @@ BENCH_QUERIES = [
     "quantity_mad",
     "quantity_price_corr",
     "brand_price_linreg",
+    "quantity_stddev",
+    "group_quantile_sketch",
+    "distinct_orders_sketch",
+    "cohort_retention",
     "event_lag_lead",
     "weighted_sample",
     "event_funnel",

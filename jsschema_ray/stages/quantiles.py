@@ -23,6 +23,8 @@ training-data operator class (sorts/top-k/sampling — SURVEY §2.D).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 
@@ -150,33 +152,47 @@ def quantile_disc(ds, column: str, q: float, **kw):
 
 
 def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
-                          num_parts: int = 32, batch_size: int = 262144):
-    """Exact per-group discrete quantile with DuckDB QUANTILE_DISC rank
-    semantics (k-th smallest, k = max(1, ceil(q * n_group)), verified
-    empirically incl. duplicate ties). Returns a Dataset of
-    (group_col, q_value).
+                          num_parts: int = 32, batch_size: int = 262144,
+                          qs: Optional[tuple] = None):
+    """Exact per-group discrete quantile(s) with DuckDB QUANTILE_DISC
+    rank semantics (k-th smallest, k = max(1, ceil(q * n_group)),
+    verified empirically incl. duplicate ties). Returns a Dataset of
+    (group_col, q_value) — or, when ``qs`` is given, one
+    ``q<percent>_disc`` column per requested quantile from the SAME
+    single pass (``q`` is ignored then).
 
     Scale shape — raw rows never shuffle: each batch pre-aggregates to
     (group, value, count) rows (bounded by DISTINCT values per group, the
     histogram trick), those count rows hash(group)-co-partition, and each
-    partition does one weighted selection per group (sorted values +
-    cumsum >= k). Intended for LOW-cardinality strata (languages, sources,
-    format tags — the per-group loop is per STRATUM, not per key); for
-    10^5+ groups use the t-digest per-group sketches in stages/stats, or
-    kth_smallest on a filtered stratum for one exact cut.
+    partition does ONE fully vectorized weighted selection for ALL its
+    groups: with the partition sorted by (group, value), the global
+    cumsum of counts is monotone, and a group's k-th smallest sits at
+    ``np.searchsorted(global_cumsum, base_g + k_g)`` (positions before
+    the segment satisfy cumsum <= base_g < base_g + k_g, positions
+    inside reach base_g + n_g >= base_g + k_g) — one batched
+    searchsorted over (groups x quantiles) needles, no per-group loop
+    (r5 upgrade: the former per-STRATUM Python loop and its documented
+    low-cardinality contract are gone; the remaining contract is the
+    standard one — a partition's distinct (group, value) pairs fit a
+    worker, raise num_parts with cluster size).
 
     Rank-parity caveat (documented): k is computed as ceil(q * n) in
     float64 exactly as SQL engines do; q values exactly representable in
     binary (0.5, 0.25, 0.75...) are boundary-safe, arbitrary q may differ
     at ceil boundaries between float implementations."""
-    import math
-
     import pandas as pd
 
     from jsschema_ray.state.hll import hash64, normalize_zeros
 
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
+    if qs is None:
+        q_list, out_names = [q], ["q_value"]
+    else:
+        q_list = list(qs)
+        out_names = [f"q{round(qq * 100):02d}_disc" for qq in q_list]
+        if len(set(out_names)) != len(out_names):
+            raise ValueError(f"qs collide at integer percents: {qs}")
+    if any(not 0.0 <= qq <= 1.0 for qq in q_list):
+        raise ValueError(f"quantiles must be in [0, 1], got {q_list}")
 
     def pre(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, column]).to_pandas()
@@ -199,17 +215,26 @@ def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
 
     def select_part(gdf: pd.DataFrame) -> pd.DataFrame:
         gdf = gdf.drop(columns=["__part"])
-        out_g, out_v = [], []
-        # per STRATUM loop (documented low-cardinality contract)
-        for key, sub in gdf.groupby(group_col, sort=False, dropna=False):
-            sub = sub.sort_values(column, kind="stable")
-            cnt = sub["cnt"].to_numpy(dtype=np.int64)
-            n = int(cnt.sum())
-            k = max(1, math.ceil(q * n))
-            pos = int(np.searchsorted(np.cumsum(cnt), k, side="left"))
-            out_g.append(key)
-            out_v.append(sub[column].iloc[pos])
-        return pd.DataFrame({group_col: out_g, "q_value": out_v})
+        if not len(gdf):
+            return pd.DataFrame(
+                {group_col: gdf[group_col]}
+                | {nm: gdf[column] for nm in out_names})
+        gdf = gdf.sort_values([group_col, column], kind="stable")
+        # contiguous blocks after the sort; NaN groups form one block
+        codes, uniq = pd.factorize(gdf[group_col], use_na_sentinel=False)
+        cnt = gdf["cnt"].to_numpy(dtype=np.int64)
+        csum = np.cumsum(cnt)
+        starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        ends = np.r_[starts[1:], len(cnt)] - 1
+        n_g = csum[ends] - base
+        vals = gdf[column].to_numpy()
+        out = {group_col: uniq}
+        for qq, nm in zip(q_list, out_names):
+            k = np.maximum(1, np.ceil(qq * n_g.astype(np.float64))
+                           ).astype(np.int64)
+            out[nm] = vals[np.searchsorted(csum, base + k, side="left")]
+        return pd.DataFrame(out)
 
     return ds.map_batches(
         pre, batch_format="pyarrow", batch_size=batch_size,
@@ -319,8 +344,10 @@ def grouped_mad(ds, group_col: str, column: str, num_parts: int = 32,
     exist before deviations do — SQL pays the same); each is the
     histogram-trick pre-aggregation of :func:`grouped_quantile_disc`,
     and the O(groups)-row median table broadcast-joins back (ray.put
-    once). Same low-cardinality strata contract as
-    grouped_quantile_disc."""
+    once). Same contract as grouped_quantile_disc (a partition's
+    distinct (group, value) pairs fit a worker); the broadcast median
+    table additionally requires O(groups) to fit the object store
+    copy."""
     import pyarrow.compute as pc
 
     from jsschema_ray.stages.join import broadcast_join
@@ -356,9 +383,11 @@ def grouped_tdigest_quantiles(ds, group_col: str, column: str,
                               batch_size: int = 262144):
     """APPROXIMATE per-group quantiles at UNBOUNDED group cardinality —
     the mergeable-sketch counterpart of :func:`grouped_quantile_disc`
-    (whose exact histogram trick documents a low-cardinality strata
-    contract) built on state/tdigest.TDigest (Dunning & Ertl, public
-    algorithm). Returns a Dataset of
+    (exact, but its histogram trick needs each partition's distinct
+    (group, value) pairs to fit a worker — the sketch bounds a hot
+    group's footprint by centroid count instead) built on
+    state/tdigest.TDigest (Dunning & Ertl, public algorithm). Returns a
+    Dataset of
     (group_col, n, vmin, vmax, q<percent> per requested quantile);
     n/vmin/vmax are EXACT (counts and extremes survive t-digest merging
     exactly), quantiles carry the usual t-digest error (tight at the

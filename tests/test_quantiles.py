@@ -192,3 +192,67 @@ def test_value_cdf_high_cardinality_multiblock(ray_session):
     np.testing.assert_array_equal(got.n_le.to_numpy(), n_le)
     np.testing.assert_array_equal(got.n_lt.to_numpy(), n_le - cnt)
     assert (got.n_total == len(allv)).all()
+
+
+class TestGroupedQuantileDiscMultiQ:
+    def test_multi_q_matches_single_q_and_duckdb(self, ray_session):
+        """qs= multi-quantile single pass == per-q single calls == DuckDB
+        QUANTILE_DISC, on data with ties and a null group."""
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from jsschema_ray.stages.quantiles import grouped_quantile_disc
+
+        rng = np.random.default_rng(19)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", None], 600),
+            "x": rng.integers(0, 25, 600).astype("float64"),
+        })
+        ds = rd.from_pandas(pdf).repartition(5)
+        multi = grouped_quantile_disc(ds, "g", "x", 0.0,
+                                      qs=(0.25, 0.5, 0.9)).to_pandas()
+        assert list(multi.columns) == ["g", "q25_disc", "q50_disc",
+                                       "q90_disc"]
+        for q, col in ((0.25, "q25_disc"), (0.5, "q50_disc"),
+                       (0.9, "q90_disc")):
+            single = grouped_quantile_disc(ds, "g", "x", q).to_pandas()
+            a = multi[["g", col]].sort_values("g").reset_index(drop=True)
+            b = single.sort_values("g").reset_index(drop=True)
+            assert a[col].tolist() == b["q_value"].tolist(), q
+        con = duckdb.connect()
+        con.register("t", pdf.dropna(subset=["g"]))
+        want = con.execute("""
+            SELECT g, QUANTILE_DISC(x, 0.25) q25, QUANTILE_DISC(x, 0.5)
+                   q50, QUANTILE_DISC(x, 0.9) q90
+            FROM t GROUP BY g ORDER BY g
+        """).df()
+        have = multi.dropna(subset=["g"]).sort_values("g") \
+            .reset_index(drop=True)
+        assert have.q25_disc.tolist() == want.q25.tolist()
+        assert have.q50_disc.tolist() == want.q50.tolist()
+        assert have.q90_disc.tolist() == want.q90.tolist()
+
+    def test_high_cardinality_vectorized_selection(self, ray_session):
+        """20k distinct groups through one partition-wide searchsorted:
+        every group's median equals the serial ceil(q*n) rank."""
+        import math
+
+        import pandas as pd
+        import ray.data as rd
+
+        from jsschema_ray.stages.quantiles import grouped_quantile_disc
+
+        rng = np.random.default_rng(23)
+        n_groups = 20_000
+        g = rng.integers(0, n_groups, 120_000)
+        x = rng.integers(0, 1000, 120_000).astype("float64")
+        ds = rd.from_pandas(pd.DataFrame({"g": g, "x": x})).repartition(8)
+        got = grouped_quantile_disc(ds, "g", "x", 0.5).to_pandas() \
+            .set_index("g").q_value
+        assert len(got) == len(np.unique(g))
+        # spot-check 200 groups against the serial rank
+        for gid in rng.choice(np.unique(g), 200, replace=False):
+            vals = np.sort(x[g == gid])
+            k = max(1, math.ceil(0.5 * len(vals)))
+            assert got.loc[gid] == vals[k - 1], gid

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (111 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (104 — identical
+§2 + the training-data operators (112 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (105 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1747,6 +1747,23 @@ def q_aspect_bucket_stats(sf_dir: str):
     return aspect_bucket_stats(ds).sort("bucket_id")
 
 
+def q_acctbal_percentile_cont(sf_dir: str):
+    """Per-market-segment interpolated quartile (PERCENTILE_CONT 0.25)
+    of customer account balance (stages/quantiles.grouped_quantile_cont):
+    the shared histogram pre-aggregation + one batched two-needle
+    searchsorted per partition, float interpolation done ONCE per group
+    in a fixed spelled order — the SQL oracle selects the same two
+    order statistics via ROW_NUMBER ranks and spells the identical
+    IEEE expression, so the float64 bits match and the row hashes
+    without tolerance (DuckDB's own QUANTILE_CONT is not op-order
+    mirrorable; the manual two-rank mirror is)."""
+    from jsschema_ray.stages.quantiles import grouped_quantile_cont
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    return grouped_quantile_cont(ds, "c_mktsegment", "c_acctbal",
+                                 0.25).sort("c_mktsegment")
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort-retention matrix over events
     (stages/windows.cohort_retention): cohort = each user's first-ever
@@ -2575,7 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
         "knn_ivf": q_knn_ivf,
-        "hash_sample": q_hash_sample,
+        "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
@@ -2623,6 +2640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
         "session_windows": q_session_windows,  # driver-green r2+r3+r4, unchanged — rotated out for quantity_price_corr
+        "hash_sample": q_hash_sample,  # driver-green r4, code unchanged; 4 sampling reps stay in-window — rotated out for acctbal_percentile_cont
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -2915,6 +2933,34 @@ def oracle_sql() -> dict[str, str]:
                                     / (fn * sxx - sx * sx)) * sx) / fn
                         ELSE NULL END AS intercept
             FROM m ORDER BY p_brand
+        """,
+        # percentile_cont: manual two-rank interpolation mirror — the
+        # engine and this SQL select the same two order statistics and
+        # spell the same IEEE float64 expression, so bits match
+        "acctbal_percentile_cont": """
+            WITH v AS (SELECT c_mktsegment AS seg, c_acctbal AS x,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal) AS rn,
+                              COUNT(*) OVER (
+                                  PARTITION BY c_mktsegment) AS n
+                       FROM customer WHERE c_acctbal IS NOT NULL),
+            r AS (SELECT seg, n,
+                         FLOOR((n - 1) * CAST(0.25 AS DOUBLE)) AS lof,
+                         (n - 1) * CAST(0.25 AS DOUBLE)
+                             - FLOOR((n - 1) * CAST(0.25 AS DOUBLE)) AS frac
+                  FROM (SELECT DISTINCT seg, n FROM v)),
+            lo AS (SELECT r.seg, CAST(v.x AS DOUBLE) AS vlo
+                   FROM r JOIN v ON v.seg = r.seg
+                                AND v.rn = CAST(r.lof AS BIGINT) + 1),
+            hi AS (SELECT r.seg, CAST(v.x AS DOUBLE) AS vhi
+                   FROM r JOIN v ON v.seg = r.seg
+                                AND v.rn = LEAST(
+                                    CAST(r.lof AS BIGINT) + 2, r.n))
+            SELECT r.seg AS c_mktsegment, r.n,
+                   lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
+            FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
+            ORDER BY c_mktsegment
         """,
         # stddev: same exact-int-sums detour — STDDEV_SAMP would stream
         # float accumulators in row order and never match bits

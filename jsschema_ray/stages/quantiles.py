@@ -182,8 +182,6 @@ def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
     at ceil boundaries between float implementations."""
     import pandas as pd
 
-    from jsschema_ray.state.hll import hash64, normalize_zeros
-
     if qs is None:
         q_list, out_names = [q], ["q_value"]
     else:
@@ -193,6 +191,35 @@ def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
             raise ValueError(f"qs collide at integer percents: {qs}")
     if any(not 0.0 <= qq <= 1.0 for qq in q_list):
         raise ValueError(f"quantiles must be in [0, 1], got {q_list}")
+
+    def select_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["__part"])
+        if not len(gdf):
+            return pd.DataFrame(
+                {group_col: gdf[group_col]}
+                | {nm: gdf[column] for nm in out_names})
+        gdf, uniq, csum, base, n_g = _sorted_segments(gdf, group_col,
+                                                      column)
+        vals = gdf[column].to_numpy()
+        out = {group_col: uniq}
+        for qq, nm in zip(q_list, out_names):
+            k = np.maximum(1, np.ceil(qq * n_g.astype(np.float64))
+                           ).astype(np.int64)
+            out[nm] = vals[np.searchsorted(csum, base + k, side="left")]
+        return pd.DataFrame(out)
+
+    return _grouped_value_counts(
+        ds, group_col, column, num_parts, batch_size
+    ).groupby("__part").map_groups(select_part, batch_format="pandas")
+
+
+def _grouped_value_counts(ds, group_col: str, column: str, num_parts: int,
+                          batch_size: int):
+    """Shared histogram-trick pre-aggregation of the grouped quantile
+    family: per batch, collapse to (group, value, cnt) rows (NULL values
+    drop) and append a hash(group) partition id — only COUNT rows ever
+    shuffle."""
+    from jsschema_ray.state.hll import hash64, normalize_zeros
 
     def pre(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, column]).to_pandas()
@@ -213,32 +240,84 @@ def grouped_quantile_disc(ds, group_col: str, column: str, q: float,
             "__part", pa.array(part)
         )
 
+    return ds.map_batches(pre, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+def _sorted_segments(gdf, group_col: str, column: str):
+    """Sort a partition's (group, value, cnt) rows by (group, value) and
+    return (sorted_gdf, unique_groups, global_cumsum, per-group base
+    offsets, per-group totals) — the vectorized-selection scaffolding
+    shared by the grouped quantile family. NaN groups form one block
+    (pandas sorts them last)."""
+    import pandas as pd
+
+    gdf = gdf.sort_values([group_col, column], kind="stable")
+    codes, uniq = pd.factorize(gdf[group_col], use_na_sentinel=False)
+    cnt = gdf["cnt"].to_numpy(dtype=np.int64)
+    csum = np.cumsum(cnt)
+    starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
+    base = np.where(starts > 0, csum[starts - 1], 0)
+    ends = np.r_[starts[1:], len(cnt)] - 1
+    n_g = csum[ends] - base
+    return gdf, uniq, csum, base, n_g
+
+
+def grouped_quantile_cont(ds, group_col: str, column: str, q: float,
+                          num_parts: int = 32, batch_size: int = 262144):
+    """Exact per-group CONTINUOUS (interpolated) quantile — SQL
+    PERCENTILE_CONT rank semantics: with the group's n non-null values
+    sorted ascending (0-based v), h = (n-1)*q in float64,
+    lo = floor(h), frac = h - lo,
+
+        q_cont = f(v[lo]) + (f(v[lo+1]) - f(v[lo])) * frac
+
+    (f = exact cast to float64; the upper rank clamps to n-1, where
+    frac is necessarily 0). Returns (group_col, n, q_cont float64).
+
+    Float-parity contract (the bit-mirror recipe): every step — the
+    (n-1)*q product, floor, the frac subtraction, and the one
+    interpolation — is a plain IEEE float64 op on exactly-representable
+    inputs, in ONE spelled order. A SQL mirror selecting the same two
+    order statistics (ROW_NUMBER ranks lo+1 and LEAST(lo+2, n)) and
+    spelling the same expression reproduces the float64 bits, so the
+    result hashes against a DuckDB oracle without tolerance (DuckDB's
+    own QUANTILE_CONT cannot be trusted to share the op order — the
+    manual two-rank mirror is the contract).
+
+    Scale shape: identical to :func:`grouped_quantile_disc` — the
+    shared histogram pre-aggregation, one hash(group) co-partition of
+    count rows, and one batched two-needle searchsorted per partition
+    (no per-group loop)."""
+    import pandas as pd
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+
     def select_part(gdf: pd.DataFrame) -> pd.DataFrame:
         gdf = gdf.drop(columns=["__part"])
         if not len(gdf):
-            return pd.DataFrame(
-                {group_col: gdf[group_col]}
-                | {nm: gdf[column] for nm in out_names})
-        gdf = gdf.sort_values([group_col, column], kind="stable")
-        # contiguous blocks after the sort; NaN groups form one block
-        codes, uniq = pd.factorize(gdf[group_col], use_na_sentinel=False)
-        cnt = gdf["cnt"].to_numpy(dtype=np.int64)
-        csum = np.cumsum(cnt)
-        starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
-        base = np.where(starts > 0, csum[starts - 1], 0)
-        ends = np.r_[starts[1:], len(cnt)] - 1
-        n_g = csum[ends] - base
+            return pd.DataFrame({
+                group_col: gdf[group_col],
+                "n": pd.Series([], dtype="int64"),
+                "q_cont": pd.Series([], dtype="float64")})
+        gdf, uniq, csum, base, n_g = _sorted_segments(gdf, group_col,
+                                                      column)
         vals = gdf[column].to_numpy()
-        out = {group_col: uniq}
-        for qq, nm in zip(q_list, out_names):
-            k = np.maximum(1, np.ceil(qq * n_g.astype(np.float64))
-                           ).astype(np.int64)
-            out[nm] = vals[np.searchsorted(csum, base + k, side="left")]
-        return pd.DataFrame(out)
+        h = (n_g - 1).astype(np.float64) * q
+        lo = np.floor(h)
+        frac = h - lo
+        klo = lo.astype(np.int64) + 1            # 1-based lower rank
+        khi = np.minimum(klo + 1, n_g)           # clamp at the top
+        vlo = vals[np.searchsorted(csum, base + klo, side="left")] \
+            .astype(np.float64)
+        vhi = vals[np.searchsorted(csum, base + khi, side="left")] \
+            .astype(np.float64)
+        return pd.DataFrame({group_col: uniq, "n": n_g,
+                             "q_cont": vlo + (vhi - vlo) * frac})
 
-    return ds.map_batches(
-        pre, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True,
+    return _grouped_value_counts(
+        ds, group_col, column, num_parts, batch_size
     ).groupby("__part").map_groups(select_part, batch_format="pandas")
 
 

@@ -256,3 +256,64 @@ class TestGroupedQuantileDiscMultiQ:
             vals = np.sort(x[g == gid])
             k = max(1, math.ceil(0.5 * len(vals)))
             assert got.loc[gid] == vals[k - 1], gid
+
+
+class TestGroupedQuantileCont:
+    def test_matches_numpy_linear_and_duckdb_bits(self, ray_session):
+        """grouped_quantile_cont == np.percentile(interpolation='linear')
+        per group, AND bit-equal to the manual two-rank DuckDB mirror;
+        n=1 group returns its value; NULLs drop."""
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from jsschema_ray.stages.quantiles import grouped_quantile_cont
+
+        rng = np.random.default_rng(29)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 700),
+            "x": np.round(rng.normal(50, 20, 700), 2),
+        })
+        pdf = pd.concat([pdf, pd.DataFrame({"g": ["one"], "x": [3.25]})],
+                        ignore_index=True)
+        pdf.loc[rng.choice(700, 30, replace=False), "x"] = np.nan
+
+        ds = rd.from_pandas(pdf).repartition(5)
+        for q in (0.25, 0.5, 0.9):
+            got = grouped_quantile_cont(ds, "g", "x", q).to_pandas() \
+                .sort_values("g").reset_index(drop=True)
+            assert list(got.columns) == ["g", "n", "q_cont"]
+            kept = pdf.dropna(subset=["x"])
+            for gname in ("a", "b", "c", "one"):
+                want = np.percentile(kept.x[kept.g == gname], q * 100,
+                                     method="linear")
+                have = float(got.loc[got.g == gname, "q_cont"].iloc[0])
+                np.testing.assert_allclose(have, want, rtol=1e-12), (q,
+                                                                     gname)
+            assert float(got.loc[got.g == "one", "q_cont"].iloc[0]) == 3.25
+
+            con = duckdb.connect()
+            con.register("t", pdf)
+            mirror = con.execute(f"""
+                WITH v AS (SELECT g, x,
+                                  ROW_NUMBER() OVER (PARTITION BY g
+                                                     ORDER BY x) AS rn,
+                                  COUNT(*) OVER (PARTITION BY g) AS n
+                           FROM t WHERE x IS NOT NULL),
+                r AS (SELECT g, n, FLOOR((n - 1) * CAST({q} AS DOUBLE)) AS lof,
+                             (n - 1) * CAST({q} AS DOUBLE) - FLOOR((n - 1) * CAST({q} AS DOUBLE)) AS frac
+                      FROM (SELECT DISTINCT g, n FROM v)),
+                lo AS (SELECT r.g, CAST(v.x AS DOUBLE) vlo FROM r JOIN v
+                       ON v.g = r.g AND v.rn = CAST(r.lof AS BIGINT) + 1),
+                hi AS (SELECT r.g, CAST(v.x AS DOUBLE) vhi FROM r JOIN v
+                       ON v.g = r.g
+                      AND v.rn = LEAST(CAST(r.lof AS BIGINT) + 2, r.n))
+                SELECT r.g AS g, r.n, lo.vlo + (hi.vhi - lo.vlo) * r.frac
+                           AS q_cont
+                FROM r JOIN lo ON lo.g = r.g JOIN hi ON hi.g = r.g
+                ORDER BY r.g
+            """).df()
+            a = got.q_cont.to_numpy(dtype=np.float64)
+            b = mirror.q_cont.to_numpy(dtype=np.float64)
+            assert np.array_equal(a, b, equal_nan=True), q
+            assert got.n.tolist() == mirror.n.tolist()

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (112 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (105 — identical
+§2 + the training-data operators (113 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (106 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1780,6 +1780,26 @@ def q_cohort_retention(sf_dir: str):
         ["cohort_week", "offset_weeks"])
 
 
+#: mixture_sample quotas — src2's 40 exceeds its sf0.01 population (25),
+#: exercising the fewer-rows-than-quota clamp in BOTH engines
+_MIXTURE_QUOTAS = {"src0": 10, "src1": 5, "src2": 40, "src3": 25}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic mixture construction over documents
+    (stages/sampling.stratified_exact_n): exactly-n docs per source by
+    smallest (mix32(doc_id), doc_id) — the 'compose a training mix of
+    2,000 wiki + 500 code + ...' curation op, rerun-stable on any
+    layout. One source's quota exceeds its population to pin the clamp.
+    DuckDB-oracled via ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+    the same integer mix) <= quota."""
+    from jsschema_ray.stages.sampling import stratified_exact_n
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_exact_n(ds, "source", _MIXTURE_QUOTAS, "doc_id",
+                              seed=1).sort(["source", "doc_id"])
+
+
 def q_unnest_embeddings(sf_dir: str):
     """List→rows explode of the embedding vectors (stages/transform.
     unnest_list — zero-copy flatten + one take): per element
@@ -2593,7 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_phash": q_approx_top_phash,
         "knn_ivf": q_knn_ivf,
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
-        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
         "cap_per_source": q_cap_per_source,
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
         "distinct_lang_source": q_distinct_lang_source,
@@ -2641,6 +2661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- verifies every oracle pair at sf0.01)
         "session_windows": q_session_windows,  # driver-green r2+r3+r4, unchanged — rotated out for quantity_price_corr
         "hash_sample": q_hash_sample,  # driver-green r4, code unchanged; 4 sampling reps stay in-window — rotated out for acctbal_percentile_cont
+        "stratified_sample": q_stratified_sample,  # driver-green r4, code unchanged — rotated out for mixture_sample (which covers the same mix32 family)
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -2933,6 +2954,24 @@ def oracle_sql() -> dict[str, str]:
                                     / (fn * sxx - sx * sx)) * sx) / fn
                         ELSE NULL END AS intercept
             FROM m ORDER BY p_brand
+        """,
+        # mixture quotas: the same integer mix32 the sampling family
+        # mirrors; src2's quota exceeds its population (clamp pinned)
+        "mixture_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id + 1) * 2654435761)
+                                    % 4294967296, doc_id) AS rn
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')
+                  AND doc_id IS NOT NULL)
+            WHERE rn <= CASE source WHEN 'src0' THEN 10
+                                    WHEN 'src1' THEN 5
+                                    WHEN 'src2' THEN 40
+                                    ELSE 25 END
+            ORDER BY source, doc_id
         """,
         # percentile_cont: manual two-rank interpolation mirror — the
         # engine and this SQL select the same two order statistics and

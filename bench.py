@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "event_lag_lead",
     "weighted_sample",
+    "mixture_sample",
     "event_funnel",
     "incremental_dedup",
     "category_drift",

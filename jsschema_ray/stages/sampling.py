@@ -246,3 +246,69 @@ def sample_exact_n(ds, key_column: str, n: int, seed: int = 1,
     picked = top_k_rows(withmix, value="__mix", tiebreak=key_column,
                         k=n, descending=False, batch_size=batch_size)
     return picked.drop_columns(["__mix"])
+
+
+def stratified_exact_n(ds, strata_col: str, counts: dict, key_column: str,
+                       seed: int = 1, num_parts: int = 64,
+                       batch_size: int = 262144,
+                       keep_columns: Optional[list[str]] = None):
+    """Deterministic per-stratum EXACT-size quotas — the mixture-
+    construction op of training-data curation ("exactly 2,000 wiki +
+    500 code + 300 forum docs"): for each stratum in ``counts``, keep
+    its counts[s] rows with the SMALLEST (mix32(key), key); strata not
+    in ``counts`` (and NULL strata / NULL keys) drop; a stratum with
+    fewer rows than its quota yields all of them. Completes the family:
+    fraction → hash_sample, per-stratum rate → stratified_hash_sample,
+    exact global n → sample_exact_n, per-stratum exact n → this. Same
+    rerun-stability contract as the rest of the mix32 family (same
+    keys/seed/quotas → same rows on any layout), SQL-mirrorable as
+    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY mix, key) <= quota.
+
+    Scale shape (the cap_per_key composition with per-stratum quotas):
+    each batch pre-trims to its LOCAL first-quota rows per stratum via
+    one sort + groupby-cumcount (global first-n ⊆ union of per-batch
+    first-n — selection is monotone), so the shuffle carries at most
+    batches × strata × quota rows; survivors hash(stratum)-co-partition
+    and one identical vectorized pass per partition replays the
+    selection. Quota table is a tiny in-code dict (a schema, not data)."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("quotas must be >= 0")
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    strata_vals = pa.array(list(counts.keys()))
+
+    def _trim_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__mix", key_column], kind="stable")
+        cc = df.groupby(strata_col, sort=False).cumcount()
+        quota = df[strata_col].map(counts)
+        return df[cc < quota]
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        if keep_columns is not None:
+            batch = batch.select(list(dict.fromkeys(
+                keep_columns + [strata_col, key_column])))
+        sv = batch.column(strata_col).combine_chunks()
+        keep = pc.and_(pc.is_in(sv, value_set=strata_vals),
+                       pc.is_valid(batch.column(key_column)))
+        batch = batch.filter(keep)
+        k = batch.column(key_column).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        batch = batch.append_column("__mix", pa.array(_mix32(k, seed)))
+        out = pa.Table.from_pandas(
+            _trim_df(batch.to_pandas()), preserve_index=False,
+            schema=batch.schema)
+        part = (hash64(normalize_zeros(
+            out.column(strata_col).combine_chunks()))
+            % np.uint64(num_parts)).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def final_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        return _trim_df(gdf.drop(columns=["__part"])) \
+            .drop(columns=["__mix"])
+
+    return ds.map_batches(
+        pretrim, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(final_part, batch_format="pandas")

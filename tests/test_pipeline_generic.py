@@ -120,3 +120,53 @@ def test_sample_exact_n_layout_independent(ray_session):
         out = sample_exact_n(ds, "k", n=20, batch_size=64).to_pandas()
         assert len(out) == 20
         assert set(out.k) == want
+
+
+def test_stratified_exact_n_quotas_and_layout_independence(ray_session):
+    """stratified_exact_n: exact per-stratum quotas, under-populated
+    stratum clamps, unlisted/NULL strata and NULL keys drop, identical
+    rows on any block layout, and the selection equals the serial
+    (mix32, key) rank."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.stages.sampling import _mix32, stratified_exact_n
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame({
+        "k": np.arange(400, dtype=np.int64),
+        "s": rng.choice(["a", "b", "c", "d"], 400),
+    })
+    pdf.loc[5, "s"] = None
+    pdf = pd.concat([pdf, pd.DataFrame({"k": [None], "s": ["a"]})],
+                    ignore_index=True)
+    quotas = {"a": 7, "b": 30, "c": 100000}  # c clamps; d unlisted
+
+    def serial():
+        kept = pdf.dropna(subset=["k", "s"])
+        kept = kept[kept.s.isin(quotas)]
+        r = _mix32(kept.k.to_numpy(dtype=np.int64), 1)
+        kept = kept.assign(__r=r).sort_values(["__r", "k"])
+        parts = [sub.head(quotas[s]) for s, sub in kept.groupby("s")]
+        return pd.concat(parts)[["k", "s"]].astype({"k": "int64"}) \
+            .sort_values(["s", "k"]).reset_index(drop=True)
+
+    want = serial()
+    for blocks in (1, 7):
+        ds = rd.from_pandas(pdf).repartition(blocks)
+        got = stratified_exact_n(ds, "s", quotas, "k", seed=1,
+                                 batch_size=64).to_pandas() \
+            .sort_values(["s", "k"]).reset_index(drop=True) \
+            .astype({"k": "int64"})
+        pd.testing.assert_frame_equal(got[["k", "s"]], want)
+    counts = got.s.value_counts()
+    assert counts["a"] == 7 and counts["b"] == 30
+    assert counts["c"] == int((want.s == "c").sum())  # clamped
+    assert "d" not in set(got.s)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_exact_n(rd.from_pandas(pdf), "s", {}, "k")
+    with _pytest.raises(ValueError):
+        stratified_exact_n(rd.from_pandas(pdf), "s", {"a": -1}, "k")

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (113 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (106 — identical
+§2 + the training-data operators (114 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (107 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,22 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_weighted_discount(sf_dir: str):
+    """Per-returnflag extendedprice-WEIGHTED mean discount
+    (stages/aggregates.grouped_weighted_mean): exact int64 sum(xv*wv)
+    and sum(wv) of the x100-rounded values, ONE fixed-order float
+    division finish — the SQL oracle spells the identical casts and
+    literals, so the float64 bits hash without tolerance (a streamed
+    SUM(x*w)/SUM(w) over DOUBLEs is row-order-dependent and NOT
+    mirrorable; the exact-int-sums detour is)."""
+    from jsschema_ray.stages.aggregates import grouped_weighted_mean
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_discount", "l_extendedprice"])
+    return grouped_weighted_mean(ds, "l_returnflag", "l_discount",
+                                 "l_extendedprice").sort("l_returnflag")
+
+
 def q_quantity_stddev(sf_dir: str):
     """Per-returnflag sample stddev / variance / mean of l_quantity
     (stages/aggregates.grouped_stddev): exact x100-scaled int64 sums,
@@ -2614,7 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
-        "cap_per_source": q_cap_per_source,
+        "weighted_discount": q_weighted_discount,  # r5 NEW: weighted mean (bit-mirrored finish) — replaces cap_per_source in-window
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
         "distinct_lang_source": q_distinct_lang_source,
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
@@ -2662,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,  # driver-green r2+r3+r4, unchanged — rotated out for quantity_price_corr
         "hash_sample": q_hash_sample,  # driver-green r4, code unchanged; 4 sampling reps stay in-window — rotated out for acctbal_percentile_cont
         "stratified_sample": q_stratified_sample,  # driver-green r4, code unchanged — rotated out for mixture_sample (which covers the same mix32 family)
+        "cap_per_source": q_cap_per_source,  # driver-green r4, code unchanged — rotated out for weighted_discount (mixture_sample pins the quota-cap shape in-window)
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3000,6 +3017,25 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # weighted mean: exact int sums, one spelled float division
+        "weighted_discount": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_discount * 100) AS BIGINT)
+                                  AS xv,
+                              CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  AS wv
+                       FROM lineitem
+                       WHERE l_discount IS NOT NULL
+                         AND l_extendedprice IS NOT NULL),
+            m AS (SELECT l_returnflag, COUNT(*) AS n,
+                         CAST(SUM(xv * wv) AS DOUBLE) AS fswx,
+                         CAST(SUM(wv) AS DOUBLE) AS fsw
+                  FROM s GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CASE WHEN fsw = 0 THEN NULL
+                        ELSE fswx / fsw / 100.0 END AS wmean
+            FROM m ORDER BY l_returnflag
         """,
         # stddev: same exact-int-sums detour — STDDEV_SAMP would stream
         # float accumulators in row order and never match bits

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",
+    "weighted_discount",
     "acctbal_percentile_cont",
     "group_quantile_sketch",
     "distinct_orders_sketch",

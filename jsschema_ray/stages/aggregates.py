@@ -835,6 +835,98 @@ def grouped_stddev(ds, group: str, x: str, scale: int = 100,
                               zero_copy_batch=True)
 
 
+def grouped_weighted_mean(ds, group: str, x: str, w: str,
+                          x_scale: int = 100, w_scale: int = 100,
+                          batch_size: int = 65536):
+    """Per-group WEIGHTED mean of ``x`` with weights ``w`` — the
+    upweight-by-quality / revenue-weighted statistic of curation
+    dashboards, as another member of the exact-int-sums family: per row
+    xv = round_half_away(x * x_scale), wv = round_half_away(w * w_scale)
+    (both int64), merged sums swx = sum(xv*wv) and sw = sum(wv) are
+    EXACT, and the finish is one fixed order —
+
+        wmean = f(swx) / f(sw) / float(x_scale)
+
+    NULL if a group's sw == 0 (SQL division-by-zero-to-NULL rule,
+    spelled as a CASE both sides); rows with NULL x or w drop. A SQL
+    mirror with the same casts and literals reproduces the float64 bits,
+    so the result hashes without tolerance. Output: (group, n, wmean).
+
+    Guards: per-row |xv| and |wv| must each stay below 2^31 (so the
+    product fits int64), and the merged int64 sums carry the float-
+    shadow wrap check of grouped_moments.
+
+    Scale shape: one map-side-combined grouped_sums shuffle of
+    O(groups x batches) partial rows, row-local finish."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(x)),
+                       pc.is_valid(batch.column(w)))
+        b = batch.select([group, x, w]).filter(keep)
+        import numpy as np
+
+        xv = round_half_away(
+            b.column(x).to_numpy(zero_copy_only=False) * x_scale
+        ).astype(np.int64)
+        wv = round_half_away(
+            b.column(w).to_numpy(zero_copy_only=False) * w_scale
+        ).astype(np.int64)
+        if len(xv) and max(np.abs(xv).max(), np.abs(wv).max()) >= (1 << 31):
+            raise ValueError(
+                f"grouped_weighted_mean values exceed 2^31 at scales "
+                f"({x_scale}, {w_scale}); products would overflow int64 "
+                "— lower a scale")
+        swx = xv * wv
+        return pa.table({
+            group: b.column(group),
+            "swx": pa.array(swx), "sw": pa.array(wv),
+            "fswx": pa.array(swx.astype(np.float64)),
+            "fsw": pa.array(wv.astype(np.float64)),
+        })
+
+    merged = grouped_sums(
+        ds.select_columns([group, x, w]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [group],
+        {c: c for c in ("swx", "sw", "fswx", "fsw")},
+        count_alias="n", batch_size=batch_size,
+    )
+
+    xs = float(x_scale)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        for c in ("swx", "sw"):
+            iv = batch.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            fv = batch.column("f" + c).to_numpy(zero_copy_only=False)
+            if len(iv) and np.abs(iv - fv).max() > float(1 << 62):
+                raise ValueError(
+                    f"grouped_weighted_mean: int64 sum of {c} wrapped — "
+                    "lower a scale")
+        fswx = batch.column("swx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        fsw = batch.column("sw").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = fsw != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wmean = fswx / np.where(ok, fsw, 1.0) / xs
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "wmean": pa.array(wmean, pa.float64(), mask=~ok),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def grouped_linreg(ds, group: str, x: str, y: str, scale: int = 100,
                    batch_size: int = 65536):
     """Per-group simple linear regression y = slope*x + intercept (of

@@ -653,3 +653,66 @@ def test_grouped_stddev_matches_numpy_and_duckdb_bits(ray_session):
     with pytest.raises(Exception):
         big = pd.DataFrame({"g": ["a"], "x": [3e7]})
         grouped_stddev(ray.data.from_pandas(big), "g", "x").materialize()
+
+
+def test_grouped_weighted_mean_matches_numpy_and_duckdb_bits(ray_session):
+    """grouped_weighted_mean == np.average(weights=) on the rounded ints
+    (tolerance) AND bit-equal to the DuckDB mirror; all-zero-weight group
+    yields NULL; NULL x or w rows drop."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_weighted_mean
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": np.round(rng.normal(5, 2, n), 2),
+        "w": np.round(rng.uniform(0, 100, n), 2),
+    })
+    pdf = pd.concat([pdf, pd.DataFrame(
+        {"g": ["z"] * 5, "x": 3.0, "w": 0.0})], ignore_index=True)
+    pdf.loc[rng.choice(n, 20, replace=False), "x"] = np.nan
+    pdf.loc[rng.choice(n, 20, replace=False), "w"] = np.nan
+
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    got = grouped_weighted_mean(ds, "g", "x", "w", batch_size=512) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(got.columns) == ["g", "n", "wmean"]
+    assert got.loc[got.g == "z", "wmean"].isna().all()
+
+    kept = pdf.dropna(subset=["x", "w"])
+    for gname in ("a", "b"):
+        m = (kept.g == gname).values
+        xv = np.round(kept.x[m] * 100).astype("int64").to_numpy()
+        wv = np.round(kept.w[m] * 100).astype("int64").to_numpy()
+        want = np.average(xv.astype(np.float64),
+                          weights=wv.astype(np.float64)) / 100.0
+        np.testing.assert_allclose(
+            float(got.loc[got.g == gname, "wmean"].iloc[0]), want,
+            rtol=1e-12)
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mirror = con.execute("""
+        WITH s AS (SELECT g, CAST(ROUND(x * 100) AS BIGINT) AS xv,
+                          CAST(ROUND(w * 100) AS BIGINT) AS wv
+                   FROM t WHERE x IS NOT NULL AND w IS NOT NULL),
+        m AS (SELECT g, COUNT(*) AS n,
+                     CAST(SUM(xv * wv) AS DOUBLE) AS fswx,
+                     CAST(SUM(wv) AS DOUBLE) AS fsw
+              FROM s GROUP BY g)
+        SELECT g, n, CASE WHEN fsw = 0 THEN NULL
+                          ELSE fswx / fsw / 100.0 END AS wmean
+        FROM m ORDER BY g
+    """).df()
+    a = got.wmean.to_numpy(dtype=np.float64)
+    b = mirror.wmean.to_numpy(dtype=np.float64)
+    assert np.array_equal(a, b, equal_nan=True)
+    assert got.n.tolist() == mirror.n.tolist()
+
+    with pytest.raises(Exception):
+        big = pd.DataFrame({"g": ["a"], "x": [3e7], "w": [1.0]})
+        grouped_weighted_mean(ray.data.from_pandas(big), "g", "x",
+                              "w").materialize()

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (114 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (107 — identical
+§2 + the training-data operators (115 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (108 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,19 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_hopping_distinct_users(sf_dir: str):
+    """Distinct active users per 2-hour window hopping hourly
+    (stages/windows.hopping_distinct): the concurrent-actives metric —
+    in-batch k-copy explode feeding grouped_count_distinct, so only
+    DISTINCT (window, user) pairs ever shuffle. DuckDB-oracled via the
+    UNION ALL window explode + COUNT(DISTINCT)."""
+    from jsschema_ray.stages.windows import hopping_distinct
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return hopping_distinct(ds, ts="ts", key="user_id", length_s=7200,
+                            hop_s=3600).sort("window_start")
+
+
 def q_weighted_discount(sf_dir: str):
     """Per-returnflag extendedprice-WEIGHTED mean discount
     (stages/aggregates.grouped_weighted_mean): exact int64 sum(xv*wv)
@@ -2641,7 +2654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": q_group_quantiles,
         "group_quantile_sketch": q_group_quantile_sketch,  # r5: mergeable per-group t-digest
         "distinct_orders_sketch": q_distinct_orders_sketch,  # r5: grouped HLL
-        "histogram_chars": q_histogram_chars,
+        "hopping_distinct_users": q_hopping_distinct_users,  # r5 NEW: sliding-window distinct — replaces histogram_chars in-window
         "tfidf_terms": q_tfidf_terms,
         "curation_pipeline": q_curation_pipeline,
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
@@ -2679,6 +2692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,  # driver-green r4, code unchanged; 4 sampling reps stay in-window — rotated out for acctbal_percentile_cont
         "stratified_sample": q_stratified_sample,  # driver-green r4, code unchanged — rotated out for mixture_sample (which covers the same mix32 family)
         "cap_per_source": q_cap_per_source,  # driver-green r4, code unchanged — rotated out for weighted_discount (mixture_sample pins the quota-cap shape in-window)
+        "histogram_chars": q_histogram_chars,  # driver-green r4, histogram code unchanged — rotated out for hopping_distinct_users
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3017,6 +3031,20 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # sliding-window distinct: same UNION ALL explode as the
+        # hopping_windows oracle, finished with COUNT(DISTINCT)
+        "hopping_distinct_users": """
+            WITH h AS (SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)
+                              AS hour, user_id
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            e AS (SELECT hour AS window_start, user_id FROM h
+                  UNION ALL
+                  SELECT hour - 1, user_id FROM h)
+            SELECT window_start,
+                   COUNT(DISTINCT user_id) AS n_distinct
+            FROM e GROUP BY 1 ORDER BY 1
         """,
         # weighted mean: exact int sums, one spelled float division
         "weighted_discount": """

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "range_join_acctbal",
     "session_windows",
     "hopping_windows",
+    "hopping_distinct_users",
     "rolling_windows",
     "rolling_rows",
     "event_deltas",

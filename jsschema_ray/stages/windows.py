@@ -838,3 +838,48 @@ def cohort_retention(ds, key: str = "user_id", ts: str = "ts",
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
     return grouped_sums(pairs, ["cohort_week", "offset_weeks"], {},
                         count_alias="n_users", batch_size=batch_size)
+
+
+def hopping_distinct(ds, ts: str = "ts", key: str = "user_id",
+                     length_s: int = 7200, hop_s: int = 3600,
+                     num_partitions: int = 64, batch_size: int = 65536):
+    """Sliding-window COUNT(DISTINCT key): distinct actives per hopping
+    window of ``length_s`` starting every ``hop_s`` — the
+    concurrent-users / rolling-actives metric. Output:
+    (window_start hop-grid units, n_distinct). Rows with NULL ts or
+    NULL key drop (SQL COUNT(DISTINCT) semantics on both sides).
+
+    Scale shape: the hopping explode happens INSIDE map_batches (k
+    int-array copies like hopping_windows), and the exploded pairs feed
+    aggregates.grouped_count_distinct, whose per-batch pre-trim
+    collapses to DISTINCT (window, key) pairs before the one
+    hash(window) shuffle — so the wire carries distinct pairs, never
+    exploded events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_count_distinct
+
+    assert length_s % hop_s == 0
+    k = length_s // hop_s
+
+    def prep(batch: "pa.Table") -> "pa.Table":
+        keep = pc.and_(pc.is_valid(batch.column(ts)),
+                       pc.is_valid(batch.column(key)))
+        b = batch.select([ts, key]).filter(keep)
+        us = b.column(ts).combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        slot = us // (hop_s * 1_000_000)
+        keys = b.column(key).combine_chunks()
+        return pa.table({
+            "window_start": pa.array(
+                np.concatenate([slot - i for i in range(k)])),
+            key: pa.chunked_array([keys] * k).combine_chunks(),
+        })
+
+    exploded = ds.select_columns([ts, key]).map_batches(
+        prep, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    return grouped_count_distinct(exploded, "window_start", key,
+                                  num_partitions=num_partitions,
+                                  batch_size=batch_size)

@@ -538,3 +538,40 @@ def test_cohort_retention_semantics(ray_session):
     with pytest.raises(Exception):
         cohort_retention(ray.data.from_pandas(neg), "user_id",
                          "ts").materialize()
+
+
+def test_hopping_distinct_semantics(ray_session):
+    """hopping_distinct: each event counts in length/hop windows, a key
+    active twice in one window counts once, NULL ts/key drop, layout-
+    independent."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.windows import hopping_distinct
+
+    HOUR = 3_600_000_000
+    base = pd.Timestamp("2024-03-01")
+
+    def at(h, us=0):
+        return base + pd.to_timedelta(h * HOUR + us, unit="us")
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 2, 1, None, 3],
+        "ts": [at(0), at(0, 7), at(0), at(1), at(1), pd.NaT],
+    })
+    base_h = int(base.value // 1000 // HOUR)
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(pdf).repartition(blocks)
+        got = hopping_distinct(ds, "ts", "user_id", length_s=7200,
+                               hop_s=3600, num_partitions=4) \
+            .to_pandas().sort_values("window_start") \
+            .reset_index(drop=True)
+        # hour0 events -> windows (h0-1, h0); hour1 -> (h0, h1):
+        # w(h0-1): {1,2}; w(h0): {1,2} U {1} = {1,2}; w(h1): {1}
+        want = pd.DataFrame({
+            "window_start": [base_h - 1, base_h, base_h + 1],
+            "n_distinct": [2, 2, 1],
+        })
+        pd.testing.assert_frame_equal(
+            got.astype({"window_start": "int64",
+                        "n_distinct": "int64"}), want)

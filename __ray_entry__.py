@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (115 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (108 — identical
+§2 + the training-data operators (116 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (109 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,22 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order event-type transition matrix per user
+    (stages/windows.transition_counts): SQL LAG over the (ts, event_id)
+    total order rolled up to (from_value, to_value, n_transitions) —
+    the Markov / user-journey summary. One per-key shuffle + one tiny
+    count-partial shuffle; key-boundary and NULL pairs drop in both
+    engines."""
+    from jsschema_ray.stages.windows import transition_counts
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds, "user_id", "ts", "event_id",
+                             "event_type").sort(
+        ["from_value", "to_value"])
+
+
 def q_hopping_distinct_users(sf_dir: str):
     """Distinct active users per 2-hour window hopping hourly
     (stages/windows.hopping_distinct): the concurrent-actives metric —
@@ -2655,7 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantile_sketch": q_group_quantile_sketch,  # r5: mergeable per-group t-digest
         "distinct_orders_sketch": q_distinct_orders_sketch,  # r5: grouped HLL
         "hopping_distinct_users": q_hopping_distinct_users,  # r5 NEW: sliding-window distinct — replaces histogram_chars in-window
-        "tfidf_terms": q_tfidf_terms,
+        "event_transitions": q_event_transitions,  # r5 NEW: Markov transition matrix — replaces tfidf_terms in-window
         "curation_pipeline": q_curation_pipeline,
         "decontam_pack_pipeline": q_decontam_pack_pipeline,
         # --- new round-4 hard-signal groundings for the sketch dedups
@@ -2693,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,  # driver-green r4, code unchanged — rotated out for mixture_sample (which covers the same mix32 family)
         "cap_per_source": q_cap_per_source,  # driver-green r4, code unchanged — rotated out for weighted_discount (mixture_sample pins the quota-cap shape in-window)
         "histogram_chars": q_histogram_chars,  # driver-green r4, histogram code unchanged — rotated out for hopping_distinct_users
+        "tfidf_terms": q_tfidf_terms,  # driver-green r4, tfidf code unchanged — rotated out for event_transitions
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3031,6 +3048,18 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # transition matrix: LAG per user, boundary/NULL pairs filtered
+        "event_transitions": """
+            WITH w AS (SELECT event_type AS cur,
+                              LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS from_value, cur AS to_value,
+                   COUNT(*) AS n_transitions
+            FROM w WHERE prev IS NOT NULL AND cur IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # sliding-window distinct: same UNION ALL explode as the
         # hopping_windows oracle, finished with COUNT(DISTINCT)

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "session_windows",
     "hopping_windows",
     "hopping_distinct_users",
+    "event_transitions",
     "rolling_windows",
     "rolling_rows",
     "event_deltas",

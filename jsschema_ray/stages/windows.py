@@ -883,3 +883,57 @@ def hopping_distinct(ds, ts: str = "ts", key: str = "user_id",
     return grouped_count_distinct(exploded, "window_start", key,
                                   num_partitions=num_partitions,
                                   batch_size=batch_size)
+
+
+def transition_counts(ds, key: str, order: str, tiebreak: str, col: str,
+                      num_partitions: int = 64):
+    """First-order transition matrix of ``col`` per key — SQL
+    ``LAG(col) OVER (PARTITION BY key ORDER BY order, tiebreak)`` rolled
+    up to (from_value, to_value, n_transitions): the Markov-chain /
+    user-journey summary of event analytics. Pairs crossing a key
+    boundary drop (LAG's NULL row), as do pairs with a NULL on either
+    side (the oracle spells the same IS NOT NULL filter).
+
+    Scale shape: the standard one-shuffle per-key window (hash(key)
+    partitions, one C sort per partition, prev = one vectorized take
+    with a boundary mask), then each partition collapses to its local
+    (from, to) COUNT partials via one pyarrow group_by, so the second
+    (tiny) shuffle moves O(distinct transitions x partitions) rows
+    through grouped_sums — never the event pairs themselves."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        empty = pa.table({"from_value": g.column(col).slice(0, 0),
+                          "to_value": g.column(col).slice(0, 0)})
+        if not n:
+            return empty
+        g = _arrow_sorted(g, [key, order, tiebreak])
+        vals = g.column(col).combine_chunks()
+        starts = _key_block_starts(g.column(key))
+        prev_idx = np.arange(n, dtype=np.int64) - 1
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False  # first row of each key has no LAG
+        prev = vals.take(pa.array(np.where(keep, prev_idx, 0)))
+        keep &= pc.is_valid(prev).to_numpy(zero_copy_only=False)
+        keep &= pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        return pa.table({"from_value": prev, "to_value": vals}).filter(
+            pa.array(keep))
+
+    pairs = ds.select_columns(
+        list(dict.fromkeys([key, order, tiebreak, col]))
+    ).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+    return grouped_sums(pairs, ["from_value", "to_value"], {},
+                        count_alias="n_transitions")

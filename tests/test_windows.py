@@ -575,3 +575,40 @@ def test_hopping_distinct_semantics(ray_session):
         pd.testing.assert_frame_equal(
             got.astype({"window_start": "int64",
                         "n_distinct": "int64"}), want)
+
+
+def test_transition_counts_semantics(ray_session):
+    """transition_counts: per-key LAG pairs under the (order, tiebreak)
+    total order, boundary rows drop, NULL values drop, layout-
+    independent; equals the pandas shift reference."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(37)
+    n = 600
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "o": rng.integers(0, 1000, n),
+        "tb": np.arange(n, dtype=np.int64),
+        "v": rng.choice(["A", "B", "C", None], n, p=[.4, .3, .2, .1]),
+    })
+
+    def serial():
+        s = pdf.sort_values(["k", "o", "tb"])
+        prev = s.groupby("k")["v"].shift(1)
+        d = pd.DataFrame({"from_value": prev, "to_value": s.v}).dropna()
+        return d.groupby(["from_value", "to_value"]).size() \
+            .rename("n_transitions").reset_index() \
+            .sort_values(["from_value", "to_value"]).reset_index(drop=True)
+
+    want = serial()
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(pdf).repartition(blocks)
+        got = transition_counts(ds, "k", "o", "tb", "v",
+                                num_partitions=4).to_pandas() \
+            .sort_values(["from_value", "to_value"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_transitions": "int64"}), want)

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (116 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (109 — identical
+§2 + the training-data operators (117 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (110 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,26 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_quantity_zscore(sf_dir: str):
+    """Per-row z-score of l_quantity within its returnflag group
+    (stages/aggregates.grouped_zscore) — the ML feature-standardization
+    transform: bit-mirrored grouped mean/stddev from exact int sums,
+    broadcast back (3 groups, ray.put once), one spelled
+    quantize-subtract-divide per row. Even the per-ROW float column
+    hashes against DuckDB without tolerance because every operand and
+    operation order is mirrored."""
+    from jsschema_ray.stages.aggregates import grouped_zscore
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+    out = grouped_zscore(ds, "l_returnflag", "l_quantity",
+                         keep=["l_orderkey", "l_linenumber"])
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_returnflag", "zscore"]
+    ).sort(["l_orderkey", "l_linenumber"])
+
+
 def q_event_transitions(sf_dir: str):
     """First-order event-type transition matrix per user
     (stages/windows.transition_counts): SQL LAG over the (ts, event_id)
@@ -2678,7 +2698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_recall": q_minhash_recall,
         "simhash_recall": q_simhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
-        "bloom_semi_orders": q_bloom_semi_orders,  # r4 NEW: bloom semi join
+        "quantity_zscore": q_quantity_zscore,  # r5 NEW: per-row z-score (bit-mirrored) — replaces bloom_semi_orders in-window
         "rollup_revenue": q_rollup_revenue,  # r4 NEW: GROUP BY ROLLUP
         "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
@@ -2710,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": q_cap_per_source,  # driver-green r4, code unchanged — rotated out for weighted_discount (mixture_sample pins the quota-cap shape in-window)
         "histogram_chars": q_histogram_chars,  # driver-green r4, histogram code unchanged — rotated out for hopping_distinct_users
         "tfidf_terms": q_tfidf_terms,  # driver-green r4, tfidf code unchanged — rotated out for event_transitions
+        "bloom_semi_orders": q_bloom_semi_orders,  # driver-green r4, join.py unchanged — rotated out for quantity_zscore
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3048,6 +3069,34 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # per-row z-score: rebuilds the same bit-mirrored grouped
+        # statistics, then spells the identical quantize-subtract-divide
+        "quantity_zscore": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity * 100) AS BIGINT)
+                                  AS xv
+                       FROM lineitem WHERE l_quantity IS NOT NULL),
+            m AS (SELECT l_returnflag, COUNT(*) AS n,
+                         CAST(COUNT(*) AS DOUBLE) AS fn,
+                         CAST(SUM(xv) AS DOUBLE) AS sx,
+                         CAST(SUM(xv * xv) AS DOUBLE) AS sxx
+                  FROM s GROUP BY l_returnflag),
+            st AS (SELECT l_returnflag, sx / fn / 100.0 AS mean_x,
+                          CASE WHEN n < 2 THEN NULL
+                               WHEN fn * sxx - sx * sx <= 0 THEN 0.0
+                               ELSE SQRT((fn * sxx - sx * sx)
+                                         / (fn * (fn - 1.0))) / 100.0
+                          END AS sd
+                   FROM m)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   CASE WHEN l.l_quantity IS NULL OR st.sd IS NULL
+                             OR st.sd = 0 THEN NULL
+                        ELSE (CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+                              / 100.0 - st.mean_x) / st.sd
+                   END AS zscore
+            FROM lineitem l JOIN st USING (l_returnflag)
+            ORDER BY l.l_orderkey, l.l_linenumber
         """,
         # transition matrix: LAG per user, boundary/NULL pairs filtered
         "event_transitions": """

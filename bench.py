@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",
+    "quantity_zscore",
     "weighted_discount",
     "acctbal_percentile_cont",
     "group_quantile_sketch",

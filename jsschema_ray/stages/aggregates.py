@@ -927,6 +927,63 @@ def grouped_weighted_mean(ds, group: str, x: str, w: str,
                               zero_copy_batch=True)
 
 
+def grouped_zscore(ds, group: str, x: str, scale: int = 100,
+                   keep: Optional[list] = None, batch_size: int = 65536):
+    """Per-ROW z-score standardization within each group — the ML
+    feature-prep transform (standardize a numeric column per stratum):
+    appends ``zscore`` float64 computed in ONE spelled IEEE order
+
+        xq = f(round_half_away(x * scale)) / float(scale)
+        z  = (xq - mean_x) / stddev_samp
+
+    where mean_x / stddev_samp are :func:`grouped_stddev`'s bit-mirrored
+    per-group statistics. Rows with NULL x, a group with n < 2, or zero
+    variance yield NULL zscore (division by 0 → NULL, the SQL rule). A
+    SQL mirror that rebuilds the same exact-int-sums statistics and
+    spells the same quantize-subtract-divide reproduces the float64
+    bits, so even this per-ROW float column hashes without tolerance.
+
+    Scale shape: one grouped_stddev (map-side-combined shuffle of
+    O(groups x batches) partials), then the O(groups) stats table
+    broadcast-joins back (ray.put once — groups must be bounded for the
+    broadcast; use the stats directly for unbounded cardinality) and the
+    z math is a row-local vectorized map. ``keep`` limits the output
+    columns (plus group/x/zscore)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.join import broadcast_join
+    from jsschema_ray.stages.windows import round_half_away
+
+    stats = grouped_stddev(ds, group, x, scale=scale,
+                           batch_size=batch_size)
+    cols = list(dict.fromkeys((keep or []) + [group, x]))
+    joined = broadcast_join(ds.select_columns(cols), stats, key=group,
+                            how="left", batch_size=batch_size)
+    sc = float(scale)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        xa = batch.column(x)
+        xv = round_half_away(
+            np.where(pc.is_valid(xa).to_numpy(zero_copy_only=False),
+                     xa.to_numpy(zero_copy_only=False), 0.0) * scale
+        ).astype(np.int64)
+        xq = xv.astype(np.float64) / sc
+        mean = batch.column("mean_x").to_numpy(zero_copy_only=False)
+        std = batch.column("stddev_samp").to_numpy(zero_copy_only=False)
+        ok = (pc.is_valid(xa).to_numpy(zero_copy_only=False)
+              & ~np.isnan(mean) & ~np.isnan(std) & (std != 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (xq - mean) / np.where(ok, std, 1.0)
+        out = batch.drop_columns(["n", "mean_x", "var_samp",
+                                  "stddev_samp"])
+        return out.append_column(
+            "zscore", pa.array(z, pa.float64(), mask=~ok))
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+
+
 def grouped_linreg(ds, group: str, x: str, y: str, scale: int = 100,
                    batch_size: int = 65536):
     """Per-group simple linear regression y = slope*x + intercept (of

@@ -716,3 +716,41 @@ def test_grouped_weighted_mean_matches_numpy_and_duckdb_bits(ray_session):
         big = pd.DataFrame({"g": ["a"], "x": [3e7], "w": [1.0]})
         grouped_weighted_mean(ray.data.from_pandas(big), "g", "x",
                               "w").materialize()
+
+
+def test_grouped_zscore_matches_scipy_reference_and_nulls(ray_session):
+    """grouped_zscore == (xq - mean)/std per group on the quantized
+    values; NULL x rows, n=1 groups and zero-variance groups yield NULL
+    zscore; other columns ride through."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_zscore
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    pdf = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b"], n),
+        "x": np.round(rng.normal(10, 4, n), 2),
+    })
+    pdf.loc[0, "x"] = np.nan
+    pdf = pd.concat([pdf, pd.DataFrame(
+        {"rid": [n, n + 1, n + 2], "g": ["one", "z", "z"],
+         "x": [5.0, 7.0, 7.0]})], ignore_index=True)
+
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = grouped_zscore(ds, "g", "x", keep=["rid"], batch_size=256) \
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    assert got.loc[got.g == "one", "zscore"].isna().all()   # n = 1
+    assert got.loc[got.g == "z", "zscore"].isna().all()     # zero var
+    assert np.isnan(got.loc[0, "zscore"])                   # NULL x
+
+    for gname in ("a", "b"):
+        sub = pdf[(pdf.g == gname) & pdf.x.notna()]
+        xq = np.round(sub.x * 100).astype("int64").to_numpy() / 100.0
+        mean, std = xq.mean(), xq.std(ddof=1)
+        have = got[(got.g == gname) & got.zscore.notna()] \
+            .set_index("rid").zscore
+        want = (xq - mean) / std
+        np.testing.assert_allclose(
+            have.loc[sub.rid.to_numpy()].to_numpy(), want, rtol=1e-9)

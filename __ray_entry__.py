@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (117 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (110 — identical
+§2 + the training-data operators (118 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (111 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,33 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_partitioned_write_roundtrip(sf_dir: str):
+    """The resumable-output rule exercised end-to-end under the driver's
+    oracle: write documents hive-partitioned by lang through
+    sources/io.write_partitioned (atomic per-partition commit + _DONE
+    markers — a re-run skips committed partitions), then read the sink
+    back and count per lang. The oracle aggregates the INPUT table, so
+    the row hash proves the sink round-trips losslessly."""
+    from jsschema_ray.sources.io import write_partitioned
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    import pyarrow.parquet as pq
+
+    # key the sink by sf name AND row count: committed partitions pin a
+    # run's identity, and documents has the same row count at sf0.001
+    # and sf0.01 (different contents)
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/jsschema_ray_cache/partwrite_{tag}_{n}"
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    # consume the manifest to force the write (idempotent: committed
+    # partitions skip)
+    write_partitioned(ds, out, by="lang").materialize()
+    back = rd.read_parquet(out, columns=["lang"])
+    return grouped_sums(back, ["lang"], {}, count_alias="n_docs") \
+        .sort("lang")
+
+
 def q_quantity_zscore(sf_dir: str):
     """Per-row z-score of l_quantity within its returnflag group
     (stages/aggregates.grouped_zscore) — the ML feature-standardization
@@ -2705,7 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
-        "sample_n_docs": q_sample_n_docs,  # r4 NEW: exact-n hash sample
+        "partitioned_write_roundtrip": q_partitioned_write_roundtrip,  # r5 NEW: resumable hive sink round-trip — replaces sample_n_docs in-window
         "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
         "chunk_documents": q_chunk_documents,  # r4 NEW: context chunking
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
@@ -2731,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_chars": q_histogram_chars,  # driver-green r4, histogram code unchanged — rotated out for hopping_distinct_users
         "tfidf_terms": q_tfidf_terms,  # driver-green r4, tfidf code unchanged — rotated out for event_transitions
         "bloom_semi_orders": q_bloom_semi_orders,  # driver-green r4, join.py unchanged — rotated out for quantity_zscore
+        "sample_n_docs": q_sample_n_docs,  # driver-green r4, code unchanged — rotated out for partitioned_write_roundtrip
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3069,6 +3097,12 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # partitioned-sink round-trip: oracle aggregates the INPUT, so a
+        # hash match proves the hive sink wrote and read back losslessly
+        "partitioned_write_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # per-row z-score: rebuilds the same bit-mirrored grouped
         # statistics, then spells the identical quantize-subtract-divide

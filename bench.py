@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "event_funnel",
     "incremental_dedup",
+    "partitioned_write_roundtrip",
     "category_drift",
     "violation_summary",
     "chunk_documents",

@@ -108,3 +108,93 @@ def write_table(ds: "rd.Dataset", path: str, fmt: str = "parquet",
     else:
         raise ValueError(f"unknown sink format {fmt!r}; "
                          "one of parquet/jsonl/csv")
+
+
+def write_partitioned(ds: "rd.Dataset", path: str, by: str,
+                      num_parts: int = 64,
+                      batch_size: int = 262144) -> "rd.Dataset":
+    """Hive-style RESUMABLE partitioned sink: one directory per distinct
+    value of ``by`` (``path/<by>=<value>/part-*.parquet``), each
+    partition committed ATOMICALLY (files land under a tmp name and
+    rename into place, then a ``_DONE`` marker commits the partition) —
+    so a re-run after a crash SKIPS every committed partition and
+    rewrites only the missing ones. This is the resumable-output rule
+    made concrete: at 100 TB a failed job resumes by partition, never
+    by re-running the world. Returns the write MANIFEST as a Dataset:
+    (partition value, rows, files, skipped bool) — one row per
+    partition, the unit a re-run's scheduler reads.
+
+    Semantics: a committed partition is never rewritten even if the
+    input changed (markers pin the run's identity — key the output path
+    by input fingerprint when inputs can drift). NULL partition keys
+    write under ``<by>=__NULL__``. Values are encoded with
+    ``urllib.parse.quote`` so arbitrary strings stay path-safe.
+
+    Scale shape: one hash(by) co-partition (map_groups) so each
+    partition's rows land in one task; each task writes its files and
+    emits ONE manifest row — the driver never sees data rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    os.makedirs(path, exist_ok=True)
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        part = (hash64(normalize_zeros(
+            batch.column(by).combine_chunks()))
+            % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def write_group(g: "pa.Table") -> "pa.Table":
+        from urllib.parse import quote
+
+        g = g.drop_columns(["__part"])
+        out = {by: [], "rows": [], "files": [], "skipped": []}
+        if not g.num_rows:
+            return pa.table({by: g.column(by),
+                             "rows": pa.array([], pa.int64()),
+                             "files": pa.array([], pa.int64()),
+                             "skipped": pa.array([], pa.bool_())})
+        import pyarrow.compute as pc
+
+        keys = g.column(by).combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        labels = enc.dictionary.to_pylist()
+        for code in sorted(set(codes.tolist())):
+            if code >= 0:
+                label = labels[code]
+                sub = g.filter(pa.array(codes == code))
+            else:
+                label = None
+                sub = g.filter(pa.array(codes == -1))
+            name = "__NULL__" if label is None else quote(str(label),
+                                                          safe="")
+            pdir = os.path.join(path, f"{by}={name}")
+            marker = os.path.join(pdir, "_DONE")
+            skipped = os.path.exists(marker)
+            if not skipped:
+                os.makedirs(pdir, exist_ok=True)
+                tmp = os.path.join(pdir, "part-0.parquet.tmp")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+                with open(marker, "w") as f:
+                    f.write("ok")
+            out[by].append(label)
+            out["rows"].append(sub.num_rows)
+            out["files"].append(1)
+            out["skipped"].append(skipped)
+        return pa.table({
+            by: pa.array(out[by], keys.type),
+            "rows": pa.array(out["rows"], pa.int64()),
+            "files": pa.array(out["files"], pa.int64()),
+            "skipped": pa.array(out["skipped"], pa.bool_()),
+        })
+
+    return ds.map_batches(
+        add_part, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(write_group, batch_format="pyarrow")

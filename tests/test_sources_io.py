@@ -137,3 +137,48 @@ def test_write_table_roundtrip_all_formats(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         write_table(ds, str(tmp_path / "x"), fmt="orc")
+
+
+def test_write_partitioned_resume_and_roundtrip(ray_session, tmp_path):
+    """write_partitioned: hive layout + _DONE markers; a re-run skips
+    every committed partition; deleting one partition re-writes ONLY it;
+    read-back equals input; NULL keys land under __NULL__."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.sources.io import write_partitioned
+
+    pdf = pd.DataFrame({
+        "k": ["en", "de", "en", None, "fr/x", "de"],
+        "v": [1, 2, 3, 4, 5, 6],
+    })
+    out = str(tmp_path / "sink")
+    ds = rd.from_pandas(pdf).repartition(3)
+
+    m1 = write_partitioned(ds, out, by="k", num_parts=4).to_pandas()
+    assert len(m1) == 4 and not m1.skipped.any()
+    assert sorted(os.listdir(out)) == sorted(
+        ["k=en", "k=de", "k=__NULL__", "k=fr%2Fx"])
+    for d in os.listdir(out):
+        assert os.path.exists(os.path.join(out, d, "_DONE"))
+
+    # full re-run: everything committed -> everything skipped
+    m2 = write_partitioned(ds, out, by="k", num_parts=4).to_pandas()
+    assert m2.skipped.all()
+
+    # crash simulation: lose one partition entirely -> only it rewrites
+    import shutil
+    shutil.rmtree(os.path.join(out, "k=de"))
+    m3 = write_partitioned(ds, out, by="k", num_parts=4).to_pandas() \
+        .set_index("k")
+    assert not m3.loc["de", "skipped"]
+    assert m3.drop(index=["de"]).skipped.all()
+
+    back = rd.read_parquet(out).to_pandas().sort_values("v") \
+        .reset_index(drop=True)
+    want = pdf.sort_values("v").reset_index(drop=True)
+    assert back.v.tolist() == want.v.tolist()
+    assert [x if isinstance(x, str) else None for x in back.k] \
+        == [x if isinstance(x, str) else None for x in want.k]

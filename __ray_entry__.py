@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (118 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (111 — identical
+§2 + the training-data operators (119 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (112 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,21 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_image_letterbox_plan(sf_dir: str):
+    """Per-image letterbox plan into the nearest SDXL aspect bucket
+    (stages/multimodal.letterbox_plan): IEEE-deterministic bucket
+    assignment + integer-exact round-half-up scale-to-fit targets and
+    residual padding — the per-image half of bucketed collation
+    (aspect_bucket_stats is the roll-up half). No float in the target
+    math, so the DuckDB mirror is bit-equal; pure row-local map, zero
+    shuffles."""
+    from jsschema_ray.stages.multimodal import letterbox_plan
+
+    ds = rd.read_parquet(_image_dir(sf_dir),
+                         columns=["image_id", "w", "h"])
+    return letterbox_plan(ds).sort(["image_id", "w", "h"])
+
+
 def q_partitioned_write_roundtrip(sf_dir: str):
     """The resumable-output rule exercised end-to-end under the driver's
     oracle: write documents hive-partitioned by lang through
@@ -2737,7 +2752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,  # r4 NEW: context chunking
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
         "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
-        "category_drift": q_category_drift,  # r4 NEW: exact drift
+        "image_letterbox_plan": q_image_letterbox_plan,  # r5 NEW: integer-exact letterbox targets — replaces category_drift in-window
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "quantity_price_corr": q_quantity_price_corr,  # r5 NEW: grouped Pearson corr (bit-mirrored float finish)
@@ -2759,6 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": q_tfidf_terms,  # driver-green r4, tfidf code unchanged — rotated out for event_transitions
         "bloom_semi_orders": q_bloom_semi_orders,  # driver-green r4, join.py unchanged — rotated out for quantity_zscore
         "sample_n_docs": q_sample_n_docs,  # driver-green r4, code unchanged — rotated out for partitioned_write_roundtrip
+        "category_drift": q_category_drift,  # driver-green r4, drift.py unchanged in r5 — rotated out for image_letterbox_plan
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3097,6 +3113,46 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # letterbox: same rid-based nearest-bucket CTE as
+        # aspect_bucket_stats, then the integer round-half-up fit formula
+        "image_letterbox_plan": f"""
+            WITH m AS (SELECT ROW_NUMBER() OVER () AS rid, image_id, w, h
+                       FROM read_parquet('{meta}')
+                       WHERE w IS NOT NULL AND h IS NOT NULL
+                         AND w > 0 AND h > 0),
+            b(bucket_id, bw, bh) AS (VALUES
+                (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+                (3, 1216, 832), (4, 832, 1216), (5, 1344, 768),
+                (6, 768, 1344), (7, 1536, 640), (8, 640, 1536)),
+            d AS (SELECT m.rid, m.image_id, m.w, m.h, b.bucket_id,
+                         b.bw, b.bh,
+                         ABS(CAST(m.w AS DOUBLE) / m.h
+                             - CAST(b.bw AS DOUBLE) / b.bh) AS dist
+                  FROM m CROSS JOIN b),
+            a AS (SELECT rid, image_id, w, h, bucket_id, bw, bh,
+                         ROW_NUMBER() OVER (PARTITION BY rid
+                                            ORDER BY dist, bucket_id)
+                             AS rn
+                  FROM d),
+            p AS (SELECT image_id, CAST(w AS BIGINT) AS w,
+                         CAST(h AS BIGINT) AS h,
+                         CAST(bucket_id AS BIGINT) AS bucket_id,
+                         CAST(bw AS BIGINT) AS bw,
+                         CAST(bh AS BIGINT) AS bh,
+                         CAST(w AS BIGINT) * bh >= CAST(h AS BIGINT) * bw
+                             AS wider
+                  FROM a WHERE rn = 1),
+            t AS (SELECT image_id, w, h, bucket_id, bw, bh,
+                         CASE WHEN wider THEN bw
+                              ELSE (2 * w * bh + h) // (2 * h) END
+                             AS target_w,
+                         CASE WHEN wider THEN (2 * h * bw + w) // (2 * w)
+                              ELSE bh END AS target_h
+                  FROM p)
+            SELECT image_id, w, h, bucket_id, target_w, target_h,
+                   bw - target_w AS pad_w, bh - target_h AS pad_h
+            FROM t ORDER BY image_id, w, h, bucket_id
         """,
         # partitioned-sink round-trip: oracle aggregates the INPUT, so a
         # hash match proves the hive sink wrote and read back losslessly

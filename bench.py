@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "image_near_dup_components",
     "image_curation_pipeline",
     "aspect_bucket_stats",
+    "image_letterbox_plan",
     # tabular validation + aggregation + global constraints
     "range_violations",
     "group_stats",

@@ -546,3 +546,65 @@ def aspect_bucket_stats(ds, buckets=ASPECT_BUCKETS_1024, w_col: str = "w",
 
     return merged.map_batches(widen, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def letterbox_plan(ds, buckets=ASPECT_BUCKETS_1024, id_col: str = "image_id",
+                   w_col: str = "w", h_col: str = "h",
+                   batch_size: int = 65536):
+    """Aspect-bucket LETTERBOX plan — the per-image half of SDXL-style
+    bucketed collation (the roll-up half is :func:`aspect_bucket_stats`):
+    each row with positive non-NULL dims gets its nearest bucket (same
+    IEEE-deterministic distance + lower-index tiebreak), then the
+    integer-exact scale-to-FIT target preserving aspect ratio
+
+        wider-than-bucket  (w*bh >= h*bw): tw = bw, th = (2*h*bw + w) // (2*w)
+        taller-than-bucket (otherwise):    th = bh, tw = (2*w*bh + h) // (2*h)
+
+    (round-half-up, the resize_plan formula — no float in the target
+    math) and the residual padding pad_w = bw - tw, pad_h = bh - th.
+    Output per image ROW: (id, w, h, bucket_id, target_w, target_h,
+    pad_w, pad_h), all int64; invalid dims drop. A SQL mirror spelling
+    the same CASE and integer formula is bit-equal.
+
+    Scale shape: pure row-local map — one (rows x K) vectorized argmin
+    per batch, zero shuffles; the pixel work stays in ResizeImages."""
+    import pyarrow.compute as pc
+
+    bw = np.asarray([b[0] for b in buckets], dtype=np.int64)
+    bh = np.asarray([b[1] for b in buckets], dtype=np.int64)
+    if len(bw) == 0 or (bw <= 0).any() or (bh <= 0).any():
+        raise ValueError("buckets must be non-empty with positive dims")
+    ratios = bw.astype(np.float64) / bh.astype(np.float64)
+
+    def plan(batch: pa.Table) -> pa.Table:
+        wc = batch.column(w_col).combine_chunks()
+        hc = batch.column(h_col).combine_chunks()
+        w = wc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = hc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        good = (wc.is_valid().to_numpy(zero_copy_only=False)
+                & hc.is_valid().to_numpy(zero_copy_only=False))
+        w = np.where(good, w, 1)
+        h = np.where(good, h, 1)
+        good &= (w > 0) & (h > 0)
+        ids = batch.column(id_col).filter(pa.array(good))
+        w, h = w[good], h[good]
+        ar = w.astype(np.float64) / h.astype(np.float64)
+        bidx = np.argmin(np.abs(ar[:, None] - ratios[None, :]), axis=1)
+        tbw, tbh = bw[bidx], bh[bidx]
+        wider = w * tbh >= h * tbw
+        th_f = (2 * h * tbw + w) // (2 * w)   # when wider: fit width
+        tw_f = (2 * w * tbh + h) // (2 * h)   # when taller: fit height
+        tw = np.where(wider, tbw, tw_f)
+        th = np.where(wider, th_f, tbh)
+        return pa.table({
+            id_col: ids,
+            "w": pa.array(w), "h": pa.array(h),
+            "bucket_id": pa.array(bidx.astype(np.int64)),
+            "target_w": pa.array(tw), "target_h": pa.array(th),
+            "pad_w": pa.array(tbw - tw), "pad_h": pa.array(tbh - th),
+        })
+
+    return ds.select_columns(
+        list(dict.fromkeys([id_col, w_col, h_col]))
+    ).map_batches(plan, batch_format="pyarrow", batch_size=batch_size,
+                  zero_copy_batch=True)

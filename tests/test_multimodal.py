@@ -276,3 +276,42 @@ def test_aspect_bucket_stats_assignment_and_exact_sums(ray_session):
     assert got2.bucket_id.tolist() == want.index.tolist()
     assert got2.n_images.tolist() == want.n_images.tolist()
     assert got2.sum_pixels.tolist() == want.sum_pixels.tolist()
+
+
+def test_letterbox_plan_integer_exact_targets(ray_session):
+    """letterbox_plan: wider/taller/exact-fit branches, round-half-up
+    integer targets, padding residuals, invalid-dim exclusion; target
+    never exceeds its bucket."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.multimodal import letterbox_plan
+
+    pdf = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d", "e"],
+        "w": [2048, 512, 1024, 100, None],
+        "h": [1024, 1024, 1024, 0, 50],
+    }).astype({"w": "Int64", "h": "Int64"})
+    ds = ray.data.from_pandas(pdf).repartition(2)
+    got = letterbox_plan(
+        ds, buckets=((1024, 1024), (1536, 640))
+    ).to_pandas().set_index("image_id")
+    assert sorted(got.index) == ["a", "b", "c"]  # d, e invalid
+
+    # serial round-half-up reference for the fit formula
+    def serial(w, h, bw, bh):
+        if w * bh >= h * bw:
+            return bw, (2 * h * bw + w) // (2 * w)
+        return (2 * w * bh + h) // (2 * h), bh
+    for iid, bidx, (bw, bh) in (("a", 1, (1536, 640)),
+                                ("b", 0, (1024, 1024)),
+                                ("c", 0, (1024, 1024))):
+        row = got.loc[iid]
+        w, h = int(row.w), int(row.h)
+        tw, th = serial(w, h, bw, bh)
+        assert int(row.bucket_id) == bidx, iid
+        assert (int(row.target_w), int(row.target_h)) == (tw, th), iid
+        assert int(row.pad_w) == bw - tw and int(row.pad_h) == bh - th
+        assert tw <= bw and th <= bh
+    # exact fit: c is 1024x1024 -> zero padding
+    assert int(got.loc["c"].pad_w) == 0 and int(got.loc["c"].pad_h) == 0

@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (119 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (112 — identical
+§2 + the training-data operators (120 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (113 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,21 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split labels for every document
+    (stages/sampling.split_assign, fractions 0.9/0.05/rest): the
+    dataset-split assignment of a training pipeline, reproducible on
+    any layout because the label is a pure function of (doc_id, seed)
+    through the SQL-mirrorable integer mix32 — the oracle spells the
+    same CASE over the same integer thresholds, making every per-row
+    label hash-verified. Zero shuffles."""
+    from jsschema_ray.stages.sampling import split_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return split_assign(ds, "doc_id", fractions=(0.9, 0.05),
+                        seed=1).sort("doc_id")
+
+
 def q_image_letterbox_plan(sf_dir: str):
     """Per-image letterbox plan into the nearest SDXL aspect bucket
     (stages/multimodal.letterbox_plan): IEEE-deterministic bucket
@@ -2741,8 +2756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_recall": q_simhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         "quantity_zscore": q_quantity_zscore,  # r5 NEW: per-row z-score (bit-mirrored) — replaces bloom_semi_orders in-window
-        "rollup_revenue": q_rollup_revenue,  # r4 NEW: GROUP BY ROLLUP
-        "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE
+        "doc_split_assign": q_doc_split_assign,  # r5 NEW: train/val/test labels — replaces rollup_revenue in-window
+        "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE (same GROUPING-bitmask code path as rollup, kept in-window)
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
@@ -2775,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_orders": q_bloom_semi_orders,  # driver-green r4, join.py unchanged — rotated out for quantity_zscore
         "sample_n_docs": q_sample_n_docs,  # driver-green r4, code unchanged — rotated out for partitioned_write_roundtrip
         "category_drift": q_category_drift,  # driver-green r4, drift.py unchanged in r5 — rotated out for image_letterbox_plan
+        "rollup_revenue": q_rollup_revenue,  # driver-green r4, code unchanged; cube_revenue pins the same GROUPING path in-window — rotated out for doc_split_assign
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3113,6 +3129,18 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # split labels: the same integer mix32 + shared integer
+        # thresholds as the sampling family, per-row CASE
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN m < 3865470566 THEN 'train'
+                        WHEN m < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id + 1) * 2654435761) % 4294967296 AS m
+                  FROM documents WHERE doc_id IS NOT NULL)
+            ORDER BY doc_id
         """,
         # letterbox: same rid-based nearest-bucket CTE as
         # aspect_bucket_stats, then the integer round-half-up fit formula

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "event_lag_lead",
     "weighted_sample",
     "mixture_sample",
+    "doc_split_assign",
     "event_funnel",
     "incremental_dedup",
     "partitioned_write_roundtrip",

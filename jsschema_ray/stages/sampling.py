@@ -312,3 +312,45 @@ def stratified_exact_n(ds, strata_col: str, counts: dict, key_column: str,
         pretrim, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(final_part, batch_format="pandas")
+
+
+def split_assign(ds, key_column: str, fractions: tuple = (0.98, 0.01),
+                 labels: tuple = ("train", "val", "test"), seed: int = 1,
+                 batch_size: int = 262144):
+    """Deterministic train/val/test SPLIT labels — the dataset-split
+    assignment every training pipeline runs, as a row-local map:
+    appends ``split`` (string) chosen by where mix32(key) falls among
+    the cumulative fraction thresholds (len(labels) = len(fractions)+1;
+    the last label takes the remainder). Same rerun-stability contract
+    as the mix32 family — the same (key, seed, fractions) labels the
+    same row identically on any layout, any cluster, any day — and the
+    same SQL mirror shape (CASE over the integer mix against
+    precomputed integer thresholds, shared via sample_threshold so the
+    two engines never round a float independently). NULL keys get a
+    NULL split (they belong to no deterministic split; filter or remap
+    upstream). Zero shuffles."""
+    if len(labels) != len(fractions) + 1:
+        raise ValueError("need len(labels) == len(fractions) + 1")
+    if any(f < 0 for f in fractions) or sum(fractions) > 1.0:
+        raise ValueError("fractions must be >= 0 and sum to <= 1")
+    cum = []
+    tot = 0.0
+    for f in fractions:
+        tot += f
+        cum.append(sample_threshold(tot))
+    thr = np.asarray(cum, dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).combine_chunks()
+        valid = keys.is_valid().to_numpy(zero_copy_only=False)
+        k = keys.cast(pa.int64()).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        mix = _mix32(np.where(valid, k, 0), seed)
+        idx = np.searchsorted(thr, mix, side="right")
+        lab = np.asarray(labels, dtype=object)[idx]
+        return batch.append_column(
+            "split", pa.array(np.where(valid, lab, None).tolist(),
+                              pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -170,3 +170,37 @@ def test_stratified_exact_n_quotas_and_layout_independence(ray_session):
         stratified_exact_n(rd.from_pandas(pdf), "s", {}, "k")
     with _pytest.raises(ValueError):
         stratified_exact_n(rd.from_pandas(pdf), "s", {"a": -1}, "k")
+
+
+def test_split_assign_deterministic_labels(ray_session):
+    """split_assign: labels are a pure function of (key, seed); layout-
+    independent; NULL keys get NULL split; fractions validate; boundary
+    semantics match the serial searchsorted reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jsschema_ray.stages.sampling import (_mix32, sample_threshold,
+                                              split_assign)
+
+    pdf = pd.DataFrame({"k": list(range(500)) + [None]})
+    want_mix = _mix32(np.arange(500, dtype=np.int64), 7)
+    t1, t2 = sample_threshold(0.6), sample_threshold(0.6 + 0.3)
+    want = np.where(want_mix < t1, "train",
+                    np.where(want_mix < t2, "val", "test"))
+    for blocks in (1, 6):
+        ds = rd.from_pandas(pdf).repartition(blocks)
+        got = split_assign(ds, "k", fractions=(0.6, 0.3), seed=7,
+                           batch_size=64).to_pandas()
+        got_valid = got.dropna(subset=["k"]).sort_values("k")
+        assert got_valid.split.tolist() == list(want)
+        assert got[got.k.isna()].split.isna().all()
+    # every label present at these fractions
+    assert set(want) == {"train", "val", "test"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_assign(rd.from_pandas(pdf), "k", fractions=(0.9, 0.2))
+    with _pytest.raises(ValueError):
+        split_assign(rd.from_pandas(pdf), "k", fractions=(0.5,),
+                     labels=("a", "b", "c"))

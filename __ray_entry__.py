@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship validation over the sf0.001 testdata;
 ``queries()`` exposes one callable per implemented operator from SURVEY.md
-§2 + the training-data operators (120 queries); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (113 — identical
+§2 + the training-data operators (121 queries); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (114 — identical
 column names AND dtypes; computed aggregates use integer-scaled sums
 rounded half-away-from-zero to match SQL ROUND, exact under any summation
 order, so the value hash cannot hit a float rounding boundary between
@@ -1715,6 +1715,20 @@ def q_brand_price_linreg(sf_dir: str):
                           "p_retailprice").sort("p_brand")
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-40 adjacent token pairs (stages/text.top_bigrams):
+    one findall/explode + shift-compare adjacency per batch (no per-doc
+    loop), map-side count partials, the sort-free top_k_rows cut;
+    ranked by the integer-exact (count DESC, bigram ASC) order. DuckDB
+    oracle mirrors via the same LIST_TRANSFORM bigram construction the
+    decontamination oracle uses."""
+    from jsschema_ray.stages.text import top_bigrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return top_bigrams(ds, "text", k=40).sort(
+        ["n", "bigram"], descending=[True, False])
+
+
 def q_doc_split_assign(sf_dir: str):
     """Deterministic train/val/test split labels for every document
     (stages/sampling.split_assign, fractions 0.9/0.05/rest): the
@@ -2733,7 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
         "approx_top_phash": q_approx_top_phash,
-        "knn_ivf": q_knn_ivf,
+        "top_bigrams": q_top_bigrams,  # r5 NEW: corpus bigram statistic — replaces knn_ivf in-window
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
         "weighted_discount": q_weighted_discount,  # r5 NEW: weighted mean (bit-mirrored finish) — replaces cap_per_source in-window
@@ -2791,6 +2805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n_docs": q_sample_n_docs,  # driver-green r4, code unchanged — rotated out for partitioned_write_roundtrip
         "category_drift": q_category_drift,  # driver-green r4, drift.py unchanged in r5 — rotated out for image_letterbox_plan
         "rollup_revenue": q_rollup_revenue,  # driver-green r4, code unchanged; cube_revenue pins the same GROUPING path in-window — rotated out for doc_split_assign
+        "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3129,6 +3144,18 @@ def oracle_sql() -> dict[str, str]:
                    lo.vlo + (hi.vhi - lo.vlo) * r.frac AS q_cont
             FROM r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg
             ORDER BY c_mktsegment
+        """,
+        # bigrams: the decontam oracle's LIST_TRANSFORM pair construction
+        # over the shared \\w+ token stream, integer-exact rank
+        "top_bigrams": """
+            WITH t AS (SELECT regexp_extract_all(LOWER(text),
+                                                 '[a-z0-9_]+') AS w
+                       FROM documents),
+            b AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS bigram
+                  FROM t)
+            SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 40
         """,
         # split labels: the same integer mix32 + shared integer
         # thresholds as the sampling family, per-row CASE

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "similarity_join",
     "percentile_filter",
     "top_doc_frequency",
+    "top_bigrams",
     "jaccard_pairs",
     "near_contamination",
     "group_quantiles",

@@ -779,3 +779,52 @@ def chunk_documents(ds, column: str = "text", id_column: str = "doc_id",
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def top_bigrams(ds, column: str = "text", k: int = 40,
+                batch_size: int = 8192):
+    """Corpus-wide top-``k`` adjacent token pairs — the n-gram statistic
+    between token counts (unigrams) and the contamination k-grams: per
+    document, bigrams are adjacent pairs of the SAME lowercased \\w+
+    token stream every text op shares with its SQL mirror; ranked by
+    the integer-exact total order (count DESC, bigram ASC) so the
+    result is bit-reproducible. Returns (bigram, n).
+
+    Scale shape: per batch ONE findall/explode, adjacency by comparing
+    the exploded doc-index array against its shift (no per-doc loop),
+    and a LOCAL value_counts partial — the map-side combine — so the
+    only shuffle moves (distinct-bigrams-per-batch) count rows through
+    grouped_sums; the final cut is the sort-free top_k_rows gather
+    (k result rows per batch cross the wire, never the corpus)."""
+    import pandas as pd
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.stats import top_k_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).to_pandas().fillna("")
+        s = s.reset_index(drop=True)
+        ex = s.str.lower().str.findall(r"\w+").explode().dropna()
+        if len(ex) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        idx = ex.index.to_numpy()
+        tok = ex.to_numpy(dtype=object)
+        adj = idx[:-1] == idx[1:]
+        bg = tok[:-1][adj] + " " + tok[1:][adj]
+        if not len(bg):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        vc = pd.Series(bg).value_counts()
+        return pa.table({
+            "bigram": pa.array(vc.index.to_numpy(dtype=object),
+                               pa.string()),
+            "n_part": pa.array(vc.to_numpy(dtype=np.int64)),
+        })
+
+    counts = grouped_sums(
+        ds.select_columns([column]).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size),
+        ["bigram"], {"n": "n_part"}, count_alias=None)
+    return top_k_rows(counts, value="n", tiebreak="bigram", k=k,
+                      descending=True)

@@ -269,3 +269,37 @@ class TestChunkDocuments:
                       "text": pa.array(["a b"], pa.string())})
         with pytest.raises(Exception):
             chunk_documents(rd.from_arrow(t)).materialize()
+
+
+def test_top_bigrams_counts_and_rank(ray_session):
+    """top_bigrams: adjacent pairs within a document only, global counts,
+    (count DESC, bigram ASC) deterministic rank, layout-independent."""
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.text import top_bigrams
+
+    pdf = pd.DataFrame({"text": [
+        "the cat sat", "the cat ran", "a cat sat", None, "cat", "",
+        "THE CAT sat on the cat",
+    ]})
+
+    def serial():
+        from collections import Counter
+        import re
+        c = Counter()
+        for t in pdf.text.dropna():
+            w = re.findall(r"\w+", t.lower())
+            c.update(" ".join(p) for p in zip(w, w[1:]))
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    want = serial()
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(pdf).repartition(blocks)
+        got = top_bigrams(ds, "text", k=5, batch_size=2).to_pandas() \
+            .sort_values(["n", "bigram"], ascending=[False, True]) \
+            .reset_index(drop=True)
+        assert list(zip(got.bigram, got.n)) == want
+    # 'the cat' appears 3x ('the cat sat', 'the cat ran', twice in the
+    # last doc)... verify the top entry explicitly
+    assert want[0] == ("the cat", 4)

@@ -1771,12 +1771,21 @@ def q_partitioned_write_roundtrip(sf_dir: str):
 
     import pyarrow.parquet as pq
 
-    # key the sink by sf name AND row count: committed partitions pin a
-    # run's identity, and documents has the same row count at sf0.001
-    # and sf0.01 (different contents)
-    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # key the sink by an INPUT FINGERPRINT (sf name, row count, file
+    # size, mtime): committed partitions pin a run's identity and are
+    # never rewritten, so a regenerated input (same dir name, same row
+    # count, different contents) must land in a FRESH sink — review
+    # finding: a (name, rows)-only key silently served stale data
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    n = pq.read_metadata(src).num_rows
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{n}:{st.st_size}:{st.st_mtime_ns}".encode(), digest_size=8
+    ).hexdigest()
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/jsschema_ray_cache/partwrite_{tag}_{n}"
+    out = f"/tmp/jsschema_ray_cache/partwrite_{tag}_{fp}"
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     # consume the manifest to force the write (idempotent: committed
     # partitions skip)
@@ -2796,7 +2805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
         "session_windows": q_session_windows,  # driver-green r2+r3+r4, unchanged — rotated out for quantity_price_corr
-        "hash_sample": q_hash_sample,  # driver-green r4, code unchanged; 4 sampling reps stay in-window — rotated out for acctbal_percentile_cont
+        "hash_sample": q_hash_sample,  # driver-green r4, code unchanged; 3 mix32 reps stay in-window (mixture_sample, doc_split_assign, weighted_sample) — rotated out for acctbal_percentile_cont
         "stratified_sample": q_stratified_sample,  # driver-green r4, code unchanged — rotated out for mixture_sample (which covers the same mix32 family)
         "cap_per_source": q_cap_per_source,  # driver-green r4, code unchanged — rotated out for weighted_discount (mixture_sample pins the quota-cap shape in-window)
         "histogram_chars": q_histogram_chars,  # driver-green r4, histogram code unchanged — rotated out for hopping_distinct_users
@@ -3161,12 +3170,16 @@ def oracle_sql() -> dict[str, str]:
         # thresholds as the sampling family, per-row CASE
         "doc_split_assign": """
             SELECT doc_id,
-                   CASE WHEN m < 3865470566 THEN 'train'
+                   CASE WHEN doc_id IS NULL THEN NULL
+                        WHEN m < 3865470566 THEN 'train'
                         WHEN m < 4080218931 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id,
                          ((doc_id + 1) * 2654435761) % 4294967296 AS m
-                  FROM documents WHERE doc_id IS NOT NULL)
+                  FROM documents)
+            -- NULL doc_id keeps its row with a NULL split (the engine's
+            -- contract); the explicit NULL branch matters — a NULL mix
+            -- would otherwise fall through every comparison to 'test'
             ORDER BY doc_id
         """,
         # letterbox: same rid-based nearest-bucket CTE as
@@ -3240,7 +3253,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (CAST(ROUND(l.l_quantity * 100) AS BIGINT)
                               / 100.0 - st.mean_x) / st.sd
                    END AS zscore
-            FROM lineitem l JOIN st USING (l_returnflag)
+            FROM lineitem l LEFT JOIN st USING (l_returnflag)
+            -- LEFT (review finding): the engine keeps rows whose group
+            -- has no statistics (NULL group / all-NULL x) with a NULL
+            -- zscore; an inner join would silently drop them here
             ORDER BY l.l_orderkey, l.l_linenumber
         """,
         # transition matrix: LAG per user, boundary/NULL pairs filtered

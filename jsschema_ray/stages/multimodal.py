@@ -454,6 +454,40 @@ ASPECT_BUCKETS_1024 = (
 )
 
 
+def _bucket_arrays(buckets):
+    """Validate a bucket list into (bw, bh, ratios) int64/float64 arrays
+    — shared by aspect_bucket_stats and letterbox_plan so both ops use
+    the identical bucket universe contract."""
+    bw = np.asarray([b[0] for b in buckets], dtype=np.int64)
+    bh = np.asarray([b[1] for b in buckets], dtype=np.int64)
+    if len(bw) == 0 or (bw <= 0).any() or (bh <= 0).any():
+        raise ValueError("buckets must be non-empty with positive dims")
+    return bw, bh, bw.astype(np.float64) / bh.astype(np.float64)
+
+
+def _valid_dims_and_bucket(batch, w_col, h_col, ratios):
+    """The ONE nearest-bucket assignment both oracles mirror: validity
+    mask (non-NULL, positive dims), exact int64 dims, and the
+    (rows x K) IEEE-distance argmin whose FIRST minimum implements the
+    lower-bucket-index tiebreak. Returns (good_mask, w, h, bidx) with
+    w/h/bidx already filtered to valid rows — extracted so a future
+    change to the assignment rule cannot diverge between the roll-up
+    and the per-image plan (review finding)."""
+    wc = batch.column(w_col).combine_chunks()
+    hc = batch.column(h_col).combine_chunks()
+    w = wc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    h = hc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    good = (wc.is_valid().to_numpy(zero_copy_only=False)
+            & hc.is_valid().to_numpy(zero_copy_only=False))
+    w = np.where(good, w, 1)
+    h = np.where(good, h, 1)
+    good &= (w > 0) & (h > 0)
+    w, h = w[good], h[good]
+    ar = w.astype(np.float64) / h.astype(np.float64)
+    bidx = np.argmin(np.abs(ar[:, None] - ratios[None, :]), axis=1)
+    return good, w, h, bidx
+
+
 def aspect_bucket_stats(ds, buckets=ASPECT_BUCKETS_1024, w_col: str = "w",
                         h_col: str = "h", batch_size: int = 65536):
     """Aspect-ratio bucketing — the training-batch collation op every
@@ -482,38 +516,18 @@ def aspect_bucket_stats(ds, buckets=ASPECT_BUCKETS_1024, w_col: str = "w",
     into K partial rows (np.bincount counts + np.add.at exact int64
     pixel sums), and the only shuffle moves those width-3 partials
     through grouped_sums."""
-    import pyarrow.compute as pc
-
     from jsschema_ray.stages.aggregates import grouped_sums
 
-    bw = np.asarray([b[0] for b in buckets], dtype=np.int64)
-    bh = np.asarray([b[1] for b in buckets], dtype=np.int64)
-    if len(bw) == 0:
-        raise ValueError("aspect_bucket_stats needs >= 1 bucket")
-    if (bw <= 0).any() or (bh <= 0).any():
-        raise ValueError("bucket dims must be positive")
-    ratios = bw.astype(np.float64) / bh.astype(np.float64)
+    bw, bh, ratios = _bucket_arrays(buckets)
     k = len(ratios)
 
     def partial(batch: pa.Table) -> pa.Table:
-        wc = batch.column(w_col).combine_chunks()
-        hc = batch.column(h_col).combine_chunks()
-        w = wc.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = hc.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        good = (wc.is_valid().to_numpy(zero_copy_only=False)
-                & hc.is_valid().to_numpy(zero_copy_only=False))
-        w = np.where(good, w, 1)
-        h = np.where(good, h, 1)
-        good &= (w > 0) & (h > 0)
-        w, h = w[good], h[good]
+        _, w, h, bidx = _valid_dims_and_bucket(batch, w_col, h_col,
+                                               ratios)
         if not len(w):
             return pa.table({"bucket_id": pa.array([], pa.int64()),
                              "n_images": pa.array([], pa.int64()),
                              "sum_pixels": pa.array([], pa.int64())})
-        ar = w.astype(np.float64) / h.astype(np.float64)
-        # (rows x K) distances; argmin returns the FIRST minimum = the
-        # lowest bucket index on ties, matching the oracle's tiebreak
-        bidx = np.argmin(np.abs(ar[:, None] - ratios[None, :]), axis=1)
         counts = np.bincount(bidx, minlength=k)
         pixels = np.zeros(k, dtype=np.int64)
         np.add.at(pixels, bidx, w * h)
@@ -568,28 +582,12 @@ def letterbox_plan(ds, buckets=ASPECT_BUCKETS_1024, id_col: str = "image_id",
 
     Scale shape: pure row-local map — one (rows x K) vectorized argmin
     per batch, zero shuffles; the pixel work stays in ResizeImages."""
-    import pyarrow.compute as pc
-
-    bw = np.asarray([b[0] for b in buckets], dtype=np.int64)
-    bh = np.asarray([b[1] for b in buckets], dtype=np.int64)
-    if len(bw) == 0 or (bw <= 0).any() or (bh <= 0).any():
-        raise ValueError("buckets must be non-empty with positive dims")
-    ratios = bw.astype(np.float64) / bh.astype(np.float64)
+    bw, bh, ratios = _bucket_arrays(buckets)
 
     def plan(batch: pa.Table) -> pa.Table:
-        wc = batch.column(w_col).combine_chunks()
-        hc = batch.column(h_col).combine_chunks()
-        w = wc.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = hc.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        good = (wc.is_valid().to_numpy(zero_copy_only=False)
-                & hc.is_valid().to_numpy(zero_copy_only=False))
-        w = np.where(good, w, 1)
-        h = np.where(good, h, 1)
-        good &= (w > 0) & (h > 0)
+        good, w, h, bidx = _valid_dims_and_bucket(batch, w_col, h_col,
+                                                  ratios)
         ids = batch.column(id_col).filter(pa.array(good))
-        w, h = w[good], h[good]
-        ar = w.astype(np.float64) / h.astype(np.float64)
-        bidx = np.argmin(np.abs(ar[:, None] - ratios[None, :]), axis=1)
         tbw, tbh = bw[bidx], bh[bidx]
         wider = w * tbh >= h * tbw
         th_f = (2 * h * tbw + w) // (2 * w)   # when wider: fit width

@@ -754,3 +754,56 @@ def test_grouped_zscore_matches_scipy_reference_and_nulls(ray_session):
         want = (xq - mean) / std
         np.testing.assert_allclose(
             have.loc[sub.rid.to_numpy()].to_numpy(), want, rtol=1e-9)
+
+
+def test_grouped_zscore_null_group_matches_sql_left_join(ray_session):
+    """Review-finding pin: rows whose group is NULL (or whose group has
+    no statistics) survive with a NULL zscore, and the engine's
+    broadcast join follows SQL NULL-key semantics (a NULL group never
+    matches its own stats row) — bit-parity with the LEFT JOIN mirror."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_zscore
+
+    pdf = pd.DataFrame({
+        "rid": np.arange(9, dtype=np.int64),
+        "g": [None, None, None, "B", "B", "B", "C", "C", "A"],
+        "x": [1.0, 2.0, 9.0, 5.0, 6.0, 7.0, None, None, 4.0],
+    })
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    got = grouped_zscore(ds, "g", "x", keep=["rid"]).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert len(got) == len(pdf)  # every row survives
+    # NULL group: never matches stats (SQL NULL-key join semantics),
+    # even though its 3 valid values would define a variance
+    assert got[got.g.isna()].zscore.isna().all()
+    assert got[got.g == "C"].zscore.isna().all()  # all-NULL x group
+    assert got[got.g == "A"].zscore.isna().all()  # n=1 group
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mirror = con.execute("""
+        WITH s AS (SELECT g, CAST(ROUND(x * 100) AS BIGINT) AS xv
+                   FROM t WHERE x IS NOT NULL),
+        m AS (SELECT g, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS fn,
+                     CAST(SUM(xv) AS DOUBLE) AS sx,
+                     CAST(SUM(xv * xv) AS DOUBLE) AS sxx
+              FROM s GROUP BY g),
+        st AS (SELECT g, sx / fn / 100.0 AS mean_x,
+                      CASE WHEN n < 2 THEN NULL
+                           WHEN fn * sxx - sx * sx <= 0 THEN 0.0
+                           ELSE SQRT((fn * sxx - sx * sx)
+                                     / (fn * (fn - 1.0))) / 100.0
+                      END AS sd FROM m)
+        SELECT t.rid,
+               CASE WHEN t.x IS NULL OR st.sd IS NULL OR st.sd = 0
+                    THEN NULL
+                    ELSE (CAST(ROUND(t.x * 100) AS BIGINT) / 100.0
+                          - st.mean_x) / st.sd END AS zscore
+        FROM t LEFT JOIN st ON t.g = st.g
+        ORDER BY t.rid
+    """).df()
+    a = got.zscore.to_numpy(dtype=np.float64)
+    b = mirror.zscore.to_numpy(dtype=np.float64)
+    assert np.array_equal(a, b, equal_nan=True)

@@ -1815,6 +1815,39 @@ def q_quantity_zscore(sf_dir: str):
     ).sort(["l_orderkey", "l_linenumber"])
 
 
+def q_price_minmax(sf_dir: str):
+    """Per-row min-max [0,1] rescaling of o_totalprice within its
+    orderpriority group (stages/aggregates.grouped_minmax_scale) — the
+    bounded sibling of the z-score feature-prep transform: exact
+    per-group int64 extrema of the quantized values broadcast back
+    (5 groups, ray.put once), then ONE spelled float64 division of
+    exact-int operands per row, so even the per-ROW float column hashes
+    against DuckDB without tolerance."""
+    from jsschema_ray.stages.aggregates import grouped_minmax_scale
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = grouped_minmax_scale(ds, "o_orderpriority", "o_totalprice",
+                               keep=["o_orderkey"])
+    return out.select_columns(
+        ["o_orderkey", "o_orderpriority", "minmax"]).sort("o_orderkey")
+
+
+def q_price_decile(sf_dir: str):
+    """Per-row GLOBAL decile bucket of o_totalprice
+    (stages/quantiles.decile_assign) — value-based feature binning by
+    the CUME_DIST rule over value_cdf's exact integer ranks: bucket =
+    min(ceil(n_le/n_total*10)-1, 9), ties share a bucket. The
+    O(distinct)-row cdf table joins back through ONE partitioned
+    hash_join on the value (never broadcast, never on the driver);
+    buckets are bit-identical to the COUNT(*) OVER (ORDER BY) mirror."""
+    from jsschema_ray.stages.quantiles import decile_assign
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = decile_assign(ds, ["o_orderkey"], "o_totalprice", k=10)
+    return out.select_columns(["o_orderkey", "bucket"]).sort("o_orderkey")
+
+
 def q_event_transitions(sf_dir: str):
     """First-order event-type transition matrix per user
     (stages/windows.transition_counts): SQL LAG over the (ts, event_id)
@@ -2761,7 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
         "weighted_discount": q_weighted_discount,  # r5 NEW: weighted mean (bit-mirrored finish) — replaces cap_per_source in-window
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
-        "distinct_lang_source": q_distinct_lang_source,
+        "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
         "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
         "jaccard_pairs": q_jaccard_pairs,
@@ -2780,7 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         "quantity_zscore": q_quantity_zscore,  # r5 NEW: per-row z-score (bit-mirrored) — replaces bloom_semi_orders in-window
         "doc_split_assign": q_doc_split_assign,  # r5 NEW: train/val/test labels — replaces rollup_revenue in-window
-        "cube_revenue": q_cube_revenue,  # r4 NEW: GROUP BY CUBE (same GROUPING-bitmask code path as rollup, kept in-window)
+        "price_decile": q_price_decile,  # r5 NEW: global CUME_DIST decile binning via value_cdf + hash_join — replaces cube_revenue in-window
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
@@ -2818,6 +2851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
+        "distinct_lang_source": q_distinct_lang_source,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for price_minmax
+        "cube_revenue": q_cube_revenue,  # driver-green r4, cube_sums untouched in r5 (aggregates.py changes are additive) — rotated out for price_decile
         "exact_dedup": q_exact_dedup,
         "revenue_by_nation": q_revenue_by_nation,  # driver-green r4, unchanged (join+agg primitives all in-window)
         "pivot_events": q_pivot_events,  # driver-green r3+r4, unchanged
@@ -3258,6 +3293,42 @@ def oracle_sql() -> dict[str, str]:
             -- has no statistics (NULL group / all-NULL x) with a NULL
             -- zscore; an inner join would silently drop them here
             ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        # grouped min-max rescale: same quantize + exact-int extrema +
+        # ONE spelled division of exact-int operands as the engine (LEFT
+        # join: NULL-group / no-stats rows survive with NULL minmax)
+        "price_minmax": """
+            WITH s AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                  AS xv
+                       FROM orders WHERE o_totalprice IS NOT NULL),
+            m AS (SELECT o_orderpriority, MIN(xv) AS xmin, MAX(xv) AS xmax
+                  FROM s GROUP BY o_orderpriority)
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CASE WHEN o.o_totalprice IS NULL OR m.xmin IS NULL
+                             OR m.xmax = m.xmin THEN NULL
+                        ELSE CAST(CAST(ROUND(o.o_totalprice * 100)
+                                       AS BIGINT) - m.xmin AS DOUBLE)
+                             / CAST(m.xmax - m.xmin AS DOUBLE)
+                   END AS minmax
+            FROM orders o LEFT JOIN m USING (o_orderpriority)
+            ORDER BY o.o_orderkey
+        """,
+        # global decile binning: COUNT(*) OVER (ORDER BY v) counts peers
+        # (= n_le, the CUME_DIST numerator); same CASTs and operation
+        # order as the engine, NULL values dropped on both sides
+        "price_decile": """
+            WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_totalprice IS NOT NULL),
+            c AS (SELECT o_orderkey,
+                         COUNT(*) OVER (ORDER BY o_totalprice) AS n_le,
+                         COUNT(*) OVER () AS n_total
+                  FROM t)
+            SELECT o_orderkey,
+                   LEAST(CAST(CEIL(CAST(n_le AS DOUBLE)
+                                   / CAST(n_total AS DOUBLE) * 10.0)
+                              AS BIGINT) - 1, 9) AS bucket
+            FROM c ORDER BY o_orderkey
         """,
         # transition matrix: LAG per user, boundary/NULL pairs filtered
         "event_transitions": """

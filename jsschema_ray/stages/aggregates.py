@@ -1031,3 +1031,94 @@ def grouped_linreg(ds, group: str, x: str, y: str, scale: int = 100,
 
     return m.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def grouped_minmax_scale(ds, group: str, x: str, scale: int = 100,
+                         keep: Optional[list] = None,
+                         batch_size: int = 65536):
+    """Per-ROW min-max normalization within each group — the [0, 1]
+    feature-rescaling transform, the bounded sibling of
+    :func:`grouped_zscore`: appends ``minmax`` float64 computed as ONE
+    spelled IEEE division of EXACT int64 operands
+
+        xv     = round_half_away(x * scale)            (int64)
+        minmax = f(xv - xmin) / f(xmax - xmin)
+
+    where xmin/xmax are the exact per-group int64 extrema of xv (NULL x
+    dropped). Integer subtraction is exact and both division operands
+    are exactly representable in float64 (|xv| < 2^52 enforced at the
+    scan), so a SQL mirror spelling the same
+    ``CAST(xv - xmin AS DOUBLE) / CAST(xmax - xmin AS DOUBLE)``
+    reproduces the float64 bits and even this per-ROW float column
+    hashes against a DuckDB oracle without tolerance. Rows with NULL x,
+    a group with no statistics (NULL group key or all-NULL x — SQL
+    LEFT-join semantics, NULL never matches NULL), or a constant group
+    (xmax == xmin) yield NULL ``minmax`` (the SQL CASE rule).
+
+    Scale shape: one map-side-combined extrema shuffle (per-batch
+    pyarrow ``group_by`` min/max partials — O(groups x batches) width-3
+    rows), then the O(groups) stats table broadcast-joins back (ray.put
+    once; groups must be bounded for the broadcast) and the finish is a
+    row-local vectorized map. Reference analogue: the per-field numeric
+    range keywords (minimum/maximum, /root/reference/schema.go) extended
+    from single-value validation to a grouped corpus rescale. ``keep``
+    limits the output columns (plus group/x/minmax)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    from jsschema_ray.stages.join import broadcast_join
+    from jsschema_ray.stages.windows import round_half_away
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.select([group, x]).filter(pc.is_valid(batch.column(x)))
+        xv = round_half_away(
+            b.column(x).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        if len(xv) and np.abs(xv).max() >= (1 << 52):
+            raise ValueError(
+                f"grouped_minmax_scale values exceed 2^52 at "
+                f"scale={scale}; the int64 differences would lose "
+                "float64 exactness — lower the scale")
+        g = pa.table({group: b.column(group), "xv": pa.array(xv)}) \
+            .group_by([group]).aggregate([("xv", "min"), ("xv", "max")])
+        renames = {"xv_min": "xmin", "xv_max": "xmax"}
+        return g.rename_columns(
+            [renames.get(n, n) for n in g.column_names])
+
+    partials = ds.select_columns([group, x]).map_batches(
+        prep, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    stats = partials.groupby(group).aggregate(
+        Min("xmin", alias_name="xmin"), Max("xmax", alias_name="xmax"))
+
+    cols = list(dict.fromkeys((keep or []) + [group, x]))
+    joined = broadcast_join(ds.select_columns(cols), stats, key=group,
+                            how="left", batch_size=batch_size)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        xa = batch.column(x)
+        valid = pc.is_valid(xa).to_numpy(zero_copy_only=False)
+        xv = round_half_away(
+            np.where(valid, xa.to_numpy(zero_copy_only=False), 0.0)
+            * scale
+        ).astype(np.int64)
+        xmin_a = batch.column("xmin")
+        have = pc.is_valid(xmin_a).to_numpy(zero_copy_only=False)
+        xmin = np.where(
+            have, xmin_a.to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        xmax = np.where(
+            have, batch.column("xmax").to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        rng = xmax - xmin
+        ok = valid & have & (rng != 0)
+        v = (xv - xmin).astype(np.float64) / np.where(
+            ok, rng, 1).astype(np.float64)
+        out = batch.drop_columns(["xmin", "xmax"])
+        return out.append_column(
+            "minmax", pa.array(v, pa.float64(), mask=~ok))
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)

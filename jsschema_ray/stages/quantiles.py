@@ -562,3 +562,61 @@ def grouped_tdigest_quantiles(ds, group_col: str, column: str,
         partial, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
+def decile_assign(ds, id_cols: list, col: str, k: int = 10,
+                  num_buckets: int = 64, batch_size: int = 262144):
+    """Per-row GLOBAL quantile-bucket assignment of ``col`` (decile for
+    k=10) by the CUME_DIST rule — the value-based feature-binning step
+    of a curation pipeline (a row at the p-th percentile lands in bucket
+    ~floor(p*k); ties share a bucket because peers share n_le):
+
+        bucket = min( ceil( f(n_le)/f(n_total) * f(k) ) - 1 , k-1 )
+
+    over the EXACT int64 (n_le, n_total) from :func:`value_cdf`. Float
+    parity: both operands of the division are exact ints and the finish
+    is one spelled order — divide, multiply by the k literal, CEIL,
+    subtract 1, clamp — mirrored in SQL by ``COUNT(*) OVER (ORDER BY
+    col)`` (the default RANGE frame counts peers, i.e. n_le) with the
+    same CASTs, so buckets are bit-identical. Rows with NULL ``col``
+    are DROPPED (the mirror's WHERE col IS NOT NULL; value_cdf excludes
+    NULLs from ranks either way). Returns id_cols + [col, "bucket"].
+
+    Scale shape: value_cdf (per-batch distinct-count map-side combine +
+    range-partitioned prefix-sum finish, no O(distinct) single task), a
+    row-local bucket map over the O(distinct)-row cdf table, then ONE
+    partitioned hash join back on the value column
+    (:func:`jsschema_ray.stages.join.hash_join`, inner) — the cdf table
+    is never broadcast and the driver never sees value rows."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.join import hash_join
+
+    if k < 1:
+        raise ValueError(f"decile_assign needs k >= 1, got {k}")
+    fk = float(k)
+    top = k - 1
+
+    cdf = value_cdf(ds, col, batch_size=batch_size)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n_le = t.column("n_le").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n_tot = t.column("n_total").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        b = np.ceil(n_le / n_tot * fk) - 1.0
+        b = np.minimum(b, float(top)).astype(np.int64)
+        return pa.table({col: t.column(col), "bucket": pa.array(b)})
+
+    buckets = cdf.map_batches(bucketize, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(col)))
+
+    rows = ds.select_columns(
+        list(dict.fromkeys(list(id_cols) + [col]))
+    ).map_batches(drop_null, batch_format="pyarrow",
+                  batch_size=batch_size, zero_copy_batch=True)
+    return hash_join(rows, buckets, key=col, num_buckets=num_buckets,
+                     how="inner", batch_size=batch_size)

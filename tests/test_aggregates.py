@@ -807,3 +807,85 @@ def test_grouped_zscore_null_group_matches_sql_left_join(ray_session):
     a = got.zscore.to_numpy(dtype=np.float64)
     b = mirror.zscore.to_numpy(dtype=np.float64)
     assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_grouped_minmax_scale_reference_nulls_and_sql_bits(ray_session):
+    """grouped_minmax_scale == (xv - min)/(max - min) per group on the
+    quantized ints; NULL x, NULL group (SQL LEFT-join semantics),
+    all-NULL-x groups and constant groups yield NULL; float64 bits match
+    the spelled DuckDB mirror exactly."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_minmax_scale
+
+    rng = np.random.default_rng(61)
+    n = 1500
+    pdf = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": np.round(rng.normal(50, 20, n), 2),
+    })
+    pdf.loc[0, "x"] = np.nan
+    extra = pd.DataFrame({
+        "rid": [n, n + 1, n + 2, n + 3, n + 4],
+        "g": ["const", "const", None, "nullx", "one"],
+        "x": [7.0, 7.0, 3.0, None, 9.0],
+    })
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    got = grouped_minmax_scale(ds, "g", "x", keep=["rid"],
+                               batch_size=256).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert len(got) == len(pdf)
+    assert np.isnan(got.loc[0, "minmax"])                    # NULL x
+    assert got[got.g == "const"].minmax.isna().all()         # max == min
+    assert got[got.g.isna()].minmax.isna().all()             # NULL group
+    assert got[got.g == "nullx"].minmax.isna().all()         # no stats
+    assert got[got.g == "one"].minmax.isna().all()           # n=1 const
+
+    for gname in ("a", "b", "c"):
+        sub = pdf[(pdf.g == gname) & pdf.x.notna()]
+        xv = np.round(sub.x * 100).astype("int64").to_numpy()
+        want = (xv - xv.min()).astype(np.float64) / float(
+            xv.max() - xv.min())
+        have = got[got.g == gname].dropna(subset=["minmax"]) \
+            .set_index("rid").minmax.loc[sub.rid.to_numpy()].to_numpy()
+        assert np.array_equal(have, want)
+        assert have.min() == 0.0 and have.max() == 1.0
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mirror = con.execute("""
+        WITH s AS (SELECT g, CAST(ROUND(x * 100) AS BIGINT) AS xv
+                   FROM t WHERE x IS NOT NULL),
+        m AS (SELECT g, MIN(xv) AS xmin, MAX(xv) AS xmax
+              FROM s GROUP BY g)
+        SELECT t.rid,
+               CASE WHEN t.x IS NULL OR m.xmin IS NULL
+                         OR m.xmax = m.xmin THEN NULL
+                    ELSE CAST(CAST(ROUND(t.x * 100) AS BIGINT) - m.xmin
+                              AS DOUBLE)
+                         / CAST(m.xmax - m.xmin AS DOUBLE)
+               END AS minmax
+        FROM t LEFT JOIN m USING (g) ORDER BY t.rid
+    """).df()
+    a = got.minmax.to_numpy()
+    b = mirror.minmax.to_numpy()
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])  # bit-exact
+
+
+def test_grouped_minmax_scale_overflow_guard(ray_session):
+    """Values whose quantized magnitude reaches 2^52 (float64 exactness
+    boundary for the int differences) raise instead of silently losing
+    bits."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import grouped_minmax_scale
+
+    big = pd.DataFrame({"g": ["a", "a"], "x": [5e13, 1.0]})
+    with pytest.raises(Exception):
+        grouped_minmax_scale(ray.data.from_pandas(big), "g",
+                             "x").materialize()

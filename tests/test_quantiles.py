@@ -317,3 +317,69 @@ class TestGroupedQuantileCont:
             b = mirror.q_cont.to_numpy(dtype=np.float64)
             assert np.array_equal(a, b, equal_nan=True), q
             assert got.n.tolist() == mirror.n.tolist()
+
+
+def test_decile_assign_matches_cume_dist_mirror(ray_session):
+    """decile_assign buckets == the SQL CUME_DIST rule
+    LEAST(CEIL(n_le/n * k) - 1, k-1) with peers sharing a bucket; NULL
+    values drop; uniform distinct data balances exactly."""
+    import duckdb
+    import ray.data
+
+    from jsschema_ray.stages.quantiles import decile_assign
+
+    rng = np.random.default_rng(67)
+    vals = np.round(rng.normal(100, 30, 900), 1)
+    vals[::37] = 55.5  # a heavy tie block spanning bucket boundaries
+    pdf = pd.DataFrame({
+        "rid": np.arange(903, dtype=np.int64),
+        "x": np.r_[vals, [np.nan, np.nan, 12.0]],
+    })
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    got = decile_assign(ds, ["rid"], "x", k=10, num_buckets=8,
+                        batch_size=128).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert len(got) == 901  # the two NULL rows dropped
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("""
+        WITH t2 AS (SELECT rid, x FROM t WHERE x IS NOT NULL),
+        c AS (SELECT rid, x,
+                     COUNT(*) OVER (ORDER BY x) AS n_le,
+                     COUNT(*) OVER () AS n_total
+              FROM t2)
+        SELECT rid,
+               LEAST(CAST(CEIL(CAST(n_le AS DOUBLE)
+                                / CAST(n_total AS DOUBLE) * 10.0)
+                          AS BIGINT) - 1, 9) AS bucket
+        FROM c ORDER BY rid
+    """).df()
+    assert np.array_equal(got.bucket.to_numpy().astype(np.int64),
+                          want.bucket.to_numpy().astype(np.int64))
+    # ties share one bucket (got carries the value column already)
+    assert got[got.x == 55.5].bucket.nunique() == 1
+
+    # distinct uniform values balance exactly for k | n
+    pdf2 = pd.DataFrame({"rid": np.arange(400, dtype=np.int64),
+                         "x": rng.permutation(400).astype(np.float64)})
+    got2 = decile_assign(ray.data.from_pandas(pdf2).repartition(3),
+                         ["rid"], "x", k=4).to_pandas()
+    counts = got2.bucket.value_counts().sort_index()
+    assert counts.index.tolist() == [0, 1, 2, 3]
+    assert (counts == 100).all()
+
+
+def test_decile_assign_k1_and_validation(ray_session):
+    """k=1 puts every non-null row in bucket 0; k<1 raises."""
+    import ray.data
+
+    from jsschema_ray.stages.quantiles import decile_assign
+
+    pdf = pd.DataFrame({"rid": np.arange(5, dtype=np.int64),
+                        "x": [1.0, 2.0, 2.0, None, 3.0]})
+    ds = ray.data.from_pandas(pdf)
+    got = decile_assign(ds, ["rid"], "x", k=1).to_pandas()
+    assert len(got) == 4 and (got.bucket == 0).all()
+    with pytest.raises(ValueError):
+        decile_assign(ds, ["rid"], "x", k=0)

@@ -1848,6 +1848,20 @@ def q_price_decile(sf_dir: str):
     return out.select_columns(["o_orderkey", "bucket"]).sort("o_orderkey")
 
 
+def q_doc_freq_score(sf_dir: str):
+    """Per-document mean corpus term frequency
+    (stages/text.token_freq_score) — the integer-exact zeroth-order
+    analogue of CCNet-style unigram-LM quality scoring: exact int64
+    (n_tokens, sum_ctf) oracled directly, freq_score one spelled
+    division so even the float column hashes bit-exact. Text never
+    shuffles; the O(vocab) count table joins through ONE partitioned
+    hash_join (never broadcast)."""
+    from jsschema_ray.stages.text import token_freq_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_freq_score(ds).sort("doc_id")
+
+
 def q_event_transitions(sf_dir: str):
     """First-order event-type transition matrix per user
     (stages/windows.transition_counts): SQL LAG over the (ts, event_id)
@@ -2797,7 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
         "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
-        "jaccard_pairs": q_jaccard_pairs,
+        "doc_freq_score": q_doc_freq_score,  # r5 NEW: mean-corpus-TF quality score (CCNet-analogue, bit-exact) — replaces jaccard_pairs in-window
         "dedup_components": q_dedup_components,
         "near_dedup_corpus": q_near_dedup_corpus,
         "group_quantiles": q_group_quantiles,
@@ -2852,6 +2866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
         "distinct_lang_source": q_distinct_lang_source,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for price_minmax
+        "jaccard_pairs": q_jaccard_pairs,  # driver-green r4, exact_jaccard_pairs untouched in r5 (dedup.py hunks are minhash-side) — rotated out for doc_freq_score
         "cube_revenue": q_cube_revenue,  # driver-green r4, cube_sums untouched in r5 (aggregates.py changes are additive) — rotated out for price_decile
         "exact_dedup": q_exact_dedup,
         "revenue_by_nation": q_revenue_by_nation,  # driver-green r4, unchanged (join+agg primitives all in-window)
@@ -3293,6 +3308,27 @@ def oracle_sql() -> dict[str, str]:
             -- has no statistics (NULL group / all-NULL x) with a NULL
             -- zscore; an inner join would silently drop them here
             ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        # mean corpus term frequency: exact int64 components, the same
+        # lowercased \\w+ token stream as the other text oracles, ONE
+        # spelled division; zero-token docs excluded by the join on both
+        # sides
+        "doc_freq_score": """
+            WITH tok AS (SELECT doc_id,
+                                UNNEST(regexp_extract_all(LOWER(text),
+                                                          '[a-z0-9_]+'))
+                                    AS token
+                         FROM documents),
+            ctf AS (SELECT token, COUNT(*) AS ctf FROM tok
+                    GROUP BY token),
+            d AS (SELECT t.doc_id,
+                         CAST(SUM(c.ctf) AS BIGINT) AS sum_ctf,
+                         COUNT(*) AS n_tokens
+                  FROM tok t JOIN ctf c USING (token) GROUP BY t.doc_id)
+            SELECT doc_id, n_tokens, sum_ctf,
+                   CAST(sum_ctf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS freq_score
+            FROM d ORDER BY doc_id
         """,
         # grouped min-max rescale: same quantize + exact-int extrema +
         # ONE spelled division of exact-int operands as the engine (LEFT

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "brand_price_linreg",
     "quantity_stddev",
     "quantity_zscore",
+    "price_minmax",
+    "price_decile",
     "weighted_discount",
     "acctbal_percentile_cont",
     "group_quantile_sketch",

@@ -828,3 +828,103 @@ def top_bigrams(ds, column: str = "text", k: int = 40,
         ["bigram"], {"n": "n_part"}, count_alias=None)
     return top_k_rows(counts, value="n", tiebreak="bigram", k=k,
                       descending=True)
+
+
+def token_freq_score(ds, column: str = "text", id_column: str = "doc_id",
+                     num_parts: int = 32, batch_size: int = 8192):
+    """Per-document mean corpus term frequency — the integer-exact
+    zeroth-order analogue of a unigram-LM quality score (CCNet-style
+    curation ranks documents by language-model likelihood, arXiv:
+    1911.00359; the mean corpus count of a document's token occurrences
+    carries the same rare-token signal WITHOUT the log-domain float
+    whose libm bit-parity a SQL mirror cannot guarantee):
+
+        ctf(token)    = corpus occurrences of token       (exact int64)
+        sum_ctf(doc)  = sum over the doc's token POSITIONS of ctf
+        n_tokens(doc) = doc token count                   (exact int64)
+        freq_score    = f(sum_ctf) / f(n_tokens)   (ONE spelled division)
+
+    Rare-token-heavy documents score LOW (candidates for the quality
+    gate). Tokens are the shared lowercased ``\\w+`` stream of the other
+    text statistics. Documents with zero tokens are EXCLUDED (the SQL
+    mirror's join produces no row for them). Both division operands are
+    the SAME exact int64 in both engines, so the per-doc float column
+    hashes against DuckDB without tolerance.
+
+    Scale shape: document text never shuffles — per-batch (doc, token,
+    tf) map-side combine (the tf_idf scan), one grouped_sums over token
+    for the O(vocab) ctf table, ONE partitioned hash_join back on token
+    (vocabulary is never broadcast), then per-doc grouped_sums of
+    (tf*ctf, tf). An int64 float-shadow wrap check guards the tf*ctf
+    products (a 10^13-token corpus with a 10^6-repetition doc could
+    overflow; the guard raises instead of silently diverging from a
+    HUGEINT-promoting oracle)."""
+    import pandas as pd
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import hash_join
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).to_pandas().fillna("")
+        s = s.reset_index(drop=True)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        toks = s.str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {id_column: pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())})
+        grp = pd.DataFrame({"d": ids[ex.index.to_numpy()],
+                            "t": ex.to_numpy()})
+        vc = grp.groupby(["d", "t"], sort=False).size().reset_index(
+            name="tf")
+        return pa.table(
+            {id_column: pa.array(vc["d"].to_numpy(dtype=np.int64)),
+             "token": pa.array(vc["t"].to_numpy(dtype=object),
+                               type=pa.string()),
+             "tf": pa.array(vc["tf"].to_numpy(dtype=np.int64))})
+
+    tf = ds.select_columns([id_column, column]).map_batches(
+        tf_rows, batch_format="pyarrow", batch_size=batch_size)
+    ctf = grouped_sums(tf, ["token"], {"ctf": "tf"}, count_alias=None)
+    joined = hash_join(tf, ctf, key="token", how="inner",
+                       num_buckets=num_parts)
+
+    def prods(batch: pa.Table) -> pa.Table:
+        t = batch.column("tf").to_numpy(zero_copy_only=False)
+        c = batch.column("ctf").to_numpy(zero_copy_only=False)
+        p = t * c
+        return pa.table({
+            id_column: batch.column(id_column),
+            "sum_ctf": pa.array(p),
+            "fsum_ctf": pa.array(p.astype(np.float64)),
+            "n_tokens": pa.array(t),
+        })
+
+    merged = grouped_sums(
+        joined.map_batches(prods, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True),
+        [id_column],
+        {c: c for c in ("sum_ctf", "fsum_ctf", "n_tokens")},
+        count_alias=None)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_ctf").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        fs = batch.column("fsum_ctf").to_numpy(zero_copy_only=False)
+        if len(s) and np.abs(s - fs).max() > float(1 << 62):
+            raise ValueError(
+                "token_freq_score: int64 sum of tf*ctf wrapped "
+                "(exceeds 2^63) — corpus too large for int64 products")
+        n = batch.column("n_tokens").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_tokens": batch.column("n_tokens"),
+            "sum_ctf": batch.column("sum_ctf"),
+            "freq_score": pa.array(s / n, pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -303,3 +303,54 @@ def test_top_bigrams_counts_and_rank(ray_session):
     # 'the cat' appears 3x ('the cat sat', 'the cat ran', twice in the
     # last doc)... verify the top entry explicitly
     assert want[0] == ("the cat", 4)
+
+
+def test_token_freq_score_reference_and_exclusions(ray_session):
+    """token_freq_score == mean corpus count of the doc's token
+    positions (serial Counter reference); zero-token docs are excluded;
+    repeated tokens weight by position; layout-independent."""
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from jsschema_ray.stages.text import token_freq_score
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the cat sat on the mat",
+            "the dog",
+            "unique_zebra_token",
+            "",                      # zero tokens -> excluded
+            "THE The the",           # case folds into 'the'
+            None,                    # NULL text -> excluded
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = token_freq_score(ds, num_parts=4, batch_size=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.doc_id.tolist() == [0, 1, 2, 4]  # 3 and 5 excluded
+
+    # serial reference
+    import re
+    toks = {int(r.doc_id): re.findall(r"\w+", str(r.text).lower())
+            for r in docs.itertuples() if r.text}
+    ctf = collections.Counter(t for ts in toks.values() for t in ts)
+    for _, row in got.iterrows():
+        ts = toks[int(row.doc_id)]
+        want_sum = sum(ctf[t] for t in ts)
+        assert int(row.n_tokens) == len(ts)
+        assert int(row.sum_ctf) == want_sum
+        assert row.freq_score == float(want_sum) / float(len(ts))
+
+    # rare-token doc scores lowest
+    scores = got.set_index("doc_id").freq_score
+    assert scores.loc[2] == scores.min()
+
+    # layout independence
+    got2 = token_freq_score(ray.data.from_pandas(docs).repartition(1),
+                            num_parts=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(got.freq_score.to_numpy(),
+                          got2.freq_score.to_numpy())

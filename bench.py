@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # training-data ops
     "exact_dedup",
     "token_counts",
+    "doc_freq_score",
     "minhash_dedup",
     "simhash",
     "lang_id",

@@ -321,7 +321,8 @@ def grouped_quantile_cont(ds, group_col: str, column: str, q: float,
     ).groupby("__part").map_groups(select_part, batch_format="pandas")
 
 
-def value_cdf(ds, col: str, batch_size: int = 262144):
+def value_cdf(ds, col: str, batch_size: int = 262144,
+              num_parts: int = 32):
     """Integer-exact global CDF per DISTINCT non-null value of ``col``:
     (col, n_lt, n_le, n_total) — the score-percentile normalization step
     of a curation pipeline (percent_rank of a value = n_lt / (n_total-1),
@@ -329,33 +330,43 @@ def value_cdf(ds, col: str, batch_size: int = 262144):
 
     Scale shape (r5: distributed finish — the former single-task cumsum
     with its distinct-values-fit-one-worker contract is gone): the raw
-    scan collapses to per-batch distinct-value count partials
-    (grouped_sums map-side combine — the ONLY row-sized stage); the
-    O(distinct)-row counts table is RANGE-partitioned by one Dataset
-    sort, then finishes with the packing.py prefix-sum shape — scan A
-    emits one (block_start_value, block_count_sum) row per sorted BLOCK,
-    the driver folds those O(blocks) rows into exclusive per-block base
-    offsets (never touching value rows), and scan B cumsums each block
-    seeded by its base. No stage holds more than one block of distinct
-    values. NULLs are excluded (SQL aggregate semantics); -0.0/0.0 merge
-    like SQL GROUP BY; NaN groups last (numpy and SQL both order NaN
-    after +inf)."""
+    scan collapses to per-batch distinct-value count partials, which
+    merge through a hash(value) co-partition (the _grouped_value_counts
+    shape — Ray's own key-sort Aggregate measured 26 s on a 150k-distinct
+    float key where this hash shuffle takes ~2 s; only COUNT rows ever
+    shuffle). The O(distinct)-row counts table is then RANGE-partitioned
+    by one Dataset sort and finishes with the packing.py prefix-sum
+    shape — scan A emits one (block_start_value, block_count_sum) row
+    per sorted BLOCK, the driver folds those O(blocks) rows into
+    exclusive per-block base offsets (never touching value rows), and
+    scan B cumsums each block seeded by its base. No stage holds more
+    than one block of distinct values. NULLs are excluded (SQL aggregate
+    semantics); -0.0/0.0 merge like SQL GROUP BY; NaN groups last (numpy
+    and SQL both order NaN after +inf)."""
     import pyarrow.compute as pc
 
-    from jsschema_ray.stages.aggregates import grouped_sums
-    from jsschema_ray.state.hll import normalize_zeros
+    from jsschema_ray.state.hll import hash64, normalize_zeros
 
-    def drop_nulls(batch: pa.Table) -> pa.Table:
+    def pre(batch: pa.Table) -> pa.Table:
         c = normalize_zeros(batch.column(col).combine_chunks().drop_null())
-        return pa.table({col: c})
+        g = pa.table({col: c}).group_by([col]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(
+            ["cnt" if n == "count_all" else n for n in g.column_names])
+        part = (hash64(g.column(col).combine_chunks())
+                % np.uint64(num_parts)).astype(np.int32)
+        return g.append_column("__part", pa.array(part))
 
-    counts = grouped_sums(
-        ds.select_columns([col]).map_batches(
-            drop_nulls, batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True,
-        ),
-        [col], {}, count_alias="cnt", batch_size=batch_size,
-    )
+    def merge_part(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__part"]).group_by([col]).aggregate(
+            [("cnt", "sum")])
+        return g.rename_columns(
+            ["cnt" if n == "cnt_sum" else n for n in g.column_names])
+
+    counts = ds.select_columns([col]).map_batches(
+        pre, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 
     # range partition: one Dataset sort; blocks hold disjoint, ordered
     # value ranges and every distinct value exactly once

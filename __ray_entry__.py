@@ -2767,6 +2767,40 @@ def q_embedding_dedup(sf_dir: str):
 # driver API
 # --------------------------------------------------------------------------
 
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket item affinity over events
+    (stages/aggregates.cooccurrence_counts): for every unordered pair of
+    DISTINCT event types a user performed, the number of users who did
+    both — the "users who did A also did B" analytic. Per-batch distinct
+    pre-trim, ONE hash(user) co-partition, vectorized in-partition
+    combination expansion (repeat/arange index algebra, no per-key
+    loop), local pair-count partials, tiny grouped merge; raw event
+    rows never shuffle. Integer-exact, oracled against the DISTINCT
+    self-join COUNT(*)."""
+    from jsschema_ray.stages.aggregates import cooccurrence_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return cooccurrence_counts(ds, "user_id", "event_type",
+                               count_alias="n_users").sort(
+        ["item_a", "item_b"])
+
+
+def q_price_winsorized(sf_dir: str):
+    """Per-row winsorization of retail price at the per-brand exact
+    [p10, p90] discrete-quantile bounds
+    (stages/quantiles.grouped_winsorize): the robust outlier-clamping
+    preprocessing transform. Bounds come from ONE histogram-trick
+    quantile pass (both quantiles in the same pass), broadcast-join
+    back, row-local clamp. Clamping is pure selection over existing
+    float64 data values — no arithmetic — so even this per-ROW float
+    column hashes against the DuckDB CASE mirror without tolerance."""
+    from jsschema_ray.stages.quantiles import grouped_winsorize
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    return grouped_winsorize(ds, "p_brand", "p_retailprice", 0.1, 0.9,
+                             keep=["p_partkey"]).sort("p_partkey")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -2809,6 +2843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_discount": q_weighted_discount,  # r5 NEW: weighted mean (bit-mirrored finish) — replaces cap_per_source in-window
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
         "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
+        "price_winsorized": q_price_winsorized,  # r5 NEW: grouped quantile clamp (bit-exact selection) — displaces event_deltas past the window
+        "event_cooccurrence": q_event_cooccurrence,  # r5 NEW: market-basket pair counts — displaces rolling_rows past the window
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
         "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
         "doc_freq_score": q_doc_freq_score,  # r5 NEW: mean-corpus-TF quality score (CCNet-analogue, bit-exact) — replaces jaccard_pairs in-window
@@ -3349,6 +3385,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS minmax
             FROM orders o LEFT JOIN m USING (o_orderpriority)
             ORDER BY o.o_orderkey
+        """,
+        # winsorize: QUANTILE_DISC bounds are actual data values and the
+        # clamp is pure selection (no arithmetic), so the per-row float
+        # column is bit-identical; NULL x / unmatched group -> NULL via
+        # the LEFT JOIN + CASE (engine spells the same rule)
+        "price_winsorized": """
+            WITH q AS (SELECT p_brand AS g,
+                              quantile_disc(p_retailprice, 0.1) AS lo,
+                              quantile_disc(p_retailprice, 0.9) AS hi
+                       FROM part GROUP BY p_brand)
+            SELECT p_partkey, p_brand, p_retailprice,
+                   CASE WHEN p_retailprice IS NULL OR lo IS NULL THEN NULL
+                        WHEN p_retailprice < lo THEN lo
+                        WHEN p_retailprice > hi THEN hi
+                        ELSE p_retailprice END AS winsorized
+            FROM part LEFT JOIN q ON p_brand = q.g
+            ORDER BY p_partkey
+        """,
+        # co-occurrence: DISTINCT self-join on the same key with a < b —
+        # integer-exact COUNT(*); NULL users/types drop on both sides
+        # (equi-join and a < b never match NULL)
+        "event_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+                        WHERE user_id IS NOT NULL
+                          AND event_type IS NOT NULL)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   COUNT(*) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                               AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            ORDER BY item_a, item_b
         """,
         # global decile binning: COUNT(*) OVER (ORDER BY v) counts peers
         # (= n_le, the CUME_DIST numerator); same CASTs and operation

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "quantity_zscore",
     "price_minmax",
     "price_decile",
+    "price_winsorized",
     "weighted_discount",
     "acctbal_percentile_cont",
     "group_quantile_sketch",
@@ -79,6 +80,7 @@ BENCH_QUERIES = [
     "hopping_windows",
     "hopping_distinct_users",
     "event_transitions",
+    "event_cooccurrence",
     "rolling_windows",
     "rolling_rows",
     "event_deltas",

@@ -1122,3 +1122,103 @@ def grouped_minmax_scale(ds, group: str, x: str, scale: int = 100,
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
+
+
+def cooccurrence_counts(ds, key: str, col: str, out_a: str = "item_a",
+                        out_b: str = "item_b",
+                        count_alias: str = "n_keys",
+                        num_partitions: int = 64,
+                        batch_size: int = 262144,
+                        max_items_per_key: int = 10000):
+    """Pairwise co-occurrence counts: for every unordered pair (a < b) of
+    DISTINCT ``col`` values sharing a ``key``, the number of keys where
+    both occur — the market-basket / item-affinity aggregate (events:
+    "users who did A also did B"). SQL mirror: self-join of
+    ``SELECT DISTINCT key, col`` on ``a.key = b.key AND a.col < b.col``
+    rolled up with COUNT(*). NULL keys and NULL values drop on both
+    sides (a SQL equi-join never matches NULL; ``a.col < b.col`` is NULL
+    for NULL items). String pairs order by Arrow's binary collation —
+    identical to DuckDB's default BINARY collation.
+
+    Scale shape — raw event rows never shuffle: each batch pre-trims to
+    its DISTINCT (key, col) pairs (one pyarrow group_by — the
+    block-is-the-salt pattern; at most batches × per-batch-distinct rows
+    move), hash(key) co-partitions so each key's item set lands whole in
+    ONE partition, and each partition runs one GLOBAL distinct + ONE
+    vectorized combination expansion over its sorted (key, col) segments
+    (repeat/arange index algebra — no per-key Python loop), collapsing
+    immediately to local (a, b) count partials; grouped_sums then merges
+    O(distinct pairs × partitions) tiny rows. Pair width per key is
+    quadratic in the key's DISTINCT item count (never its row count) —
+    ``max_items_per_key`` raises before a hot key can blow up a
+    partition (lift it only with the item universe bounded).
+
+    No reference analogue (single-value validator, schema.go); part of
+    the driver-mandated training-corpus analytics class (SURVEY §2.D) —
+    e.g. tag/domain affinity over a curated web corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        b = batch.select([key, col]).filter(
+            pc.and_(pc.is_valid(batch.column(key)),
+                    pc.is_valid(batch.column(col))))
+        g = b.group_by([key, col]).aggregate([])
+        part = (hash64(g.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return g.append_column("__part", pa.array(part))
+
+    def expand(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        # cross-batch distinct within the partition (keys are whole here)
+        g = g.group_by([key, col]).aggregate([])
+        vt = g.column(col).slice(0, 0)
+        empty = pa.table({out_a: vt, out_b: vt,
+                          count_alias: pa.array([], type=pa.int64())})
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([(key, "ascending"), (col, "ascending")])
+        vals = g.column(col).combine_chunks()
+        karr = g.column(key).combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(karr.slice(1, n - 1), karr.slice(0, n - 1)),
+            False).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.nonzero(neq)[0] + 1]
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        seg_start = starts[seg_id]
+        pos = np.arange(n, dtype=np.int64) - seg_start
+        ends = np.r_[starts[1:], n]
+        seg_len = (ends - starts)[seg_id]
+        if seg_len.max() > max_items_per_key:
+            raise ValueError(
+                f"cooccurrence_counts: a key holds {int(seg_len.max())} "
+                f"distinct items (> max_items_per_key="
+                f"{max_items_per_key}); pairs grow quadratically — "
+                "bound the item universe or raise the cap explicitly")
+        reps = seg_len - 1 - pos  # pair partners to the right, in-segment
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        blk = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        j_idx = i_idx + (np.arange(total, dtype=np.int64)
+                         - np.repeat(blk, reps)) + 1
+        pairs = pa.table({out_a: vals.take(pa.array(i_idx)),
+                          out_b: vals.take(pa.array(j_idx))})
+        # local partial: collapse this partition's pairs before the merge
+        cnt = pairs.group_by([out_a, out_b]).aggregate([([], "count_all")])
+        return cnt.rename_columns(
+            [count_alias if c == "count_all" else c
+             for c in cnt.column_names])
+
+    partials = ds.select_columns([key, col]).map_batches(
+        pretrim, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(expand, batch_format="pyarrow")
+    return grouped_sums(partials, [out_a, out_b],
+                        {count_alias: count_alias}, count_alias=None)

@@ -631,3 +631,78 @@ def decile_assign(ds, id_cols: list, col: str, k: int = 10,
                   batch_size=batch_size, zero_copy_batch=True)
     return hash_join(rows, buckets, key=col, num_buckets=num_buckets,
                      how="inner", batch_size=batch_size)
+
+
+def grouped_winsorize(ds, group_col: str, column: str, q_lo: float = 0.1,
+                      q_hi: float = 0.9, keep: Optional[list] = None,
+                      out_name: str = "winsorized", num_parts: int = 32,
+                      batch_size: int = 65536):
+    """Per-ROW winsorization (outlier clamping) within each group: appends
+    ``out_name`` = ``column`` clamped to the group's exact DISCRETE
+    [q_lo, q_hi] quantile bounds — the robust-preprocessing transform
+    (clip price/length/score outliers before training). Because
+    QUANTILE_DISC bounds are actual data values and clamping is pure
+    selection (no arithmetic), the output float64 bits are bit-identical
+    to a SQL ``CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END``
+    mirror — a per-row float column that hashes against DuckDB without
+    tolerance. NULL ``column`` rows, NULL group keys and groups with no
+    bounds yield NULL (SQL LEFT-join + CASE semantics: NULL never matches
+    NULL); NaN clamps to ``hi`` exactly like DuckDB, whose float ordering
+    places NaN above everything (``x > hi`` is TRUE for NaN).
+
+    Scale shape: ONE grouped_quantile_disc pass (histogram-trick
+    pre-aggregation — only (group, value, count) rows shuffle) computes
+    BOTH bounds, the O(groups) bounds table broadcast-joins back
+    (ray.put once; bounded group cardinality, same contract as
+    grouped_minmax_scale) and the finish is a row-local vectorized
+    element-wise min/max. Raw rows never shuffle.
+
+    No reference analogue (schema.go validates single values); the
+    grouped companion of the numeric-range clamp family
+    (minimum/maximum keywords) extended to data-derived bounds."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.join import broadcast_join
+
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got "
+                         f"({q_lo}, {q_hi})")
+    bounds = grouped_quantile_disc(ds, group_col, column, q_lo,
+                                   num_parts=num_parts,
+                                   batch_size=batch_size,
+                                   qs=(q_lo, q_hi))
+    lo_name = f"q{round(q_lo * 100):02d}_disc"
+    hi_name = f"q{round(q_hi * 100):02d}_disc"
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["__lo" if c == lo_name else "__hi" if c == hi_name else c
+             for c in b.column_names])
+
+    bounds = bounds.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cols = list(dict.fromkeys((keep or []) + [group_col, column]))
+    joined = broadcast_join(ds.select_columns(cols), bounds,
+                            key=group_col, how="left",
+                            batch_size=batch_size)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        xa = batch.column(column)
+        lo = batch.column("__lo")
+        hi = batch.column("__hi")
+        ok = pc.and_(pc.is_valid(xa), pc.is_valid(lo))
+        # DuckDB CASE order: x < lo -> lo, elif x > hi -> hi, else x.
+        # NaN compares greater than everything there, so NaN -> hi;
+        # pc.less/greater return NULL-free bools only for non-NaN, so
+        # spell NaN explicitly via is_nan.
+        xf = xa.cast(pa.float64())
+        nan = pc.fill_null(pc.is_nan(xf), False)
+        below = pc.fill_null(pc.less(xf, lo), False)
+        above = pc.or_(pc.fill_null(pc.greater(xf, hi), False), nan)
+        v = pc.if_else(below, lo, pc.if_else(above, hi, xf))
+        v = pc.if_else(ok, v, pa.nulls(batch.num_rows, pa.float64()))
+        return batch.drop_columns(["__lo", "__hi"]).append_column(
+            out_name, v)
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)

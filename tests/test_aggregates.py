@@ -889,3 +889,87 @@ def test_grouped_minmax_scale_overflow_guard(ray_session):
     with pytest.raises(Exception):
         grouped_minmax_scale(ray.data.from_pandas(big), "g",
                              "x").materialize()
+
+
+class TestCooccurrenceCounts:
+    """cooccurrence_counts — market-basket pair counts vs brute force
+    and the DuckDB DISTINCT self-join mirror."""
+
+    def _run(self, tbl, **kw):
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import cooccurrence_counts
+
+        out = cooccurrence_counts(rd.from_arrow(tbl).repartition(4),
+                                  "k", "v", **kw).to_pandas()
+        return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+    def test_matches_bruteforce_and_duckdb(self, ray_session):
+        import collections
+        import itertools
+
+        import duckdb
+
+        rng = np.random.default_rng(3)
+        n = 6000
+        k = rng.integers(0, 300, n)
+        v = rng.choice(list("abcdefghij"), n).astype(object)
+        # sprinkle NULLs on both sides — they must drop
+        kcol = pa.array([None if rng.random() < 0.02 else int(x)
+                         for x in k], type=pa.int64())
+        vcol = pa.array([None if rng.random() < 0.02 else s
+                         for s in v])
+        tbl = pa.table({"k": kcol, "v": vcol})
+        out = self._run(tbl, num_partitions=8)
+
+        df = tbl.to_pandas().dropna(subset=["k", "v"])
+        seen = collections.Counter()
+        for _, grp in df.groupby("k"):
+            for a, b in itertools.combinations(sorted(grp["v"].unique()),
+                                               2):
+                seen[(a, b)] += 1
+        exp = pd.DataFrame(
+            [(a, b, c) for (a, b), c in sorted(seen.items())],
+            columns=["item_a", "item_b", "n_keys"])
+        pd.testing.assert_frame_equal(out, exp.astype(out.dtypes))
+
+        con = duckdb.connect()
+        con.register("t", tbl)
+        sql = con.execute("""
+            WITH ut AS (SELECT DISTINCT k, v FROM t
+                        WHERE k IS NOT NULL AND v IS NOT NULL)
+            SELECT a.v AS item_a, b.v AS item_b, COUNT(*) AS n_keys
+            FROM ut a JOIN ut b ON a.k = b.k AND a.v < b.v
+            GROUP BY 1, 2 ORDER BY item_a, item_b""").df()
+        pd.testing.assert_frame_equal(out, sql.astype(out.dtypes))
+
+    def test_duplicate_rows_count_once_per_key(self, ray_session):
+        tbl = pa.table({"k": pa.array([1, 1, 1, 1, 2, 2]),
+                        "v": pa.array(["a", "a", "b", "b", "a", "b"])})
+        out = self._run(tbl)
+        assert out.values.tolist() == [["a", "b", 2]]
+
+    def test_single_item_keys_emit_nothing(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import cooccurrence_counts
+
+        tbl = pa.table({"k": pa.array([1, 2, 3]),
+                        "v": pa.array(["a", "b", "c"])})
+        out = cooccurrence_counts(rd.from_arrow(tbl).repartition(4),
+                                  "k", "v")
+        # an all-empty result hits the documented Ray boundary wart
+        # (SURVEY §8.15: 0-row Datasets lose their schema at to_pandas),
+        # so assert on the count, not the pandas frame
+        assert out.count() == 0
+
+    def test_hot_key_guard_raises(self, ray_session):
+        n_items = 30
+        tbl = pa.table({"k": pa.array([1] * n_items),
+                        "v": pa.array([f"v{i:03d}" for i in range(n_items)])})
+        with pytest.raises(Exception, match="max_items_per_key"):
+            self._run(tbl, max_items_per_key=29)
+        # exactly at the cap is fine: C(30, 2) pairs, each count 1
+        out = self._run(tbl, max_items_per_key=30)
+        assert len(out) == n_items * (n_items - 1) // 2
+        assert (out["n_keys"] == 1).all()

@@ -383,3 +383,75 @@ def test_decile_assign_k1_and_validation(ray_session):
     assert len(got) == 4 and (got.bucket == 0).all()
     with pytest.raises(ValueError):
         decile_assign(ds, ["rid"], "x", k=0)
+
+
+class TestGroupedWinsorize:
+    """grouped_winsorize — per-group quantile clamp, DuckDB CASE mirror."""
+
+    def _run(self, tbl, **kw):
+        import ray.data as rd
+
+        from jsschema_ray.stages.quantiles import grouped_winsorize
+
+        return grouped_winsorize(rd.from_arrow(tbl).repartition(3),
+                                 "g", "x", **kw).to_pandas()
+
+    def test_matches_duckdb_case_bits(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        g = rng.choice(["A", "B", "C", None], n).astype(object)
+        x = rng.normal(50.0, 20.0, n)
+        xm = np.where(rng.random(n) < 0.03, np.nan, x)
+        tbl = pa.table({"id": pa.array(np.arange(n)),
+                        "g": pa.array(g),
+                        "x": pa.array(xm, from_pandas=True)})  # NaN->NULL
+        out = self._run(tbl, q_lo=0.25, q_hi=0.75, keep=["id"])
+        out = out.sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute("""
+            WITH q AS (SELECT g, quantile_disc(x, 0.25) AS lo,
+                              quantile_disc(x, 0.75) AS hi
+                       FROM t GROUP BY g)
+            SELECT id, CASE WHEN x IS NULL OR lo IS NULL THEN NULL
+                            WHEN x < lo THEN lo WHEN x > hi THEN hi
+                            ELSE x END AS winsorized
+            FROM t LEFT JOIN q USING (g) ORDER BY id""").df()
+        a = out["winsorized"].to_numpy()
+        b = exp["winsorized"].to_numpy()
+        for i, (u, v) in enumerate(zip(a, b)):
+            if pd.isna(u) or pd.isna(v):
+                assert pd.isna(u) and pd.isna(v), i
+            else:
+                assert u.hex() == v.hex(), (i, u, v)  # bit-exact
+
+    def test_nan_clamps_to_hi_like_duckdb(self, ray_session):
+        # DuckDB orders NaN above everything, so x > hi is TRUE for NaN
+        tbl = pa.table({
+            "g": pa.array(["A"] * 5),
+            "x": pa.array([1.0, 2.0, 3.0, 4.0, float("nan")]),
+        })
+        out = self._run(tbl, q_lo=0.2, q_hi=0.8)
+        got = sorted(out["winsorized"].tolist())
+        # bounds: lo = 1.0 (k=1), hi = 4.0 (k=4); NaN -> 4.0
+        assert got == [1.0, 2.0, 3.0, 4.0, 4.0]
+
+    def test_constant_and_singleton_groups(self, ray_session):
+        tbl = pa.table({
+            "g": pa.array(["A", "A", "B"]),
+            "x": pa.array([7.0, 7.0, 3.5]),
+        })
+        out = self._run(tbl, q_lo=0.1, q_hi=0.9)
+        assert out["winsorized"].tolist() == [7.0, 7.0, 3.5]
+
+    def test_validates_quantile_order(self, ray_session):
+        tbl = pa.table({"g": pa.array(["A"]), "x": pa.array([1.0])})
+        import ray.data as rd
+
+        from jsschema_ray.stages.quantiles import grouped_winsorize
+
+        with pytest.raises(ValueError, match="q_lo"):
+            grouped_winsorize(rd.from_arrow(tbl), "g", "x",
+                              q_lo=0.9, q_hi=0.1)

@@ -2767,6 +2767,50 @@ def q_embedding_dedup(sf_dir: str):
 # driver API
 # --------------------------------------------------------------------------
 
+def q_tpch_q1(sf_dir: str):
+    """The TPC-H Q1 pricing-summary report
+    (stages/aggregates.pricing_summary): per (returnflag, linestatus)
+    sums/averages of quantity, base price, discounted price and charge
+    over lineitem rows at or before the shipdate cutoff. TPC-H money
+    columns are 2-decimal so the x100 products are exact int64; float64
+    enters once per group in a spelled left-to-right division chain the
+    SQL mirror reproduces, so all seven float columns hash against
+    DuckDB without tolerance. One map-side-combined shuffle of
+    O(flag x status x batches) partial rows."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import pricing_summary
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cutoff = datetime.datetime(2001, 8, 6)
+
+    def flt(b):
+        keep = pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff))
+        return b.filter(keep).drop_columns(["l_shipdate"])
+
+    ds = ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+    return pricing_summary(ds).sort(["l_returnflag", "l_linestatus"])
+
+
+def q_event_value_share(sf_dir: str):
+    """Ratio-to-report composition of total event value per type
+    (stages/aggregates.grouped_share): the SQL
+    SUM(v) / SUM(SUM(v)) OVER () corpus-composition report. Exact int64
+    group sums (x100), ONE spelled division per group over
+    exactly-the-same float64 casts the mirror spells — the share column
+    hashes without tolerance. One map-side-combined shuffle; the
+    O(groups) report coalesces to a single block for the grand-total
+    fold."""
+    from jsschema_ray.stages.aggregates import grouped_share
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_share(ds, "event_type", "value").sort("event_type")
+
+
 def q_event_cooccurrence(sf_dir: str):
     """Market-basket item affinity over events
     (stages/aggregates.cooccurrence_counts): for every unordered pair of
@@ -2836,15 +2880,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dup": q_phash_near_dup,
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
         "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
-        "approx_top_phash": q_approx_top_phash,
         "top_bigrams": q_top_bigrams,  # r5 NEW: corpus bigram statistic — replaces knn_ivf in-window
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
         "weighted_discount": q_weighted_discount,  # r5 NEW: weighted mean (bit-mirrored finish) — replaces cap_per_source in-window
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
+        "tpch_q1": q_tpch_q1,  # r5 NEW: TPC-H Q1 pricing summary (bit-mirrored) — replaces approx_top_phash in-window
         "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
         "price_winsorized": q_price_winsorized,  # r5 NEW: grouped quantile clamp (bit-exact selection) — displaces event_deltas past the window
         "event_cooccurrence": q_event_cooccurrence,  # r5 NEW: market-basket pair counts — displaces rolling_rows past the window
+        "event_value_share": q_event_value_share,  # r5 NEW: ratio-to-report shares (bit-mirrored) — replaces incremental_dedup in-window
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
         "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
         "doc_freq_score": q_doc_freq_score,  # r5 NEW: mean-corpus-TF quality score (CCNet-analogue, bit-exact) — replaces jaccard_pairs in-window
@@ -2869,7 +2914,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,  # r5 NEW: resumable hive sink round-trip — replaces sample_n_docs in-window
-        "incremental_dedup": q_incremental_dedup,  # r4 NEW: ingest dedup
         "chunk_documents": q_chunk_documents,  # r4 NEW: context chunking
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
         "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
@@ -2898,6 +2942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "category_drift": q_category_drift,  # driver-green r4, drift.py unchanged in r5 — rotated out for image_letterbox_plan
         "rollup_revenue": q_rollup_revenue,  # driver-green r4, code unchanged; cube_revenue pins the same GROUPING path in-window — rotated out for doc_split_assign
         "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
+        "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
+        "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3402,6 +3448,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE p_retailprice END AS winsorized
             FROM part LEFT JOIN q ON p_brand = q.g
             ORDER BY p_partkey
+        """,
+        # TPC-H Q1: identical x100 int scalings summed (DuckDB promotes
+        # to HUGEINT, values guarded < 2^63 so the DOUBLE casts agree),
+        # identical spelled left-to-right division chains per output
+        "tpch_q1": """
+            WITH f AS (SELECT l_returnflag, l_linestatus,
+                              CAST(ROUND(l_quantity * 100) AS BIGINT) AS qv,
+                              CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  AS pv,
+                              CAST(ROUND(l_discount * 100) AS BIGINT) AS dv,
+                              CAST(ROUND(l_tax * 100) AS BIGINT) AS tv
+                       FROM lineitem
+                       WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+                         AND l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND l_discount IS NOT NULL
+                         AND l_tax IS NOT NULL),
+            s AS (SELECT l_returnflag, l_linestatus,
+                         SUM(qv) AS sq, SUM(pv) AS sp, SUM(dv) AS sd,
+                         SUM(pv * (100 - dv)) AS sdp,
+                         SUM(pv * (100 - dv) * (100 + tv)) AS sch,
+                         COUNT(*) AS count_order
+                  FROM f GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sp AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
+                   CAST(sq AS DOUBLE) / 100.0
+                       / CAST(count_order AS DOUBLE) AS avg_qty,
+                   CAST(sp AS DOUBLE) / 100.0
+                       / CAST(count_order AS DOUBLE) AS avg_price,
+                   CAST(sd AS DOUBLE) / 100.0
+                       / CAST(count_order AS DOUBLE) AS avg_disc,
+                   count_order
+            FROM s ORDER BY l_returnflag, l_linestatus
+        """,
+        # ratio-to-report: exact int64 group sums, one division of the
+        # same DOUBLE casts (SUM promotes to HUGEINT in DuckDB — CAST
+        # back to BIGINT for the schema; values guarded < 2^63)
+        "event_value_share": """
+            WITH s AS (SELECT event_type,
+                              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY event_type),
+            t AS (SELECT SUM(sv) AS tot FROM s)
+            SELECT event_type, CAST(sv AS BIGINT) AS sv,
+                   CAST(sv AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+            FROM s, t ORDER BY event_type
         """,
         # co-occurrence: DISTINCT self-join on the same key with a < b —
         # integer-exact COUNT(*); NULL users/types drop on both sides

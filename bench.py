@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "price_decile",
     "price_winsorized",
     "weighted_discount",
+    "tpch_q1",
+    "event_value_share",
     "acctbal_percentile_cont",
     "group_quantile_sketch",
     "distinct_orders_sketch",

@@ -1222,3 +1222,184 @@ def cooccurrence_counts(ds, key: str, col: str, out_a: str = "item_a",
     ).groupby("__part").map_groups(expand, batch_format="pyarrow")
     return grouped_sums(partials, [out_a, out_b],
                         {count_alias: count_alias}, count_alias=None)
+
+
+def pricing_summary(ds, flag: str = "l_returnflag",
+                    status: str = "l_linestatus",
+                    qty: str = "l_quantity",
+                    price: str = "l_extendedprice",
+                    disc: str = "l_discount", tax: str = "l_tax",
+                    batch_size: int = 262144):
+    """The TPC-H Q1 pricing-summary report re-expressed exact-int-first:
+    per (returnflag, linestatus) — sum_qty, sum_base_price,
+    sum_disc_price = SUM(price*(1-disc)), sum_charge =
+    SUM(price*(1-disc)*(1+tax)), avg_qty, avg_price, avg_disc,
+    count_order. TPC-H money/rate columns are 2-decimal, so the x100
+    integer scalings are EXACT and the products price*(100-disc100) and
+    price*(100-disc100)*(100+tax100) are exact int64 per row; float64
+    enters ONCE per group in the finish, every division spelled
+    left-to-right exactly as the SQL mirror casts it
+    (CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)), so even the avg
+    columns hash against DuckDB without tolerance — DuckDB's own
+    SUM(DOUBLE)/AVG stream in row order and can never be mirrored by a
+    distributed engine; the exact-int-sums detour is the repo's general
+    recipe (grouped_moments family). Rows with any NULL among the four
+    measures drop (the mirror spells the same IS NOT NULL filter; feed
+    a pre-filtered Dataset for the shipdate cutoff).
+
+    Guards: |price*100| < 2^31 per row (products then fit int64 with
+    > 2^17 headroom per row) and the merged int64 sums are
+    float64-shadow wrap-checked (same detector as grouped_moments) —
+    at 100 TB a group's sum_charge can legitimately exceed 2^63, and
+    the engine must refuse loudly rather than diverge from a
+    HUGEINT-promoting SQL engine.
+
+    Scale shape: ONE grouped_sums over x6 pre-multiplied partial
+    columns (map-side combine per batch; the group universe is the
+    returnflag x linestatus cross — single digits), finish on the tiny
+    merged table. Reference analogue: none (single-value validator);
+    this is the canonical warehouse scan-aggregate benchmark shape."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    int_cols = ("sq", "sp", "sd", "sdp", "sch")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column(qty))
+        for c in (price, disc, tax):
+            keep = pc.and_(keep, pc.is_valid(batch.column(c)))
+        b = batch.select([flag, status, qty, price, disc, tax]).filter(
+            keep)
+
+        def scaled(col):
+            return round_half_away(
+                b.column(col).to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+
+        qv, pv, dv, tv = (scaled(c) for c in (qty, price, disc, tax))
+        if len(pv) and max(np.abs(pv).max(), np.abs(qv).max(),
+                           np.abs(dv).max(), np.abs(tv).max()) >= (1 << 31):
+            raise ValueError(
+                "pricing_summary values exceed 2^31 at x100 scaling — "
+                "the per-row products would overflow int64")
+        sdp = pv * (100 - dv)
+        cols = {"sq": qv, "sp": pv, "sd": dv, "sdp": sdp,
+                "sch": sdp * (100 + tv)}
+        out = {flag: b.column(flag), status: b.column(status)}
+        for name, v in cols.items():
+            out[name] = pa.array(v)
+            out["f" + name] = pa.array(v.astype(np.float64))
+        return pa.table(out)
+
+    merged = grouped_sums(
+        ds.select_columns([flag, status, qty, price, disc, tax])
+        .map_batches(prep, batch_format="pyarrow", batch_size=batch_size,
+                     zero_copy_batch=True),
+        [flag, status],
+        {c: c for c in int_cols} | {"f" + c: "f" + c for c in int_cols},
+        count_alias="count_order", batch_size=batch_size,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        iv = {}
+        for c in int_cols:
+            iv[c] = batch.column(c).to_numpy(zero_copy_only=False)
+            fv = batch.column("f" + c).to_numpy(zero_copy_only=False)
+            if len(fv) and np.abs(iv[c].astype(np.float64) - fv).max() \
+                    > float(1 << 62):
+                raise ValueError(
+                    f"pricing_summary: int64 sum of {c} wrapped "
+                    "(exceeds 2^63) — aggregate in finer partitions")
+        n = batch.column("count_order").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # one spelled float op chain per output — identical to the SQL
+        # mirror's CAST(... AS DOUBLE) expressions, left-to-right
+        out = {
+            flag: batch.column(flag), status: batch.column(status),
+            "sum_qty": iv["sq"].astype(np.float64) / 100.0,
+            "sum_base_price": iv["sp"].astype(np.float64) / 100.0,
+            "sum_disc_price": iv["sdp"].astype(np.float64) / 10000.0,
+            "sum_charge": iv["sch"].astype(np.float64) / 1000000.0,
+            "avg_qty": iv["sq"].astype(np.float64) / 100.0 / n,
+            "avg_price": iv["sp"].astype(np.float64) / 100.0 / n,
+            "avg_disc": iv["sd"].astype(np.float64) / 100.0 / n,
+            "count_order": batch.column("count_order"),
+        }
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_share(ds, group: str, x: str, scale: int = 100,
+                  share_name: str = "share", batch_size: int = 65536):
+    """Ratio-to-report: per-group exact int64 sum of the x``scale``
+    scaling of ``x`` plus each group's SHARE of the grand total — the
+    SQL ``SUM(v) / SUM(SUM(v)) OVER ()`` window aggregate (corpus
+    composition reports: fraction of total tokens per language, of
+    revenue per nation, of event value per type). Returns (group, sv,
+    share): sv int64-exact, share = ONE spelled division
+    CAST(sv AS DOUBLE) / CAST(total AS DOUBLE) of exactly-representable
+    operands' float64 casts in the same order the SQL mirror spells, so
+    the per-group float hashes without tolerance. NULL ``x`` rows drop;
+    a NULL group key forms its own group (both engines agree on
+    GROUP BY NULL).
+
+    Scale shape: one grouped_sums (map-side combine; O(groups x
+    batches) partial rows shuffle), then the O(groups) merged table
+    coalesces to ONE block for the grand-total fold — the group
+    universe must be bounded (it is the REPORT, not the data); int64
+    sums are float64-shadow wrap-checked like the grouped_moments
+    family."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.select([group, x]).filter(pc.is_valid(batch.column(x)))
+        xv = round_half_away(
+            b.column(x).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        if len(xv) and np.abs(xv).max() >= (1 << 52):
+            raise ValueError(
+                f"grouped_share values exceed 2^52 at scale={scale} — "
+                "lower the scale")
+        return pa.table({group: b.column(group), "sv": pa.array(xv),
+                         "fsv": pa.array(xv.astype(np.float64))})
+
+    merged = grouped_sums(
+        ds.select_columns([group, x]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True),
+        [group], {"sv": "sv", "fsv": "fsv"}, count_alias=None,
+        batch_size=batch_size,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sv = batch.column("sv").to_numpy(zero_copy_only=False)
+        fsv = batch.column("fsv").to_numpy(zero_copy_only=False)
+        if len(sv) and np.abs(sv.astype(np.float64) - fsv).max() \
+                > float(1 << 62):
+            raise ValueError(
+                "grouped_share: int64 sum wrapped (exceeds 2^63) — "
+                "lower the scale")
+        total = int(sv.sum())
+        if sv.astype(np.float64).sum() != 0 and abs(
+                float(total) - sv.astype(np.float64).sum()) > float(1 << 62):
+            raise ValueError("grouped_share: grand total wrapped — "
+                             "lower the scale")
+        share = sv.astype(np.float64) / np.float64(total) \
+            if total != 0 else np.full(len(sv), np.nan)
+        out = pa.table({group: batch.column(group),
+                        "sv": batch.column("sv"),
+                        share_name: pa.array(share, pa.float64())})
+        return out
+
+    # the merged report is O(groups): coalesce to one block so the
+    # grand-total fold sees every group in a single batch
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)

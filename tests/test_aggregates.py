@@ -973,3 +973,138 @@ class TestCooccurrenceCounts:
         out = self._run(tbl, max_items_per_key=30)
         assert len(out) == n_items * (n_items - 1) // 2
         assert (out["n_keys"] == 1).all()
+
+
+class TestPricingSummary:
+    """pricing_summary (TPC-H Q1) — bit-exact vs the DuckDB mirror,
+    NULL drops, overflow guards."""
+
+    def test_matches_duckdb_bits(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import pricing_summary
+
+        rng = np.random.default_rng(17)
+        n = 3000
+        tbl = pa.table({
+            "f": pa.array(rng.choice(["A", "N", "R"], n)),
+            "s": pa.array(rng.choice(["O", "F"], n)),
+            "q": pa.array(np.round(rng.uniform(1, 50, n), 2)),
+            "p": pa.array(np.round(rng.uniform(900, 105000, n), 2)),
+            "d": pa.array(np.round(rng.uniform(0, 0.1, n), 2)),
+            "t": pa.array(np.round(rng.uniform(0, 0.08, n), 2)),
+        })
+        # sprinkle NULLs: those rows must drop entirely
+        mask = rng.random(n) < 0.02
+        q = pa.array([None if m else v
+                      for m, v in zip(mask, tbl.column("q").to_pylist())],
+                     type=pa.float64())
+        tbl = tbl.set_column(2, "q", q)
+        out = pricing_summary(
+            rd.from_arrow(tbl).repartition(4), flag="f", status="s",
+            qty="q", price="p", disc="d", tax="t",
+        ).to_pandas().sort_values(["f", "s"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("li", tbl)
+        exp = con.execute("""
+            WITH f0 AS (SELECT f, s,
+                          CAST(ROUND(q*100) AS BIGINT) AS qv,
+                          CAST(ROUND(p*100) AS BIGINT) AS pv,
+                          CAST(ROUND(d*100) AS BIGINT) AS dv,
+                          CAST(ROUND(t*100) AS BIGINT) AS tv
+                        FROM li WHERE q IS NOT NULL AND p IS NOT NULL
+                          AND d IS NOT NULL AND t IS NOT NULL),
+            s0 AS (SELECT f, s, SUM(qv) sq, SUM(pv) sp, SUM(dv) sd,
+                          SUM(pv*(100-dv)) sdp,
+                          SUM(pv*(100-dv)*(100+tv)) sch,
+                          COUNT(*) count_order
+                   FROM f0 GROUP BY 1, 2)
+            SELECT f, s,
+                   CAST(sq AS DOUBLE)/100.0 AS sum_qty,
+                   CAST(sp AS DOUBLE)/100.0 AS sum_base_price,
+                   CAST(sdp AS DOUBLE)/10000.0 AS sum_disc_price,
+                   CAST(sch AS DOUBLE)/1000000.0 AS sum_charge,
+                   CAST(sq AS DOUBLE)/100.0/CAST(count_order AS DOUBLE)
+                       AS avg_qty,
+                   CAST(sp AS DOUBLE)/100.0/CAST(count_order AS DOUBLE)
+                       AS avg_price,
+                   CAST(sd AS DOUBLE)/100.0/CAST(count_order AS DOUBLE)
+                       AS avg_disc,
+                   count_order
+            FROM s0 ORDER BY f, s""").df()
+        assert list(out.columns) == list(exp.columns)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price",
+                  "sum_charge", "avg_qty", "avg_price", "avg_disc"):
+            for u, v in zip(out[c], exp[c]):
+                assert u.hex() == v.hex(), (c, u, v)  # bit-exact
+        assert out["count_order"].tolist() == exp["count_order"].tolist()
+
+    def test_per_row_magnitude_guard(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import pricing_summary
+
+        tbl = pa.table({"f": pa.array(["A"]), "s": pa.array(["O"]),
+                        "q": pa.array([1.0]),
+                        "p": pa.array([float(1 << 32)]),
+                        "d": pa.array([0.05]), "t": pa.array([0.04])})
+        with pytest.raises(Exception, match="2\\^31"):
+            pricing_summary(rd.from_arrow(tbl), flag="f", status="s",
+                            qty="q", price="p", disc="d",
+                            tax="t").to_pandas()
+
+
+class TestGroupedShare:
+    """grouped_share — ratio-to-report, bit-exact vs DuckDB."""
+
+    def test_matches_duckdb_bits(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import grouped_share
+
+        rng = np.random.default_rng(23)
+        n = 4000
+        tbl = pa.table({
+            "g": pa.array(rng.choice(list("pqrstuv"), n)),
+            "x": pa.array(np.where(rng.random(n) < 0.03, None,
+                                   np.round(rng.uniform(-5, 500, n), 2)),
+                          from_pandas=True),
+        })
+        out = grouped_share(rd.from_arrow(tbl).repartition(4), "g", "x")
+        out = out.to_pandas().sort_values("g").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute("""
+            WITH s AS (SELECT g, SUM(CAST(ROUND(x*100) AS BIGINT)) AS sv
+                       FROM t WHERE x IS NOT NULL GROUP BY g),
+            tt AS (SELECT SUM(sv) AS tot FROM s)
+            SELECT g, CAST(sv AS BIGINT) AS sv,
+                   CAST(sv AS DOUBLE)/CAST(tot AS DOUBLE) AS share
+            FROM s, tt ORDER BY g""").df()
+        assert out["sv"].tolist() == exp["sv"].tolist()
+        for u, v in zip(out["share"], exp["share"]):
+            assert u.hex() == v.hex()
+
+    def test_zero_total_yields_nan(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import grouped_share
+
+        tbl = pa.table({"g": pa.array(["a", "b"]),
+                        "x": pa.array([1.0, -1.0])})
+        out = grouped_share(rd.from_arrow(tbl), "g", "x").to_pandas()
+        assert out["share"].isna().all()
+
+    def test_scale_guard(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import grouped_share
+
+        tbl = pa.table({"g": pa.array(["a"]),
+                        "x": pa.array([float(1 << 53)])})
+        with pytest.raises(Exception, match="2\\^52"):
+            grouped_share(rd.from_arrow(tbl), "g", "x").to_pandas()

@@ -1279,11 +1279,19 @@ def pricing_summary(ds, flag: str = "l_returnflag",
             ).astype(np.int64)
 
         qv, pv, dv, tv = (scaled(c) for c in (qty, price, disc, tax))
-        if len(pv) and max(np.abs(pv).max(), np.abs(qv).max(),
-                           np.abs(dv).max(), np.abs(tv).max()) >= (1 << 31):
+        if len(pv) and max(np.abs(pv).max(), np.abs(qv).max()) >= (1 << 31):
             raise ValueError(
                 "pricing_summary values exceed 2^31 at x100 scaling — "
                 "the per-row products would overflow int64")
+        # disc/tax are RATES: bound their x100 scalings to 10^4 (rate
+        # <= 100x) so the triple product stays < 2^31 * 10^4 * 1.01*10^4
+        # ~ 2.2*10^17 per row — a looser 2^31 bound would let
+        # pv*(100-dv)*(100+tv) wrap int64 SILENTLY per row, before the
+        # float-shadow sum check can see it
+        if len(dv) and max(np.abs(dv).max(), np.abs(tv).max()) > 10_000:
+            raise ValueError(
+                "pricing_summary discount/tax rates exceed 100x — "
+                "per-row products would overflow int64")
         sdp = pv * (100 - dv)
         cols = {"sq": qv, "sp": pv, "sd": dv, "sdp": sdp,
                 "sch": sdp * (100 + tv)}
@@ -1345,7 +1353,8 @@ def grouped_share(ds, group: str, x: str, scale: int = 100,
     operands' float64 casts in the same order the SQL mirror spells, so
     the per-group float hashes without tolerance. NULL ``x`` rows drop;
     a NULL group key forms its own group (both engines agree on
-    GROUP BY NULL).
+    GROUP BY NULL). A zero grand total yields NaN shares (SQL engines
+    differ on DOUBLE/0.0 — pin non-zero totals when mirroring).
 
     Scale shape: one grouped_sums (map-side combine; O(groups x
     batches) partial rows shuffle), then the O(groups) merged table
@@ -1387,8 +1396,7 @@ def grouped_share(ds, group: str, x: str, scale: int = 100,
                 "grouped_share: int64 sum wrapped (exceeds 2^63) — "
                 "lower the scale")
         total = int(sv.sum())
-        if sv.astype(np.float64).sum() != 0 and abs(
-                float(total) - sv.astype(np.float64).sum()) > float(1 << 62):
+        if abs(float(total) - fsv.sum()) > float(1 << 62):
             raise ValueError("grouped_share: grand total wrapped — "
                              "lower the scale")
         share = sv.astype(np.float64) / np.float64(total) \

@@ -688,8 +688,10 @@ def grouped_winsorize(ds, group_col: str, column: str, q_lo: float = 0.1,
 
     def finish(batch: pa.Table) -> pa.Table:
         xa = batch.column(column)
-        lo = batch.column("__lo")
-        hi = batch.column("__hi")
+        # bounds inherit the input dtype from the quantile pass (int64
+        # for integer columns) — cast so if_else branches agree with xf
+        lo = batch.column("__lo").cast(pa.float64())
+        hi = batch.column("__hi").cast(pa.float64())
         ok = pc.and_(pc.is_valid(xa), pc.is_valid(lo))
         # DuckDB CASE order: x < lo -> lo, elif x > hi -> hi, else x.
         # NaN compares greater than everything there, so NaN -> hi;

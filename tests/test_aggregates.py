@@ -1055,6 +1055,22 @@ class TestPricingSummary:
                             qty="q", price="p", disc="d",
                             tax="t").to_pandas()
 
+    def test_rate_magnitude_guard(self, ray_session):
+        # a rate whose x100 scaling exceeds 10^4 would overflow the
+        # int64 triple product per row BEFORE the shadow check can see
+        # it — must refuse loudly
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import pricing_summary
+
+        tbl = pa.table({"f": pa.array(["A"]), "s": pa.array(["O"]),
+                        "q": pa.array([1.0]), "p": pa.array([10.0]),
+                        "d": pa.array([150.0]), "t": pa.array([0.04])})
+        with pytest.raises(Exception, match="100x"):
+            pricing_summary(rd.from_arrow(tbl), flag="f", status="s",
+                            qty="q", price="p", disc="d",
+                            tax="t").to_pandas()
+
 
 class TestGroupedShare:
     """grouped_share — ratio-to-report, bit-exact vs DuckDB."""

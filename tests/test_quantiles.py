@@ -455,3 +455,14 @@ class TestGroupedWinsorize:
         with pytest.raises(ValueError, match="q_lo"):
             grouped_winsorize(rd.from_arrow(tbl), "g", "x",
                               q_lo=0.9, q_hi=0.1)
+
+    def test_integer_column_input(self, ray_session):
+        # bounds from an int64 column come back int64 — finish must
+        # cast so the clamp branches agree with the float64 x
+        tbl = pa.table({"g": pa.array(["A"] * 6),
+                        "x": pa.array([1, 2, 3, 4, 5, 100],
+                                      type=pa.int64())})
+        out = self._run(tbl, q_lo=0.2, q_hi=0.8)
+        got = sorted(out["winsorized"].tolist())
+        # lo = 2 (k=ceil(.2*6)=2), hi = 5 (k=ceil(.8*6)=5)
+        assert got == [2.0, 2.0, 3.0, 4.0, 5.0, 5.0]

@@ -2767,6 +2767,34 @@ def q_embedding_dedup(sf_dir: str):
 # driver API
 # --------------------------------------------------------------------------
 
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources
+    (stages/text.vocab_overlap): the slice-overlap /
+    cross-source-contamination diagnostic — distinct (source, token)
+    rows feed cooccurrence_counts (|A ∩ B|) and grouped_count_distinct
+    (|A|), the O(sources²) report broadcast-joins the O(sources) size
+    table, jaccard = one spelled division of exact ints (bit-mirrored).
+    Text never shuffles."""
+    from jsschema_ray.stages.text import vocab_overlap
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return vocab_overlap(ds, "source", "text").sort(
+        ["source_a", "source_b"])
+
+
+def q_lang_concentration(sf_dir: str):
+    """Per-source Simpson concentration of the language mix
+    (stages/aggregates.grouped_concentration): Σ cnt(lang)² / n² with
+    exact int64 numerators and the division spelled identically in the
+    mirror — the corpus-composition diagnostic (1/simpson = effective
+    language count per source). Two tiny map-side-combined count
+    shuffles."""
+    from jsschema_ray.stages.aggregates import grouped_concentration
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return grouped_concentration(ds, "source", "lang").sort("source")
+
+
 def q_tpch_q1(sf_dir: str):
     """The TPC-H Q1 pricing-summary report
     (stages/aggregates.pricing_summary): per (returnflag, linestatus)
@@ -2944,6 +2972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
+        "source_vocab_overlap": q_source_vocab_overlap,  # r5 tail: slice-vocabulary Jaccard (local-mirror-oracled; window full)
+        "lang_concentration": q_lang_concentration,  # r5 tail: per-source Simpson index (local-mirror-oracled; window full)
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
@@ -3497,6 +3527,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(sv AS BIGINT) AS sv,
                    CAST(sv AS DOUBLE) / CAST(tot AS DOUBLE) AS share
             FROM s, t ORDER BY event_type
+        """,
+        # vocabulary Jaccard: DISTINCT (source, token) self-join on the
+        # shared lowercased \\w+ token stream; the division operands are
+        # the same exact ints, so the float column is bit-identical
+        "source_vocab_overlap": """
+            WITH tok AS (SELECT source,
+                                UNNEST(regexp_extract_all(LOWER(text),
+                                                          '[a-z0-9_]+'))
+                                    AS t
+                         FROM documents WHERE source IS NOT NULL),
+            st AS (SELECT DISTINCT source, t FROM tok),
+            n AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+            i AS (SELECT a.source AS source_a, b.source AS source_b,
+                         COUNT(*) AS n_common
+                  FROM st a JOIN st b ON a.t = b.t
+                                     AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT source_a, source_b, n_common,
+                   CAST(n_common AS DOUBLE)
+                       / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+            FROM i JOIN n na ON na.source = source_a
+                   JOIN n nb ON nb.source = source_b
+            ORDER BY source_a, source_b
+        """,
+        # Simpson concentration: exact integer numerators, the n*n
+        # product and the division spelled identically
+        "lang_concentration": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS cnt
+                       FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY 1, 2),
+            s AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+                         COUNT(*) AS n_cats,
+                         CAST(SUM(cnt * cnt) AS BIGINT) AS simpson_num
+                  FROM c GROUP BY source)
+            SELECT source, n, n_cats, simpson_num,
+                   CAST(simpson_num AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS simpson
+            FROM s ORDER BY source
         """,
         # co-occurrence: DISTINCT self-join on the same key with a < b —
         # integer-exact COUNT(*); NULL users/types drop on both sides

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "exact_dedup",
     "token_counts",
     "doc_freq_score",
+    "source_vocab_overlap",
+    "lang_concentration",
     "minhash_dedup",
     "simhash",
     "lang_id",

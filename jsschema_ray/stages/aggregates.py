@@ -1411,3 +1411,77 @@ def grouped_share(ds, group: str, x: str, scale: int = 100,
     return merged.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True)
+
+
+def grouped_concentration(ds, group: str, col: str,
+                          batch_size: int = 65536):
+    """Per-group Simpson concentration of a categorical column — the
+    corpus-composition diagnostic (how concentrated is each source's
+    language mix?): returns (group, n, n_cats, simpson_num, simpson)
+    where n = rows, n_cats = distinct categories, simpson_num =
+    Σ cnt(cat)² (exact int64) and simpson = f(simpson_num) / f(n·n) —
+    1/simpson is the effective category count; 1.0 means single-category.
+    Both division operands are the same exact integers in a SQL mirror
+    (the x·x product is spelled there too), so the float column hashes
+    without tolerance. NULL group keys and NULL categories drop (the
+    mirror spells both IS NOT NULL).
+
+    Scale shape: two map-side-combined shuffles, both over count rows —
+    (group, cat) counts via grouped_sums (O(groups x cats x batches)
+    partials), then per-group sums of cnt² (O(groups x cats) rows).
+    Guards: per-(group,cat) cnt < 2^31 so cnt² fits int64, group n <
+    2^31 so n·n does, and simpson_num carries the float64-shadow wrap
+    check of the exact-int-sums family."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        return batch.select([group, col]).filter(
+            pc.and_(pc.is_valid(batch.column(group)),
+                    pc.is_valid(batch.column(col))))
+
+    counts = grouped_sums(
+        ds.select_columns([group, col]).map_batches(
+            drop_nulls, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True),
+        [group, col], {}, count_alias="cnt", batch_size=batch_size)
+
+    def square(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        if len(cnt) and cnt.max() >= (1 << 31):
+            raise ValueError(
+                "grouped_concentration: a (group, category) count "
+                "exceeds 2^31 — its square would overflow int64")
+        sq = cnt * cnt
+        return pa.table({group: batch.column(group),
+                         "n": batch.column("cnt"),
+                         "simpson_num": pa.array(sq),
+                         "fsimpson_num": pa.array(sq.astype(np.float64))})
+
+    merged = grouped_sums(
+        counts.map_batches(square, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [group], {"n": "n", "simpson_num": "simpson_num",
+                  "fsimpson_num": "fsimpson_num"},
+        count_alias="n_cats", batch_size=batch_size)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sn = batch.column("simpson_num").to_numpy(zero_copy_only=False)
+        fsn = batch.column("fsimpson_num").to_numpy(zero_copy_only=False)
+        if len(sn) and np.abs(sn.astype(np.float64) - fsn).max() \
+                > float(1 << 62):
+            raise ValueError("grouped_concentration: simpson_num "
+                             "wrapped (exceeds 2^63)")
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        if len(n) and n.max() >= (1 << 31):
+            raise ValueError("grouped_concentration: a group exceeds "
+                             "2^31 rows — n*n would overflow int64")
+        simpson = sn.astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table({group: batch.column(group),
+                         "n": batch.column("n"),
+                         "n_cats": batch.column("n_cats"),
+                         "simpson_num": batch.column("simpson_num"),
+                         "simpson": pa.array(simpson, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -928,3 +928,86 @@ def token_freq_score(ds, column: str = "text", id_column: str = "doc_id",
 
     return merged.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def vocab_overlap(ds, key_column: str = "source",
+                  text_column: str = "text", num_partitions: int = 64,
+                  batch_size: int = 8192):
+    """Pairwise vocabulary Jaccard between corpus slices: for every pair
+    (a < b) of ``key_column`` values (sources/domains/splits), the
+    Jaccard similarity of their DISTINCT token vocabularies — the
+    slice-overlap / cross-source-contamination diagnostic of corpus
+    curation. Tokens are the shared lowercased ``\\w+`` stream of the
+    other text statistics. Returns (source_a, source_b, n_common,
+    jaccard): n_common = |A ∩ B| exact int64, jaccard = ONE spelled
+    division f(n_common) / f(n_a + n_b − n_common) whose operands are
+    the same exact integers in a SQL mirror, so the float column hashes
+    without tolerance. NULL keys drop.
+
+    Scale shape — document text never shuffles: per batch ONE
+    findall/explode + drop_duplicates collapses to DISTINCT (key,
+    token) rows, |A ∩ B| comes from :func:`cooccurrence_counts` over
+    key=token/items=key (items-per-token is bounded by the number of
+    SLICES, so the quadratic expansion is tiny by construction),
+    per-slice vocabulary sizes from :func:`grouped_count_distinct`, and
+    the O(slices²) pair report broadcast-joins the O(slices) size table.
+
+    No reference analogue (single-value validator); the set-similarity
+    member of the corpus-composition family (SURVEY §2.D)."""
+    import pandas as pd
+
+    from jsschema_ray.stages.aggregates import (cooccurrence_counts,
+                                                grouped_count_distinct)
+    from jsschema_ray.stages.join import broadcast_join
+
+    def rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_column).to_pandas().fillna("")
+        s = s.reset_index(drop=True)
+        keys = batch.column(key_column).to_pandas().reset_index(drop=True)
+        toks = s.str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        empty = pa.table({key_column: batch.column(key_column).slice(0, 0),
+                          "token": pa.array([], pa.string())})
+        if not len(ex):
+            return empty
+        df = pd.DataFrame({key_column: keys.iloc[ex.index].to_numpy(),
+                           "token": ex.to_numpy()})
+        df = df[df[key_column].notna()].drop_duplicates()
+        if not len(df):
+            return empty
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.replace_schema_metadata(None).cast(empty.schema)
+
+    exploded = ds.select_columns([key_column, text_column]).map_batches(
+        rows, batch_format="pyarrow", batch_size=batch_size)
+    pairs = cooccurrence_counts(exploded, "token", key_column,
+                                out_a="source_a", out_b="source_b",
+                                count_alias="n_common",
+                                num_partitions=num_partitions)
+    sizes = grouped_count_distinct(exploded, key_column, "token",
+                                   num_partitions=num_partitions)
+
+    def renamed(suffix: str):
+        def rn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([f"source_{suffix}",
+                                     f"n_{suffix}"])
+        return sizes.map_batches(rn, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    j = broadcast_join(pairs, renamed("a"), key="source_a", how="inner")
+    j = broadcast_join(j, renamed("b"), key="source_b", how="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_common").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        # union >= n_common >= 1 for every emitted pair (a pair exists
+        # only when a common token exists), so the division is safe
+        jac = nc.astype(np.float64) / (na + nb - nc).astype(np.float64)
+        return pa.table({"source_a": batch.column("source_a"),
+                         "source_b": batch.column("source_b"),
+                         "n_common": batch.column("n_common"),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)

@@ -354,3 +354,114 @@ def test_token_freq_score_reference_and_exclusions(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert np.array_equal(got.freq_score.to_numpy(),
                           got2.freq_score.to_numpy())
+
+
+class TestVocabOverlap:
+    """vocab_overlap — pairwise slice-vocabulary Jaccard."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from jsschema_ray.stages.text import vocab_overlap
+
+        rng = np.random.default_rng(31)
+        vocab = [f"w{i}" for i in range(60)]
+        docs, srcs = [], []
+        for i in range(300):
+            src = rng.choice(["cc", "wiki", "books", None])
+            words = rng.choice(vocab[:20 + 10 * (hash(src) % 4 if src
+                                                 else 0)],
+                               size=rng.integers(1, 15))
+            docs.append(" ".join(words) + ".")
+            srcs.append(src)
+        tbl = pa.table({"source": pa.array(srcs), "text": pa.array(docs)})
+        out = vocab_overlap(rd.from_arrow(tbl).repartition(4),
+                            "source", "text").to_pandas()
+        out = out.sort_values(["source_a", "source_b"]).reset_index(
+            drop=True)
+        # brute force over the same \w+ lowercased stream
+        import re
+        sets = {}
+        for s, t in zip(srcs, docs):
+            if s is None:
+                continue
+            sets.setdefault(s, set()).update(
+                re.findall(r"\w+", t.lower()))
+        rows = []
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                rows.append((a, b, inter,
+                             inter / len(sets[a] | sets[b])))
+        import pandas as pd
+        exp = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                          "n_common", "jaccard"])
+        pd.testing.assert_frame_equal(out, exp.astype(out.dtypes))
+        for u, v in zip(out["jaccard"], exp["jaccard"]):
+            assert u.hex() == v.hex()
+
+    def test_disjoint_vocabularies_emit_nothing(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.text import vocab_overlap
+
+        tbl = pa.table({"source": pa.array(["a", "b"]),
+                        "text": pa.array(["foo bar", "baz qux"])})
+        out = vocab_overlap(rd.from_arrow(tbl), "source", "text")
+        assert out.count() == 0
+
+
+class TestGroupedConcentration:
+    """grouped_concentration — per-group Simpson index."""
+
+    def test_matches_duckdb_bits(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import grouped_concentration
+
+        rng = np.random.default_rng(37)
+        n = 5000
+        tbl = pa.table({
+            "g": pa.array(rng.choice(["s1", "s2", "s3", None], n)),
+            "c": pa.array(rng.choice(["en", "fr", "de", "pt", None], n,
+                                     p=[0.6, 0.2, 0.1, 0.05, 0.05])),
+        })
+        out = grouped_concentration(rd.from_arrow(tbl).repartition(4),
+                                    "g", "c").to_pandas()
+        out = out.sort_values("g").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute("""
+            WITH c AS (SELECT g, c AS v, COUNT(*) AS cnt FROM t
+                       WHERE g IS NOT NULL AND c IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                   COUNT(*) AS n_cats,
+                   CAST(SUM(cnt*cnt) AS BIGINT) AS simpson_num,
+                   CAST(SUM(cnt*cnt) AS DOUBLE)
+                       / CAST(CAST(SUM(cnt) AS BIGINT)
+                              * CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+                       AS simpson
+            FROM c GROUP BY g ORDER BY g""").df()
+        assert out["n"].tolist() == exp["n"].tolist()
+        assert out["n_cats"].tolist() == exp["n_cats"].tolist()
+        assert out["simpson_num"].tolist() == exp["simpson_num"].tolist()
+        for u, v in zip(out["simpson"], exp["simpson"]):
+            assert u.hex() == v.hex()
+
+    def test_single_category_group_is_one(self, ray_session):
+        import ray.data as rd
+
+        from jsschema_ray.stages.aggregates import grouped_concentration
+
+        tbl = pa.table({"g": pa.array(["a"] * 4 + ["b"] * 2),
+                        "c": pa.array(["en"] * 4 + ["en", "fr"])})
+        out = grouped_concentration(rd.from_arrow(tbl), "g", "c") \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        assert out.loc[0, "simpson"] == 1.0
+        assert out.loc[1, "simpson"] == 0.5
+        assert out["n_cats"].tolist() == [1, 2]

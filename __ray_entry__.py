@@ -2898,7 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- r5 window: flagship + the last never-driver-verified six
         "image_validate": q_image_validate,
-        "violation_summary": q_violation_summary,  # r4 NEW: report roll-up
+        "source_vocab_overlap": q_source_vocab_overlap,  # r5 NEW: slice-vocabulary Jaccard — replaces violation_summary in-window
         "similarity_join": q_similarity_join,  # r5 sweep: first driver row
         "event_type_mode": q_event_type_mode,  # r5 sweep: first driver row
         "mad_outliers": q_mad_outliers,  # r5 sweep: first driver row
@@ -2907,7 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_plan": q_image_resize_plan,  # r5 sweep: first driver row
         "phash_near_dup": q_phash_near_dup,
         "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
-        "image_curation_pipeline": q_image_curation_pipeline,  # r4 NEW
+        "lang_concentration": q_lang_concentration,  # r5 NEW: per-source Simpson index — replaces image_curation_pipeline in-window
         "top_bigrams": q_top_bigrams,  # r5 NEW: corpus bigram statistic — replaces knn_ivf in-window
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
@@ -2972,8 +2972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
-        "source_vocab_overlap": q_source_vocab_overlap,  # r5 tail: slice-vocabulary Jaccard (local-mirror-oracled; window full)
-        "lang_concentration": q_lang_concentration,  # r5 tail: per-source Simpson index (local-mirror-oracled; window full)
+        "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
+        "image_curation_pipeline": q_image_curation_pipeline,  # driver-green r4, pipeline body unchanged in r5 — rotated out for lang_concentration
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention

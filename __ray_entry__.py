@@ -2873,6 +2873,144 @@ def q_price_winsorized(sf_dir: str):
                              keep=["p_partkey"]).sort("p_partkey")
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag QUANTITY-WEIGHTED median of extended price
+    (stages/quantiles.grouped_weighted_median): exact lower weighted
+    median — pure selection over actual data values via the histogram-
+    trick cumulative-weight crossing, so the float column hashes against
+    the DuckDB window-SUM mirror without tolerance. Raw rows never
+    shuffle; one hash(group) co-partition of (group, value, wt) rows."""
+    from jsschema_ray.stages.quantiles import grouped_weighted_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_median(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity"
+    ).sort("l_returnflag")
+
+
+def q_name_typo_pairs(sf_dir: str):
+    """Typo-level fuzzy key mining (stages/dedup.edit1_pairs): all pairs
+    of DISTINCT customer names at Levenshtein distance exactly 1, via
+    FastSS deletion-neighborhood banding + a vectorized byte-matrix
+    verify — the edit-distance member of the dedup family (fine-grained
+    where half-string pigeonhole banding degenerates on the shared
+    'Customer#0000…' prefix). Oracled against DuckDB levenshtein()."""
+    from jsschema_ray.stages.dedup import edit1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_name"])
+    return edit1_pairs(ds, "c_name").sort(["name_a", "name_b"])
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping-priority top-10, adapted to the testdata schema
+    (o_orderpriority stands in for the hint table's missing
+    o_shippriority): BUILDING-segment customers → bloom semi join of
+    date-filtered orders (bitmap broadcast, shuffle ∝ match rate) →
+    per-order revenue from x100-exact int64 map partials merged through
+    aggregates.grouped_sums_partitioned (hash co-partition — never Ray's
+    key-SORTING Aggregate at order-key cardinality) → partitioned hash
+    join back to order attributes → exact global top-10 via
+    stats.top_k_rows on the int revenue with a (days, orderkey)
+    composite tiebreak (≤10 rows per batch cross the wire, no global
+    sort). float64 enters ONCE per output row in the spelled /10000.0
+    division the mirror reproduces — revenue hashes without tolerance."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
+    from jsschema_ray.stages.join import bloom_semi_join, hash_join
+    from jsschema_ray.stages.stats import top_k_rows
+    from jsschema_ray.stages.windows import round_half_away
+
+    cutoff = datetime.datetime(1998, 6, 1)
+
+    def building(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("c_mktsegment"),
+                                 "BUILDING")).select(["c_custkey"])
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).map_batches(
+        building, batch_format="pyarrow", zero_copy_batch=True)
+
+    def before_cutoff(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("o_orderdate"),
+                                pa.scalar(cutoff)))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        before_cutoff, batch_format="pyarrow", zero_copy_batch=True)
+    orders = bloom_semi_join(orders, cust, key="o_custkey",
+                             right_key="c_custkey").drop_columns(
+        ["o_custkey"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.greater(b.column("l_shipdate"),
+                                    pa.scalar(cutoff)), False),
+            pc.and_(pc.is_valid(b.column("l_extendedprice")),
+                    pc.is_valid(b.column("l_discount"))))
+        b = b.filter(keep)
+        ep = round_half_away(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        dc = round_half_away(
+            b.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        if len(ep) and np.abs(ep).max() >= (1 << 31):
+            raise ValueError("tpch_q3: x100 price exceeds 2^31 — the "
+                             "per-row product would overflow int64")
+        if len(dc) and (dc.min() < 0 or dc.max() > 10000):
+            raise ValueError("tpch_q3: discount rate outside [0, 100] "
+                             "at x100 scaling")
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev10000": pa.array(ep * (100 - dc))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        rev, batch_format="pyarrow", zero_copy_batch=True)
+    rev_per_order = grouped_sums_partitioned(
+        li, ["l_orderkey"], {"rev10000": "rev10000"})
+
+    joined = hash_join(rev_per_order, orders, key="l_orderkey",
+                       right_key="o_orderkey", how="inner")
+
+    def add_tiebreak(b: pa.Table) -> pa.Table:
+        # ORDER BY rev DESC, o_orderdate, l_orderkey — fold (days since
+        # epoch, orderkey) into one ascending int64 tiebreak
+        us = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if len(key) and (key.max() >= (1 << 44) or key.min() < 0
+                         or us.min() < 0):
+            raise ValueError("tpch_q3 tiebreak fold needs orderkey in "
+                             "[0, 2^44) and post-epoch dates")
+        days = us // 86_400_000_000
+        return b.append_column(
+            "__tb", pa.array((days << 44) + key))
+
+    top10 = top_k_rows(
+        joined.map_batches(add_tiebreak, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        value="rev10000", tiebreak="__tb", k=10, descending=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "revenue": pc.divide(
+                b.column("rev10000").cast(pa.float64()),
+                pa.scalar(10000.0)),
+            "o_orderdate": b.column("o_orderdate"),
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+
+    return top10.map_batches(finish, batch_format="pyarrow").sort(
+        "l_orderkey")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -2905,8 +3043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": q_unnest_embeddings,  # r5 sweep: first driver row
         "quantity_price_moments": q_quantity_price_moments,  # r5 sweep + overflow-guard change
         "image_resize_plan": q_image_resize_plan,  # r5 sweep: first driver row
-        "phash_near_dup": q_phash_near_dup,
-        "image_near_dup_components": q_image_near_dup_components,  # r4 NEW
+        "weighted_median": q_weighted_median,  # r5 NEW: grouped weighted median (exact selection) — replaces phash_near_dup in-window
+        "name_typo_pairs": q_name_typo_pairs,  # r5 NEW: Levenshtein<=1 pair mining (FastSS banding) — replaces image_near_dup_components in-window
         "lang_concentration": q_lang_concentration,  # r5 NEW: per-source Simpson index — replaces image_curation_pipeline in-window
         "top_bigrams": q_top_bigrams,  # r5 NEW: corpus bigram statistic — replaces knn_ivf in-window
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
@@ -2921,7 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
         "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
         "doc_freq_score": q_doc_freq_score,  # r5 NEW: mean-corpus-TF quality score (CCNet-analogue, bit-exact) — replaces jaccard_pairs in-window
-        "dedup_components": q_dedup_components,
+        "tpch_q3": q_tpch_q3,  # r5 NEW: shipping-priority top-10 (semi join + partitioned grouped sums + exact top-k) — replaces dedup_components in-window
         "near_dedup_corpus": q_near_dedup_corpus,
         "group_quantiles": q_group_quantiles,
         "group_quantile_sketch": q_group_quantile_sketch,  # r5: mergeable per-group t-digest
@@ -2973,6 +3111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
+        "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
+        "image_near_dup_components": q_image_near_dup_components,  # driver-green r4, unchanged — rotated out for name_typo_pairs
+        "dedup_components": q_dedup_components,  # driver-green r4, graph.py unchanged; near_dedup_corpus keeps the components path in-window — rotated out for tpch_q3
         "image_curation_pipeline": q_image_curation_pipeline,  # driver-green r4, pipeline body unchanged in r5 — rotated out for lang_concentration
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
@@ -3531,6 +3672,74 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary Jaccard: DISTINCT (source, token) self-join on the
         # shared lowercased \\w+ token stream; the division operands are
         # the same exact ints, so the float column is bit-identical
+        # lower weighted median: pure selection, the window's default
+        # RANGE frame sums all peers of a tied value — exactly the
+        # engine's per-distinct-value cumulative; wt > 0 filter mirrors
+        # the engine's zero-weight drop (cannot move the crossing)
+        "weighted_median": """
+            WITH c AS (
+                SELECT l_returnflag AS grp, l_extendedprice AS v,
+                       CAST(ROUND(l_quantity * 100) AS BIGINT) AS wt
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                  AND CAST(ROUND(l_quantity * 100) AS BIGINT) > 0
+            ), cum AS (
+                SELECT grp, v,
+                       SUM(wt) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                       SUM(wt) OVER (PARTITION BY grp) AS tot
+                FROM c
+            )
+            SELECT grp AS l_returnflag, MIN(v) AS w_median
+            FROM cum WHERE 2 * cw >= tot
+            GROUP BY grp ORDER BY l_returnflag
+        """,
+        # Levenshtein<=1 pair mining: the engine's FastSS deletion-
+        # neighborhood candidates + exact byte-matrix verify equal the
+        # exhaustive character-level levenshtein join (values are ASCII,
+        # refused otherwise, so byte == character)
+        "name_typo_pairs": """
+            WITH names AS (SELECT DISTINCT c_name AS v FROM customer
+                           WHERE c_name IS NOT NULL)
+            SELECT a.v AS name_a, b.v AS name_b
+            FROM names a JOIN names b
+              ON a.v < b.v
+             AND abs(length(a.v) - length(b.v)) <= 1
+             AND levenshtein(a.v, b.v) <= 1
+            ORDER BY name_a, name_b
+        """,
+        # TPC-H Q3 (o_orderpriority for the hint table's missing
+        # o_shippriority): x100-exact int64 revenue sums (DuckDB's
+        # HUGEINT promotion cast back to BIGINT = the engine's int64),
+        # ORDER on the exact int with the same (date, orderkey)
+        # tiebreaks, ONE spelled division per output row
+        "tpch_q3": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS rev10000
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                GROUP BY l_orderkey
+            ), o AS (
+                SELECT o_orderkey, o_orderdate, o_orderpriority
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-06-01'
+                  AND o_custkey IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')
+            )
+            SELECT li.l_orderkey,
+                   CAST(li.rev10000 AS DOUBLE) / 10000.0 AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+            ORDER BY li.rev10000 DESC, o.o_orderdate, li.l_orderkey
+            LIMIT 10
+        """,
         "source_vocab_overlap": """
             WITH tok AS (SELECT source,
                                 UNNEST(regexp_extract_all(LOWER(text),

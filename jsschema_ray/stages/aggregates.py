@@ -1485,3 +1485,64 @@ def grouped_concentration(ds, group: str, col: str,
 
     return merged.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_sums_partitioned(ds, keys: list[str], sum_cols: dict[str, str],
+                             count_alias: Optional[str] = None,
+                             num_parts: int = 32, batch_size: int = 65536):
+    """grouped_sums for UNBOUNDED key cardinality: identical map-side
+    pyarrow partials, but the merge is a hash(keys) co-partition +
+    per-partition pyarrow group_by instead of Ray's key-SORTING
+    Aggregate — which collapses on high-cardinality keys (measured
+    26.8 s vs ~0.5 s on a 150k-distinct key at sf0.1; the r5 value_cdf
+    find). Use grouped_sums for single-digit group universes (its merged
+    output is globally combined per key already); use THIS when the key
+    is an id-like column (per-order, per-document totals). Returns
+    keys + out_names [+ count_alias]; NULL keys group together
+    (SQL GROUP BY), -0.0/0.0 float keys merge as one key."""
+    import numpy as np
+
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    in_cols = list(dict.fromkeys(sum_cols.values()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.select(keys + in_cols)
+        for k in keys:
+            # normalize -0.0/0.0 BEFORE grouping (SQL GROUP BY merges
+            # them; pyarrow group_by would keep two keys) — and the
+            # same normalized column feeds the partition hash below
+            kcol = b.column(k).combine_chunks()
+            norm = normalize_zeros(kcol)
+            if norm is not kcol:
+                b = b.set_column(b.column_names.index(k), k, norm)
+        aggs = [(c, "sum") for c in in_cols]
+        if count_alias:
+            aggs.append(([], "count_all"))
+        g = b.group_by(keys).aggregate(aggs)
+        renames = {f"{c}_sum": out for out, c in sum_cols.items()}
+        if count_alias:
+            renames["count_all"] = count_alias
+        g = g.rename_columns(
+            [renames.get(name, name) for name in g.column_names])
+        h = None
+        for k in keys:
+            hk = hash64(g.column(k).combine_chunks())
+            with np.errstate(over="ignore"):
+                h = hk if h is None else h * np.uint64(1000003) + hk
+        part = (h % np.uint64(num_parts)).astype(np.int32)
+        return g.append_column("__part", pa.array(part))
+
+    out_names = list(sum_cols) + ([count_alias] if count_alias else [])
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__part"]).group_by(keys).aggregate(
+            [(c, "sum") for c in out_names])
+        return g.rename_columns(
+            [n[:-4] if n.endswith("_sum") and n[:-4] in out_names else n
+             for n in g.column_names])
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(merge_part, batch_format="pyarrow")

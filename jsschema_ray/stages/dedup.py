@@ -1527,3 +1527,187 @@ def incremental_dedup(ds, column: str, key_column: str, index,
         index.select_columns(["content_hash"]).union(
             new_hashes).write_parquet(out_index_path)
     return survivors
+
+
+def _byte_matrix(arr, width: int):
+    """Zero-padded (n, width) uint8 matrix + int64 lengths from a string
+    Array — one vectorized scatter from the Arrow data buffer, no per-row
+    Python. Callers guarantee ASCII, no NUL, len < width (edit1_pairs
+    refuses violations at the distinct stage)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    b = arr.cast(pa.string()).cast(pa.binary())
+    n = len(b)
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int32)[
+        b.offset : b.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    M = np.zeros((n, width), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(total) - np.repeat(offs[:-1] - offs[0], lens)
+        M[rows, cols] = data[offs[0] : offs[-1]]
+    return M, lens
+
+
+def _edit1_keep(a_col, b_col) -> np.ndarray:
+    """Vectorized exact Levenshtein<=1 verdict for candidate string pairs
+    with |len(a)-len(b)| <= 1: equal lengths reduce to Hamming<=1 (byte
+    mismatch count over the padded matrices); off-by-one lengths check
+    that deleting the LONGER side's first-mismatch byte yields the
+    shorter (one np.take_along_axis gather — the only alignment a single
+    indel permits). No per-pair Python loop."""
+    W = 2
+    for c in (a_col, b_col):
+        la = pc.max(pc.utf8_length(c)).as_py()
+        W = max(W, (la or 0) + 2)
+    A, la = _byte_matrix(a_col, W)
+    B, lb = _byte_matrix(b_col, W)
+    same = la == lb
+    mism = (A != B).sum(axis=1)
+    keep = same & (mism <= 1)
+    diff = ~same & (np.abs(la - lb) == 1)
+    if diff.any():
+        Ad, Bd = A[diff], B[diff]
+        swap = (lb[diff] > la[diff])[:, None]
+        L = np.where(swap, Bd, Ad)   # longer side
+        S = np.where(swap, Ad, Bd)   # shorter side
+        # first mismatch exists: lengths differ and strings are NUL-free,
+        # so position len(short) holds a real byte on L and 0 on S
+        f = (L != S).argmax(axis=1)
+        J = np.arange(W - 1)[None, :]
+        Ldel = np.take_along_axis(L, J + (J >= f[:, None]), axis=1)
+        keep[diff] = (Ldel == S[:, : W - 1]).all(axis=1)
+    return keep
+
+
+def edit1_pairs(ds, column: str, num_parts: int = 64,
+                batch_size: int = 65536, max_len: int = 128,
+                max_bucket_members: int = 256):
+    """All unordered pairs of DISTINCT ``column`` values at Levenshtein
+    distance EXACTLY 1 (one substitution, insertion or deletion) —
+    typo-level fuzzy key mining (near-identical usernames / product
+    codes / titles that exact_dedup misses). Returns (name_a, name_b)
+    with name_a < name_b.
+
+    Candidate generation is the FastSS / SymSpell deletion-neighborhood
+    banding (Bocek et al. 2007, public literature): any pair at distance
+    <= 1 shares a member of {s} ∪ {single-deletion variants of s} — a
+    substitution pair shares the variant deleting the differing position,
+    an indel pair's longer side has the shorter AS a variant (hence the
+    self-key). Shared variants at DIFFERENT positions reach distance 2,
+    so the bucket superset is cut by an exact vectorized verify
+    (_edit1_keep). Unlike half-string prefix/suffix pigeonholing, the
+    neighborhood keys stay fine-grained on common-prefix corpora
+    ("Customer#0000...") where a prefix band degenerates to one bucket.
+
+    Contract (refused loudly at the distinct stage): ASCII values, no
+    NUL byte, length <= max_len — byte == character keeps the padded
+    byte-matrix verify exact against a character-level SQL
+    levenshtein(). NULL values drop.
+
+    Scale shape: distinct via per-batch unique + hash(value)
+    co-partition; emission is O(len+1) keys per DISTINCT value,
+    blob-packed so the one shuffle moves O(batches x parts) rows; every
+    bucket lands in exactly one partition; pair dedup and verify are
+    vectorized byte-matrix passes. Buckets past max_bucket_members
+    degrade to consecutive+star pairing (the LSH-path guard) — for
+    ed<=1 mining prefer raising num_parts instead if that fires.
+    No reference analogue (single-value validator, schema.go); extends
+    the §2 dedup family (exact / minhash / simhash / hamming) to edit
+    distance."""
+    from jsschema_ray.stages.uniqueness import _unpack
+
+    def uniq_part(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks().drop_null().unique()
+        if len(col):
+            if not pc.all(pc.string_is_ascii(col)).as_py():
+                raise ValueError(
+                    f"edit1_pairs needs ASCII {column} values (byte == "
+                    "character keeps the verify exact vs SQL levenshtein)")
+            if pc.any(pc.greater(pc.count_substring(col, "\x00"),
+                                 0)).as_py():
+                raise ValueError(
+                    f"edit1_pairs: {column} contains NUL bytes — the "
+                    "padded-matrix alignment sentinel would be ambiguous")
+            if pc.any(pc.greater(pc.utf8_length(col), max_len)).as_py():
+                raise ValueError(
+                    f"edit1_pairs: {column} exceeds max_len={max_len} — "
+                    "deletion-neighborhood emission is O(len) per value")
+        part = (hash64(col) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({column: col, "__part": pa.array(part)})
+
+    def uniq_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {column: t.column(column).combine_chunks().unique()})
+
+    distinct = ds.select_columns([column]).map_batches(
+        uniq_part, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(uniq_merge, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "blob": pa.array([], pa.binary())})
+        if not len(col):
+            return empty
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        keys, names = [col], [col]  # the self-key (indel partner)
+        for d in range(int(lens.max())):
+            sub = col.filter(pa.array(lens > d))
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, d),
+                pc.utf8_slice_codeunits(sub, d + 1), "")
+            keys.append(var)
+            names.append(sub)
+        tbl = pa.table({
+            "bucket_key": pa.chunked_array(keys).combine_chunks(),
+            "val": pa.chunked_array(names).combine_chunks(),
+        })
+        # equal-char runs produce duplicate variants of the same value —
+        # collapse before the shuffle
+        tbl = tbl.group_by(["bucket_key", "val"]).aggregate([])
+        if not tbl.num_rows:
+            return empty
+        bk = hash64(tbl.column("bucket_key").combine_chunks())
+        part = (bk % np.uint64(num_parts)).astype(np.int32)
+        return _pack_parted(tbl.drop_columns(["bucket_key"]).append_column(
+            "bkey", pa.array(bk.astype(np.int64))), part, num_parts)
+
+    exploded = distinct.map_batches(explode, batch_format="pyarrow",
+                                    batch_size=batch_size)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
+        bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+        vals = tbl.column("val").to_numpy(zero_copy_only=False)
+        seen: set = set()
+        a_out, b_out = [], []
+        # bucket-key hash collisions only merge buckets: extra candidates
+        # the exact verify removes, never lost pairs
+        for a, b in _emit_run_pairs(bk, vals, max_bucket_members):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            a_out.append(a)
+            b_out.append(b)
+        return pd.DataFrame({"a": pd.array(a_out, dtype="object"),
+                             "b": pd.array(b_out, dtype="object")})
+
+    candidates = _dedupe_pairs(
+        exploded.groupby("part").map_groups(emit_pairs,
+                                            batch_format="pandas"),
+        num_parts=num_parts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        out = pa.table({"name_a": a, "name_b": b})
+        if not len(a):
+            return out
+        return out.filter(pa.array(_edit1_keep(a, b)))
+
+    return candidates.map_batches(verify, batch_format="pyarrow",
+                                  batch_size=batch_size)

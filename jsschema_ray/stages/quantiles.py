@@ -708,3 +708,83 @@ def grouped_winsorize(ds, group_col: str, column: str, q_lo: float = 0.1,
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
+
+
+def grouped_weighted_median(ds, group_col: str, column: str,
+                            weight_col: str, scale: int = 100,
+                            num_parts: int = 32, batch_size: int = 262144,
+                            out_name: str = "w_median"):
+    """Exact per-group LOWER WEIGHTED MEDIAN: the smallest value v with
+    2 * W(<= v) >= W_total, weights taken as exact integers at x``scale``
+    (TPC-H 2-decimal quantity/money columns are exact at 100). Pure
+    SELECTION — the result is an actual data value, no float arithmetic —
+    so the output column hashes bit-identically against the SQL mirror
+    ``MIN(v) ... WHERE 2 * SUM(wt) OVER (PARTITION BY g ORDER BY v) >=
+    SUM(wt) OVER (PARTITION BY g)`` (the window's default RANGE frame
+    sums ALL peers of a tied value — exactly the per-distinct-value
+    cumulative computed here).
+
+    NULL value / NULL weight rows drop (the mirror spells the same
+    IS NOT NULL filters); zero-weight rows drop (they can never move the
+    crossing value when any positive weight exists — mirrors spell
+    wt > 0); NEGATIVE weights refuse loudly (a weighted median is
+    undefined there, and a silent drop would hide a key-domain bug —
+    the sampling.weighted_hash_sample contract).
+
+    Scale shape: the _grouped_value_counts histogram trick with weight
+    sums for counts — each batch collapses to (group, value, wt_sum)
+    rows, those hash(group)-co-partition (never Ray's key-sorting
+    Aggregate — the r5 value_cdf find), and each partition runs ONE
+    batched searchsorted selection for ALL its groups: needle
+    base_g + ceil(tot_g / 2) over the partition-global cumsum. Raw rows
+    never shuffle; the shuffle carries O(distinct (group, value)) rows.
+
+    No reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57); extends the grouped
+    quantile family (§2.C column statistics, grouped form) to weighted
+    order statistics."""
+    import pandas as pd
+
+    from jsschema_ray.stages.windows import round_half_away
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column, weight_col]).to_pandas()
+        df = df[df[column].notna() & df[weight_col].notna()]
+        wt = round_half_away(
+            df[weight_col].to_numpy(dtype=np.float64) * scale
+        ).astype(np.int64)
+        if len(wt) and wt.min() < 0:
+            raise ValueError(
+                f"grouped_weighted_median weights must be non-negative "
+                f"at x{scale} scaling, got min {wt.min()}")
+        df = df.assign(cnt=wt)
+        df = df[wt > 0]
+        g = (df.groupby([group_col, column], sort=False, dropna=False)
+             ["cnt"].sum().reset_index())
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        gcol = normalize_zeros(tbl.column(group_col).combine_chunks())
+        part = (hash64(gcol) % np.uint64(num_parts)).astype(np.int32)
+        # strip pandas schema metadata (unhashable dict disables Ray's
+        # shuffle schema-dedup fast path — the _grouped_value_counts fix)
+        return tbl.replace_schema_metadata(None).append_column(
+            "__part", pa.array(part))
+
+    def select_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["__part"])
+        if not len(gdf):
+            return pd.DataFrame({group_col: gdf[group_col],
+                                 out_name: gdf[column]})
+        gdf, uniq, csum, base, n_g = _sorted_segments(gdf, group_col,
+                                                      column)
+        vals = gdf[column].to_numpy()
+        # n_g = total positive weight per group (>= 1 after the wt > 0
+        # filter, so the needle always lands inside the segment)
+        k = (n_g + 1) // 2  # ceil(tot/2): first cw with 2*cw >= tot
+        out = vals[np.searchsorted(csum, base + k, side="left")]
+        return pd.DataFrame({group_col: uniq, out_name: out})
+
+    return ds.map_batches(
+        pre, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(select_part, batch_format="pandas")

@@ -1,0 +1,153 @@
+"""Round-5 additions: grouped_weighted_median (exact weighted order
+statistic), edit1_pairs (Levenshtein<=1 FastSS banding + vectorized
+verify), grouped_sums_partitioned (high-cardinality-safe grouped sums),
+and the TPC-H Q3 composition. SQL parity for the three oracled queries
+runs in test_oracle_parity; these pin edge cases and refusal guards."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from jsschema_ray.stages.aggregates import (grouped_sums,
+                                            grouped_sums_partitioned)
+from jsschema_ray.stages.dedup import _edit1_keep, edit1_pairs
+from jsschema_ray.stages.quantiles import grouped_weighted_median
+
+
+def _ds(table: dict, n_blocks=4):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table)).repartition(n_blocks)
+
+
+class TestGroupedWeightedMedian:
+    def _mirror(self, df: pd.DataFrame, scale=100) -> pd.DataFrame:
+        return duckdb.sql(f"""
+            WITH c AS (
+                SELECT g AS grp, v, CAST(ROUND(w * {scale}) AS BIGINT) AS wt
+                FROM df
+                WHERE v IS NOT NULL AND w IS NOT NULL
+                  AND CAST(ROUND(w * {scale}) AS BIGINT) > 0
+            ), cum AS (
+                SELECT grp, v,
+                       SUM(wt) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                       SUM(wt) OVER (PARTITION BY grp) AS tot FROM c
+            )
+            SELECT grp AS g, MIN(v) AS w_median FROM cum
+            WHERE 2 * cw >= tot GROUP BY grp ORDER BY g
+        """).df()
+
+    def test_matches_window_mirror_random(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 4000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 7, n),
+            "v": rng.choice([1.25, 2.5, 2.5, 7.0, 100.0, -3.75], n),
+            "w": rng.integers(0, 9, n).astype(float),  # includes zeros
+        })
+        got = grouped_weighted_median(
+            _ds({c: df[c] for c in df}), "g", "v", "w", num_parts=4
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        exp = self._mirror(df)
+        assert np.array_equal(got["g"].to_numpy(), exp["g"].to_numpy())
+        # selection is bit-exact
+        assert np.array_equal(got["w_median"].to_numpy().view("int64"),
+                              exp["w_median"].to_numpy().view("int64"))
+
+    def test_even_split_picks_lower(self, ray_session):
+        # weights 1|1 around two values: 2*cw == tot at the LOWER value
+        got = grouped_weighted_median(
+            _ds({"g": ["a"], "v": [10.0], "w": [1.0]}).union(
+                _ds({"g": ["a"], "v": [20.0], "w": [1.0]})),
+            "g", "v", "w").to_pandas()
+        assert got["w_median"].tolist() == [10.0]
+
+    def test_nulls_and_all_zero_weight_group_drop(self, ray_session):
+        df = {"g": ["a", "a", "b", "b", None],
+              "v": [1.0, None, 5.0, 6.0, 9.0],
+              "w": [2.0, 3.0, 0.0, 0.0, 4.0]}
+        got = grouped_weighted_median(_ds(df), "g", "v", "w").to_pandas()
+        got = got.sort_values("g", na_position="last").reset_index(drop=True)
+        # group b vanishes (all weights zero); NULL group survives
+        assert got["w_median"].tolist() == [1.0, 9.0]
+        assert got["g"].tolist()[0] == "a" and pd.isna(got["g"].tolist()[1])
+
+    def test_negative_weight_refuses(self, ray_session):
+        ds = _ds({"g": ["a"], "v": [1.0], "w": [-2.0]})
+        with pytest.raises(Exception, match="non-negative"):
+            grouped_weighted_median(ds, "g", "v", "w").to_pandas()
+
+
+class TestEdit1Pairs:
+    def _mirror(self, values) -> pd.DataFrame:
+        df = pd.DataFrame({"s": values})
+        return duckdb.sql("""
+            WITH names AS (SELECT DISTINCT s AS v FROM df
+                           WHERE s IS NOT NULL)
+            SELECT a.v AS name_a, b.v AS name_b FROM names a JOIN names b
+              ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 1
+             AND levenshtein(a.v, b.v) <= 1
+            ORDER BY name_a, name_b
+        """).df()
+
+    def test_matches_levenshtein_mirror(self, ray_session):
+        rng = np.random.default_rng(3)
+        # dense typo cluster: short strings over a tiny alphabet
+        vals = ["".join(rng.choice(list("abc"), rng.integers(1, 5)))
+                for _ in range(300)] + ["", "a", None, "abba", "abba"]
+        got = edit1_pairs(
+            _ds({"s": pa.array(vals, pa.string())}), "s", num_parts=8
+        ).to_pandas().sort_values(["name_a", "name_b"]).reset_index(
+            drop=True)
+        exp = self._mirror(vals)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_refusals(self, ray_session):
+        with pytest.raises(Exception, match="ASCII"):
+            edit1_pairs(_ds({"s": ["héllo", "hallo"]}), "s").to_pandas()
+        with pytest.raises(Exception, match="NUL"):
+            edit1_pairs(_ds({"s": ["a\x00b", "ab"]}), "s").to_pandas()
+        with pytest.raises(Exception, match="max_len"):
+            edit1_pairs(_ds({"s": ["x" * 9, "y"]}), "s",
+                        max_len=8).to_pandas()
+
+    def test_verify_kernel_direct(self):
+        a = pa.array(["abc", "abc", "abc", "abcd", "x", ""])
+        b = pa.array(["abd", "adc", "cba", "abc", "xy", "q"])
+        assert _edit1_keep(a, b).tolist() == [True, True, False, True,
+                                              True, True]
+
+
+class TestGroupedSumsPartitioned:
+    def test_matches_grouped_sums_high_cardinality(self, ray_session):
+        rng = np.random.default_rng(7)
+        n = 20000
+        df = {"k": rng.integers(0, 15000, n),
+              "x": rng.integers(-100, 100, n)}
+        a = grouped_sums_partitioned(
+            _ds(df), ["k"], {"sx": "x"}, count_alias="n", num_parts=8
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        b = grouped_sums(
+            _ds(df), ["k"], {"sx": "x"}, count_alias="n"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["k", "sx", "n"]],
+                                      b[["k", "sx", "n"]])
+
+    def test_null_and_negzero_keys_merge(self, ray_session):
+        t = {"k": pa.array([0.0, -0.0, None, None, 1.0], pa.float64()),
+             "x": pa.array([1, 2, 4, 8, 16], pa.int64())}
+        got = grouped_sums_partitioned(
+            _ds(t, n_blocks=2), ["k"], {"sx": "x"}, num_parts=4
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        m = {(-1 if pd.isna(k) else k): v
+             for k, v in zip(got["k"], got["sx"])}
+        assert m == {0.0: 3, 1.0: 16, -1: 12}
+
+    def test_multikey(self, ray_session):
+        t = {"a": ["x", "x", "y"], "b": [1, 1, 1], "v": [2, 3, 4]}
+        got = grouped_sums_partitioned(
+            _ds(t, n_blocks=2), ["a", "b"], {"sv": "v"}, num_parts=4
+        ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert got["sv"].tolist() == [5, 4]

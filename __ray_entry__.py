@@ -3011,6 +3011,36 @@ def q_tpch_q3(sf_dir: str):
         "l_orderkey")
 
 
+def q_normalize_docs(sf_dir: str):
+    """Canonical text normalization (stages/text.normalize_text):
+    lowercase + explicit-ASCII-whitespace collapse + trim, with
+    norm_len / n_collapsed diagnostics — the standard first preprocessing
+    pass feeding dedup and fingerprint keys. The synthetic corpus is
+    already lowercase/single-spaced, so BOTH engines first build the
+    same messy input (' ' || UPPER(lang) || '\\t ' || text || '  ') —
+    the normalization is genuinely exercised (case folds, tab+space runs
+    collapse, edges trim), not an identity pass. Pure row-local Arrow C
+    kernels; the per-row STRING column hashes against the DuckDB
+    trim(regexp_replace(lower(...))) mirror (both engines run RE2 with
+    the same spelled whitespace class)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def mk_messy(b: pa.Table) -> pa.Table:
+        mid = pc.binary_join_element_wise(
+            pc.utf8_upper(b.column("lang")), b.column("text"), "\t ")
+        messy = pc.binary_join_element_wise(" ", mid, "  ", "")
+        return pa.table({"doc_id": b.column("doc_id"), "messy": messy})
+
+    return normalize_text(
+        ds.map_batches(mk_messy, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        column="messy", id_column="doc_id").sort("doc_id")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -3080,7 +3110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
         "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,  # r5 NEW: resumable hive sink round-trip — replaces sample_n_docs in-window
-        "chunk_documents": q_chunk_documents,  # r4 NEW: context chunking
+        "normalize_docs": q_normalize_docs,  # r5 NEW: canonical text normalization (per-row string oracle) — replaces chunk_documents in-window (chunk_pack_pipeline keeps the chunking path)
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
         "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
         "image_letterbox_plan": q_image_letterbox_plan,  # r5 NEW: integer-exact letterbox targets — replaces category_drift in-window
@@ -3114,6 +3144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
         "image_near_dup_components": q_image_near_dup_components,  # driver-green r4, unchanged — rotated out for name_typo_pairs
         "dedup_components": q_dedup_components,  # driver-green r4, graph.py unchanged; near_dedup_corpus keeps the components path in-window — rotated out for tpch_q3
+        "chunk_documents": q_chunk_documents,  # driver-green r4, chunking code unchanged in r5; chunk_pack_pipeline keeps the path in-window — rotated out for normalize_docs
         "image_curation_pipeline": q_image_curation_pipeline,  # driver-green r4, pipeline body unchanged in r5 — rotated out for lang_concentration
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
         "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
@@ -3672,6 +3703,28 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary Jaccard: DISTINCT (source, token) self-join on the
         # shared lowercased \\w+ token stream; the division operands are
         # the same exact ints, so the float column is bit-identical
+        # per-row string normalization: both engines run RE2 with the
+        # SAME explicitly spelled whitespace class (RE2 \s and Python
+        # unicode \s disagree — never use bare \s in a mirrored regex)
+        "normalize_docs": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       ' ' || upper(lang) || e'\t ' || text || '  '
+                           AS messy
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(messy),
+                                           '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ') AS norm_text,
+                       length(messy) AS raw_len
+                FROM m
+            )
+            SELECT doc_id, norm_text,
+                   length(norm_text) AS norm_len,
+                   raw_len - length(norm_text) AS n_collapsed
+            FROM n ORDER BY doc_id
+        """,
         # lower weighted median: pure selection, the window's default
         # RANGE frame sums all peers of a tied value — exactly the
         # engine's per-distinct-value cumulative; wt > 0 filter mirrors

@@ -713,9 +713,13 @@ def grouped_winsorize(ds, group_col: str, column: str, q_lo: float = 0.1,
 def grouped_weighted_median(ds, group_col: str, column: str,
                             weight_col: str, scale: int = 100,
                             num_parts: int = 32, batch_size: int = 262144,
-                            out_name: str = "w_median"):
-    """Exact per-group LOWER WEIGHTED MEDIAN: the smallest value v with
-    2 * W(<= v) >= W_total, weights taken as exact integers at x``scale``
+                            out_name: str = "w_median", q: float = 0.5):
+    """Exact per-group LOWER WEIGHTED MEDIAN (or, via ``q``, any lower
+    weighted quantile — smallest v with W(<= v) >= ceil(q * W_total);
+    q = 0.5 is binary-exact, arbitrary q carries the same float-ceil
+    boundary caveat grouped_quantile_disc documents):
+    the smallest value v with 2 * W(<= v) >= W_total,
+    weights taken as exact integers at x``scale``
     (TPC-H 2-decimal quantity/money columns are exact at 100). Pure
     SELECTION — the result is an actual data value, no float arithmetic —
     so the output column hashes bit-identically against the SQL mirror
@@ -748,6 +752,9 @@ def grouped_weighted_median(ds, group_col: str, column: str,
     from jsschema_ray.stages.windows import round_half_away
     from jsschema_ray.state.hll import hash64, normalize_zeros
 
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+
     def pre(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, column, weight_col]).to_pandas()
         df = df[df[column].notna() & df[weight_col].notna()]
@@ -779,8 +786,11 @@ def grouped_weighted_median(ds, group_col: str, column: str,
                                                       column)
         vals = gdf[column].to_numpy()
         # n_g = total positive weight per group (>= 1 after the wt > 0
-        # filter, so the needle always lands inside the segment)
-        k = (n_g + 1) // 2  # ceil(tot/2): first cw with 2*cw >= tot
+        # filter, so the needle always lands inside the segment);
+        # ceil(0.5 * tot) == (tot + 1) // 2 exactly — the median path
+        # never touches float
+        k = np.maximum(1, np.ceil(q * n_g.astype(np.float64))
+                       ).astype(np.int64)
         out = vals[np.searchsorted(csum, base + k, side="left")]
         return pd.DataFrame({group_col: uniq, out_name: out})
 

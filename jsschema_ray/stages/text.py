@@ -1011,3 +1011,47 @@ def vocab_overlap(ds, key_column: str = "source",
 
     return j.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def normalize_text(ds, column: str = "text", id_column: str = "doc_id",
+                   out_column: str = "norm_text", batch_size: int = 8192):
+    """Canonical text normalization for dedup / fingerprint keys — the
+    standard first preprocessing pass of a training-data pipeline:
+    lowercase, collapse explicit-ASCII whitespace runs ([ \\t\\n\\r\\f\\v]+)
+    to one space, trim leading/trailing spaces. Returns (id_column,
+    out_column, norm_len, n_collapsed) where n_collapsed =
+    length(text) − length(norm) counts removed characters.
+
+    Parity-by-construction with a SQL
+    ``trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))``
+    mirror: the whitespace class is spelled EXPLICITLY (RE2's \\s and
+    Python's unicode \\s disagree), both engines run RE2, both lowercase
+    via unicode case folding (identical on ASCII; parity on non-ASCII is
+    asserted by the oracle at test time, not assumed). NULL text
+    propagates NULL through every output (SQL function semantics).
+
+    Scale shape: pure row-local Arrow C kernels (utf8_lower →
+    replace_substring_regex → utf8_trim) — no pandas round-trip, no
+    Python loop, no shuffle. No reference analogue (single-value
+    validator); the normalize step feeding exact_dedup/fingerprint."""
+    import pyarrow.compute as pc
+
+    ws = "[ \t\n\r\f\v]+"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch.column(column)
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(txt), ws,
+                                       replacement=" "),
+            " ")
+        return pa.table({
+            id_column: batch.column(id_column),
+            out_column: norm,
+            "norm_len": pc.utf8_length(norm).cast(pa.int64()),
+            "n_collapsed": pc.subtract(
+                pc.utf8_length(txt).cast(pa.int64()),
+                pc.utf8_length(norm).cast(pa.int64())),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -151,3 +151,76 @@ class TestGroupedSumsPartitioned:
             _ds(t, n_blocks=2), ["a", "b"], {"sv": "v"}, num_parts=4
         ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         assert got["sv"].tolist() == [5, 4]
+
+
+class TestNormalizeText:
+    def test_matches_duckdb_mirror_adversarial(self, ray_session):
+        from jsschema_ray.stages.text import normalize_text
+
+        vals = ["  Hello\tWORLD  ", "a\n\nb\r\nc", "\t", "", "x",
+                "MiXeD   CaSe", None, " \f\v tabs\tand\vstuff "]
+        ids = list(range(len(vals)))
+        got = normalize_text(
+            _ds({"doc_id": ids, "text": pa.array(vals, pa.string())}),
+            "text", "doc_id").to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        df = pd.DataFrame({"doc_id": ids, "text": vals})
+        exp = duckdb.sql(r"""
+            WITH n AS (SELECT doc_id,
+                trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+',
+                                    ' ', 'g'), ' ') AS norm_text,
+                length(text) AS raw_len FROM df)
+            SELECT doc_id, norm_text, length(norm_text) AS norm_len,
+                   raw_len - length(norm_text) AS n_collapsed
+            FROM n ORDER BY doc_id
+        """).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # NULL text propagates NULL everywhere
+        assert got["norm_text"].isna().tolist() == [v is None for v in vals]
+
+    def test_arrow_lower_matches_duckdb_on_nonascii(self, ray_session):
+        # parity is asserted, not assumed: utf8proc vs DuckDB unicode
+        # lowercasing on common accented/Greek input
+        from jsschema_ray.stages.text import normalize_text
+
+        vals = ["ÀÉÎÕÜ", "ΑΒΓΔ", "ÇĞİŞ", "ЖЗИЙ"]
+        got = normalize_text(
+            _ds({"doc_id": [0, 1, 2, 3], "text": vals}), "text",
+            "doc_id").to_pandas().sort_values("doc_id")
+        df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": vals})
+        exp = duckdb.sql(
+            "SELECT doc_id, lower(text) AS norm_text FROM df "
+            "ORDER BY doc_id").df()
+        assert got["norm_text"].tolist() == exp["norm_text"].tolist()
+
+
+class TestWeightedQuantileParam:
+    def test_arbitrary_q_matches_mirror(self, ray_session):
+        rng = np.random.default_rng(23)
+        n = 3000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 5, n),
+            "v": rng.choice([0.5, 1.0, 2.0, 4.0, 8.0], n),
+            "w": rng.integers(1, 6, n).astype(float),
+        })
+        for q in (0.25, 0.5, 0.75, 1.0):
+            got = grouped_weighted_median(
+                _ds({c: df[c] for c in df}), "g", "v", "w", q=q,
+                num_parts=4).to_pandas().sort_values("g").reset_index(
+                drop=True)
+            exp = duckdb.sql(f"""
+                WITH c AS (SELECT g AS grp, v,
+                           CAST(ROUND(w * 100) AS BIGINT) AS wt FROM df),
+                cum AS (SELECT grp, v,
+                        SUM(wt) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                        SUM(wt) OVER (PARTITION BY grp) AS tot FROM c)
+                SELECT grp AS g, MIN(v) AS w_median FROM cum
+                WHERE cw >= CEIL({q} * tot) GROUP BY grp ORDER BY g
+            """).df()
+            assert got["w_median"].tolist() == exp["w_median"].tolist(), q
+
+    def test_q_validation(self, ray_session):
+        with pytest.raises(ValueError, match="q must be"):
+            grouped_weighted_median(_ds({"g": [1], "v": [1.0],
+                                         "w": [1.0]}), "g", "v", "w",
+                                    q=0.0)

@@ -2942,9 +2942,10 @@ def q_tpch_q3(sf_dir: str):
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_orderpriority"]).map_batches(
         before_cutoff, batch_format="pyarrow", zero_copy_batch=True)
+    fo = _fanout(sf_dir, "orders")
     orders = bloom_semi_join(orders, cust, key="o_custkey",
-                             right_key="c_custkey").drop_columns(
-        ["o_custkey"])
+                             right_key="c_custkey",
+                             num_buckets=fo).drop_columns(["o_custkey"])
 
     def rev(b: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -2973,10 +2974,12 @@ def q_tpch_q3(sf_dir: str):
                 "l_shipdate"]).map_batches(
         rev, batch_format="pyarrow", zero_copy_batch=True)
     rev_per_order = grouped_sums_partitioned(
-        li, ["l_orderkey"], {"rev10000": "rev10000"})
+        li, ["l_orderkey"], {"rev10000": "rev10000"},
+        num_parts=_fanout(sf_dir, "lineitem"))
 
     joined = hash_join(rev_per_order, orders, key="l_orderkey",
-                       right_key="o_orderkey", how="inner")
+                       right_key="o_orderkey", how="inner",
+                       num_buckets=fo)
 
     def add_tiebreak(b: pa.Table) -> pa.Table:
         # ORDER BY rev DESC, o_orderdate, l_orderkey — fold (days since

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "event_type_mode",
     "value_cdf",
     "quantity_mad",
+    "weighted_median",
+    "tpch_q3",
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",
@@ -100,6 +102,8 @@ BENCH_QUERIES = [
     "first_last_touch",
     # training-data ops
     "exact_dedup",
+    "name_typo_pairs",
+    "normalize_docs",
     "token_counts",
     "doc_freq_score",
     "source_vocab_overlap",

@@ -3044,6 +3044,96 @@ def q_normalize_docs(sf_dir: str):
         column="messy", id_column="doc_id").sort("doc_id")
 
 
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume orders: customers whose order carries more
+    than 250 total quantity — GROUP BY + HAVING on an id-cardinality key,
+    two partitioned joins, exact global top-100. Quantity sums are
+    x100-exact int64 through grouped_sums_partitioned (hash co-partition
+    merge at order-key cardinality), the HAVING filter compares exact
+    ints, joins ride hash_join with metadata-derived fan-out, and the
+    top-100 selection orders by the x100 int of o_totalprice with a
+    (days, orderkey) folded tiebreak — ≤100 rows per batch cross the
+    wire, no global sort. sum_qty's single /100.0 division is spelled in
+    the mirror; o_totalprice passes through untouched (selection, not
+    arithmetic) so every float column hashes bit-exact."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.stats import top_k_rows
+    from jsschema_ray.stages.windows import round_half_away
+
+    thr100 = 250 * 100
+
+    def q100(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("l_quantity")))
+        q = round_half_away(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        if len(q) and np.abs(q).max() >= (1 << 31):
+            raise ValueError("tpch_q18: x100 quantity exceeds 2^31")
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "qty100": pa.array(q)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity"]).map_batches(
+        q100, batch_format="pyarrow", zero_copy_batch=True)
+    qty = grouped_sums_partitioned(
+        li, ["l_orderkey"], {"qty100": "qty100"},
+        num_parts=_fanout(sf_dir, "lineitem"))
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("qty100"), thr100))
+
+    big = qty.map_batches(having, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    fo = _fanout(sf_dir, "orders")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    j1 = hash_join(big, orders, key="l_orderkey",
+                   right_key="o_orderkey", how="inner", num_buckets=fo)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = hash_join(j1, cust, key="o_custkey", right_key="c_custkey",
+                   how="inner", num_buckets=fo)
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        tp = round_half_away(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        us = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if len(key) and (key.max() >= (1 << 44) or key.min() < 0
+                         or us.min() < 0):
+            raise ValueError("tpch_q18 tiebreak fold needs orderkey in "
+                             "[0, 2^44) and post-epoch dates")
+        days = us // 86_400_000_000
+        return b.append_column("__tp", pa.array(tp)).append_column(
+            "__tb", pa.array((days << 44) + key))
+
+    top = top_k_rows(
+        j2.map_batches(add_keys, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        value="__tp", tiebreak="__tb", k=100, descending=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": b.column("c_name"),
+            "c_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("l_orderkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "o_totalprice": b.column("o_totalprice"),
+            "sum_qty": pc.divide(
+                b.column("qty100").cast(pa.float64()),
+                pa.scalar(100.0)),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow").sort(
+        "o_orderkey")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -3143,6 +3233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
+        "tpch_q18": q_tpch_q18,  # r5 tail: large-volume orders (every primitive it composes is window-pinned: grouped_sums_partitioned/hash_join/top_k_rows via tpch_q3; the window holds only never-verified/changed queries)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
         "image_near_dup_components": q_image_near_dup_components,  # driver-green r4, unchanged — rotated out for name_typo_pairs
@@ -3706,6 +3797,29 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary Jaccard: DISTINCT (source, token) self-join on the
         # shared lowercased \\w+ token stream; the division operands are
         # the same exact ints, so the float column is bit-identical
+        # TPC-H Q18: exact-int HAVING + selection-only floats; sum_qty's
+        # single division spelled; top-100 ordered by the x100 int of
+        # o_totalprice with the same (date, orderkey) tiebreaks
+        "tpch_q18": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS qty100
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) > 25000
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice,
+                   CAST(q.qty100 AS DOUBLE) / 100.0 AS sum_qty
+            FROM q
+            JOIN orders o ON q.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC,
+                     o.o_orderdate, o.o_orderkey
+            LIMIT 100
+        """,
         # per-row string normalization: both engines run RE2 with the
         # SAME explicitly spelled whitespace class (RE2 \s and Python
         # unicode \s disagree — never use bare \s in a mirrored regex)

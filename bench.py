@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "quantity_mad",
     "weighted_median",
     "tpch_q3",
+    "tpch_q18",
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",

@@ -3134,6 +3134,38 @@ def q_tpch_q18(sf_dir: str):
         "o_orderkey")
 
 
+def q_fuzzy_name_join(sf_dir: str):
+    """Cross-table fuzzy equi-join at edit distance <= 1
+    (stages/dedup.edit1_join): entity resolution of a deterministic
+    typo'd probe set (every 7th customer's name minus its last
+    character — the same substr both engines spell) against the full
+    name column — each probe recovers its source name plus every name
+    differing only in the dropped position. The join-semantics variant
+    of the window-pinned name_typo_pairs machinery: cross-side-only
+    candidates, exact matches included, oversized buckets refuse
+    instead of degrading."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.dedup import edit1_join
+
+    names = _read(sf_dir, "customer", ["c_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def mk_probe(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ck % 7 == 0))
+        # drop the last character (SQL substr(s, 1, length(s)-1));
+        # slice bounds are per-row, so pandas .str (C loop), not the
+        # scalar-only pc.utf8_slice_codeunits
+        probe = b.column("c_name").to_pandas().str[:-1]
+        return pa.table({"probe": pa.array(probe, pa.string())})
+
+    probes = cust.map_batches(mk_probe, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return edit1_join(names, probes, "c_name", "probe").sort(
+        ["c_name", "probe"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -3234,6 +3266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
         "tpch_q18": q_tpch_q18,  # r5 tail: large-volume orders (every primitive it composes is window-pinned: grouped_sums_partitioned/hash_join/top_k_rows via tpch_q3; the window holds only never-verified/changed queries)
+        "fuzzy_name_join": q_fuzzy_name_join,  # r5 tail: cross-table edit-distance join (banding + verify window-pinned via name_typo_pairs; cross-side emission local-mirror + pytest-pinned)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
         "image_near_dup_components": q_image_near_dup_components,  # driver-green r4, unchanged — rotated out for name_typo_pairs
@@ -3797,6 +3830,21 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary Jaccard: DISTINCT (source, token) self-join on the
         # shared lowercased \\w+ token stream; the division operands are
         # the same exact ints, so the float column is bit-identical
+        # cross-table edit<=1 join: the probe side is the SAME substr
+        # both engines spell; exhaustive levenshtein() cross join mirror
+        "fuzzy_name_join": """
+            WITH probes AS (
+                SELECT DISTINCT substr(c_name, 1, length(c_name) - 1)
+                           AS probe
+                FROM customer WHERE c_custkey % 7 = 0
+            ), names AS (SELECT DISTINCT c_name FROM customer
+                         WHERE c_name IS NOT NULL)
+            SELECT n.c_name, p.probe
+            FROM names n JOIN probes p
+              ON abs(length(n.c_name) - length(p.probe)) <= 1
+             AND levenshtein(n.c_name, p.probe) <= 1
+            ORDER BY c_name, probe
+        """,
         # TPC-H Q18: exact-int HAVING + selection-only floats; sum_qty's
         # single division spelled; top-100 ordered by the x100 int of
         # o_totalprice with the same (date, orderkey) tiebreaks

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     # training-data ops
     "exact_dedup",
     "name_typo_pairs",
+    "fuzzy_name_join",
     "normalize_docs",
     "token_counts",
     "doc_freq_score",

@@ -1711,3 +1711,166 @@ def edit1_pairs(ds, column: str, num_parts: int = 64,
 
     return candidates.map_batches(verify, batch_format="pyarrow",
                                   batch_size=batch_size)
+
+
+def _emit_cross_pairs(bk: np.ndarray, keys: np.ndarray, side: np.ndarray,
+                      max_bucket_members: int):
+    """Yield (left_val, right_val) cross-SIDE candidate pairs for every
+    bucket run in a bucket-sorted table (the two-table companion of
+    _emit_run_pairs: equal values across sides ARE a candidate — an
+    exact match is edit distance 0). Buckets whose cross product exceeds
+    max_bucket_members² REFUSE loudly: a join degradation would silently
+    lose matches, unlike the dedup path's connectivity-preserving
+    consecutive+star fallback."""
+    order = np.argsort(bk, kind="stable")
+    sb = bk[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    ends = np.r_[starts[1:], len(sb)]
+    for lo, hi in zip(starts, ends):
+        idx = order[lo:hi]
+        s = side[idx]
+        ks = keys[idx]
+        lvals = np.unique(ks[s == 0])
+        rvals = np.unique(ks[s == 1])
+        if not len(lvals) or not len(rvals):
+            continue
+        if len(lvals) * len(rvals) > max_bucket_members ** 2:
+            raise ValueError(
+                f"edit1_join bucket cross product "
+                f"{len(lvals)}x{len(rvals)} exceeds "
+                f"max_bucket_members²={max_bucket_members ** 2} — a "
+                "degenerate deletion-variant bucket (near-constant "
+                "values?); raise max_bucket_members explicitly if the "
+                "blowup is intended")
+        for a in lvals:
+            for b in rvals:
+                yield a, b
+
+
+def edit1_join(left, right, left_col: str, right_col: str,
+               num_parts: int = 64, batch_size: int = 65536,
+               max_len: int = 128, max_bucket_members: int = 256):
+    """Cross-TABLE fuzzy equi-join on string keys at Levenshtein
+    distance <= 1 (exact match, one substitution, insertion or
+    deletion) — the entity-resolution form of edit1_pairs: match dirty
+    ids / typo'd names across two datasets without a quadratic
+    comparison. Returns all (left_col, right_col) DISTINCT-value pairs
+    with distance <= 1.
+
+    Same FastSS deletion-neighborhood banding, ASCII/NUL/max_len
+    contract and vectorized byte-matrix verify as edit1_pairs; the
+    differences are join semantics: candidates pair across SIDES only
+    (never within one table), equal values match (distance 0), and
+    oversized buckets refuse instead of degrading (losing join matches
+    silently is worse than failing loudly).
+
+    Scale shape: per-side distinct via hash(value) co-partition, O(len)
+    blob-packed key emission per distinct value, every bucket in one
+    partition, vectorized verify. No reference analogue; the fuzzy
+    companion of hash_join for dirty-key enrichment."""
+    from jsschema_ray.stages.uniqueness import _unpack
+
+    def uniq_part(col_name: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch.column(col_name).combine_chunks().drop_null(
+            ).unique()
+            if len(col):
+                if not pc.all(pc.string_is_ascii(col)).as_py():
+                    raise ValueError(
+                        f"edit1_join needs ASCII {col_name} values")
+                if pc.any(pc.greater(pc.count_substring(col, "\x00"),
+                                     0)).as_py():
+                    raise ValueError(
+                        f"edit1_join: {col_name} contains NUL bytes")
+                if pc.any(pc.greater(pc.utf8_length(col),
+                                     max_len)).as_py():
+                    raise ValueError(
+                        f"edit1_join: {col_name} exceeds "
+                        f"max_len={max_len}")
+            part = (hash64(col) % np.uint64(num_parts)).astype(np.int32)
+            return pa.table({
+                "val": col,
+                "side": pa.array(np.full(len(col), side, np.int8)),
+                "__part": pa.array(part)})
+        return fn
+
+    def uniq_merge(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__part"]).group_by(
+            ["val", "side"]).aggregate([])
+
+    distinct = left.select_columns([left_col]).map_batches(
+        uniq_part(left_col, 0), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True,
+    ).union(right.select_columns([right_col]).map_batches(
+        uniq_part(right_col, 1), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True,
+    )).groupby("__part").map_groups(uniq_merge, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("val").combine_chunks()
+        sides = batch.column("side").combine_chunks()
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "blob": pa.array([], pa.binary())})
+        if not len(col):
+            return empty
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        keys, names, sd = [col], [col], [sides]
+        for d in range(int(lens.max())):
+            m = pa.array(lens > d)
+            sub = col.filter(m)
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, d),
+                pc.utf8_slice_codeunits(sub, d + 1), "")
+            keys.append(var)
+            names.append(sub)
+            sd.append(sides.filter(m))
+        tbl = pa.table({
+            "bucket_key": pa.chunked_array(keys).combine_chunks(),
+            "val": pa.chunked_array(names).combine_chunks(),
+            "side": pa.chunked_array(sd).combine_chunks(),
+        }).group_by(["bucket_key", "val", "side"]).aggregate([])
+        if not tbl.num_rows:
+            return empty
+        bk = hash64(tbl.column("bucket_key").combine_chunks())
+        part = (bk % np.uint64(num_parts)).astype(np.int32)
+        return _pack_parted(tbl.drop_columns(["bucket_key"]).append_column(
+            "bkey", pa.array(bk.astype(np.int64))), part, num_parts)
+
+    exploded = distinct.map_batches(explode, batch_format="pyarrow",
+                                    batch_size=batch_size)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
+        bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+        vals = tbl.column("val").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        seen: set = set()
+        a_out, b_out = [], []
+        for a, b in _emit_cross_pairs(bk, vals, side,
+                                      max_bucket_members):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            a_out.append(a)
+            b_out.append(b)
+        return pd.DataFrame({"a": pd.array(a_out, dtype="object"),
+                             "b": pd.array(b_out, dtype="object")})
+
+    candidates = _dedupe_pairs(
+        exploded.groupby("part").map_groups(emit_pairs,
+                                            batch_format="pandas"),
+        num_parts=num_parts)
+
+    out_l = left_col if left_col != right_col else f"{left_col}_left"
+    out_r = right_col if left_col != right_col else f"{right_col}_right"
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        out = pa.table({out_l: a, out_r: b})
+        if not len(a):
+            return out
+        return out.filter(pa.array(_edit1_keep(a, b)))
+
+    return candidates.map_batches(verify, batch_format="pyarrow",
+                                  batch_size=batch_size)

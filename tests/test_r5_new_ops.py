@@ -224,3 +224,58 @@ class TestWeightedQuantileParam:
             grouped_weighted_median(_ds({"g": [1], "v": [1.0],
                                          "w": [1.0]}), "g", "v", "w",
                                     q=0.0)
+
+
+class TestEdit1Join:
+    def test_cross_side_semantics(self, ray_session):
+        from jsschema_ray.stages.dedup import edit1_join
+
+        left = _ds({"x": ["abc", "abd", "zzz", "q"]}, n_blocks=2)
+        right = _ds({"y": ["abc", "ab", "zz", "qq"]}, n_blocks=2)
+        got = edit1_join(left, right, "x", "y").to_pandas()
+        pairs = set(map(tuple, got[["x", "y"]].values))
+        # exact match counts (distance 0); indels and subs across sides;
+        # NEVER within-side pairs (abc|abd is left-left)
+        assert pairs == {("abc", "abc"), ("abc", "ab"), ("abd", "ab"),
+                         ("abd", "abc"), ("zzz", "zz"), ("q", "qq")}
+
+    def test_same_column_name_suffixes(self, ray_session):
+        from jsschema_ray.stages.dedup import edit1_join
+
+        left = _ds({"s": ["aa"]})
+        right = _ds({"s": ["ab"]})
+        got = edit1_join(left, right, "s", "s").to_pandas()
+        assert list(got.columns) == ["s_left", "s_right"]
+        assert got.values.tolist() == [["aa", "ab"]]
+
+    def test_blowup_refuses(self, ray_session):
+        from jsschema_ray.stages.dedup import edit1_join
+
+        # 3x3 identical-after-delete values with a tiny guard
+        left = _ds({"x": [f"a{i}" for i in range(3)]})
+        right = _ds({"y": [f"a{i}" for i in range(3, 6)]})
+        with pytest.raises(Exception, match="cross product"):
+            edit1_join(left, right, "x", "y",
+                       max_bucket_members=1).to_pandas()
+
+    def test_matches_levenshtein_mirror(self, ray_session):
+        from jsschema_ray.stages.dedup import edit1_join
+
+        rng = np.random.default_rng(9)
+        lv = ["".join(rng.choice(list("xy"), rng.integers(1, 4)))
+              for _ in range(60)]
+        rv = ["".join(rng.choice(list("xy"), rng.integers(1, 4)))
+              for _ in range(60)]
+        got = edit1_join(_ds({"a": lv}), _ds({"b": rv}), "a", "b",
+                         max_bucket_members=512
+                         ).to_pandas().sort_values(["a", "b"]).reset_index(
+            drop=True)
+        dl = pd.DataFrame({"a": lv}); dr = pd.DataFrame({"b": rv})
+        exp = duckdb.sql("""
+            WITH l AS (SELECT DISTINCT a FROM dl),
+                 r AS (SELECT DISTINCT b FROM dr)
+            SELECT l.a, r.b FROM l JOIN r
+              ON abs(length(l.a) - length(r.b)) <= 1
+             AND levenshtein(l.a, r.b) <= 1
+            ORDER BY a, b""").df()
+        pd.testing.assert_frame_equal(got, exp)

@@ -2983,7 +2983,13 @@ def q_tpch_q3(sf_dir: str):
 
     def add_tiebreak(b: pa.Table) -> pa.Table:
         # ORDER BY rev DESC, o_orderdate, l_orderkey — fold (days since
-        # epoch, orderkey) into one ascending int64 tiebreak
+        # epoch, orderkey) into one ascending int64 tiebreak. The day
+        # divisor assumes MICROSECOND timestamps: a date32/ms/ns column
+        # would silently collapse the date component, so refuse instead
+        if b.schema.field("o_orderdate").type != pa.timestamp("us"):
+            raise ValueError(
+                "tpch_q3 tiebreak fold expects timestamp[us] "
+                f"o_orderdate, got {b.schema.field('o_orderdate').type}")
         us = b.column("o_orderdate").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -3099,6 +3105,18 @@ def q_tpch_q18(sf_dir: str):
                    how="inner", num_buckets=fo)
 
     def add_keys(b: pa.Table) -> pa.Table:
+        # same unit/NULL refusals as tpch_q3's fold: a non-us timestamp
+        # silently zeroes the date tiebreak, and a NULL o_totalprice
+        # becomes NaN whose int64 cast is undefined (INT64_MIN on x86)
+        if b.schema.field("o_orderdate").type != pa.timestamp("us"):
+            raise ValueError(
+                "tpch_q18 tiebreak fold expects timestamp[us] "
+                f"o_orderdate, got {b.schema.field('o_orderdate').type}")
+        if b.num_rows and not pc.all(
+                pc.is_valid(b.column("o_totalprice"))).as_py():
+            raise ValueError(
+                "tpch_q18: NULL o_totalprice cannot be ordered by its "
+                "x100 integer — TPC-H declares the column NOT NULL")
         tp = round_half_away(
             b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
@@ -3190,7 +3208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # mirror tests/test_oracle_parity.py still verifies every pair).
     return {
         # --- r5 window: flagship + the last never-driver-verified six
-        "image_validate": q_image_validate,
+        "fuzzy_name_join": q_fuzzy_name_join,  # r5 NEW: cross-table edit-distance join (new _emit_cross_pairs code) — replaces image_validate in-window (driver-green r1-r4, validate.py unchanged, and entry() independently drives the validator path every round)
         "source_vocab_overlap": q_source_vocab_overlap,  # r5 NEW: slice-vocabulary Jaccard — replaces violation_summary in-window
         "similarity_join": q_similarity_join,  # r5 sweep: first driver row
         "event_type_mode": q_event_type_mode,  # r5 sweep: first driver row
@@ -3265,8 +3283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
+        "image_validate": q_image_validate,  # driver-green r1-r4 (4 rounds), validate.py unchanged in r5; entry() drives the same validator path every round — rotated out for fuzzy_name_join
         "tpch_q18": q_tpch_q18,  # r5 tail: large-volume orders (every primitive it composes is window-pinned: grouped_sums_partitioned/hash_join/top_k_rows via tpch_q3; the window holds only never-verified/changed queries)
-        "fuzzy_name_join": q_fuzzy_name_join,  # r5 tail: cross-table edit-distance join (banding + verify window-pinned via name_typo_pairs; cross-side emission local-mirror + pytest-pinned)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
         "image_near_dup_components": q_image_near_dup_components,  # driver-green r4, unchanged — rotated out for name_typo_pairs

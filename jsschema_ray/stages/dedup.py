@@ -488,13 +488,17 @@ class Shingles:
 
 def _emit_run_pairs(bk: np.ndarray, keys: np.ndarray,
                     max_bucket_members: int,
-                    payload: Optional[np.ndarray] = None):
+                    payload: Optional[np.ndarray] = None,
+                    oversize: str = "degrade"):
     """Yield (a, b[, pa_payload, pb_payload]) candidate pairs for every
     bucket run in a bucket-sorted table. Buckets larger than
-    ``max_bucket_members`` fall back to consecutive+star pairing (O(m)
-    pairs) instead of all-pairs — this preserves union-find connectivity
-    for exact-duplicate-style buckets while bounding the quadratic blowup
-    of pathological LSH collisions (documented partitioning assumption)."""
+    ``max_bucket_members`` follow ``oversize``: "degrade" falls back to
+    consecutive+star pairing (O(m) pairs) — preserves union-find
+    CONNECTIVITY for the LSH/dedup callers while bounding the quadratic
+    blowup of pathological collisions (documented partitioning
+    assumption) — while "raise" refuses loudly, for callers whose output
+    is the PAIR SET itself (edit1_pairs): a degraded bucket there would
+    silently drop real pairs, not just extra union-find edges."""
     order = np.argsort(bk, kind="stable")
     sb = bk[order]
     starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
@@ -510,6 +514,13 @@ def _emit_run_pairs(bk: np.ndarray, keys: np.ndarray,
         pl = payload[idx][o2] if payload is not None else None
         if m <= max_bucket_members:
             pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+        elif oversize == "raise":
+            raise ValueError(
+                f"candidate bucket holds {m} members, past "
+                f"max_bucket_members={max_bucket_members} — a degenerate "
+                "banding bucket (near-constant values?); raise "
+                "max_bucket_members explicitly if the quadratic "
+                "expansion is intended")
         else:
             pairs = [(i, i + 1) for i in range(m - 1)]
             pairs += [(0, j) for j in range(2, m)]
@@ -1582,6 +1593,49 @@ def _edit1_keep(a_col, b_col) -> np.ndarray:
     return keep
 
 
+def _edit1_guard(col, op: str, col_name: str, max_len: int) -> None:
+    """Shared ASCII / NUL / max_len refusals of the edit-distance family
+    (byte == character keeps the padded-matrix verify exact vs a
+    character-level SQL levenshtein; NUL is the padding sentinel;
+    neighborhood emission is O(len) keys per value)."""
+    if not len(col):
+        return
+    if not pc.all(pc.string_is_ascii(col)).as_py():
+        raise ValueError(
+            f"{op} needs ASCII {col_name} values (byte == character "
+            "keeps the verify exact vs SQL levenshtein)")
+    if pc.any(pc.greater(pc.count_substring(col, "\x00"), 0)).as_py():
+        raise ValueError(
+            f"{op}: {col_name} contains NUL bytes — the padded-matrix "
+            "alignment sentinel would be ambiguous")
+    if pc.any(pc.greater(pc.utf8_length(col), max_len)).as_py():
+        raise ValueError(
+            f"{op}: {col_name} exceeds max_len={max_len} — "
+            "deletion-neighborhood emission is O(len) per value")
+
+
+def _deletion_neighborhood(col):
+    """FastSS key emission shared by edit1_pairs / edit1_join:
+    (bucket_key ChunkedArray, src_idx int64 array) — the string itself
+    (the indel partner's self-key) plus every single-deletion variant,
+    with src_idx mapping each key row back to its source row in
+    ``col``."""
+    n = len(col)
+    if not n:
+        return pa.chunked_array([col]), np.array([], np.int64)
+    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+    keys = [col]
+    idxs = [np.arange(n, dtype=np.int64)]
+    for d in range(int(lens.max())):
+        m = lens > d
+        sub = col.filter(pa.array(m))
+        keys.append(pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sub, 0, d),
+            pc.utf8_slice_codeunits(sub, d + 1), ""))
+        idxs.append(np.flatnonzero(m).astype(np.int64))
+    return pa.chunked_array(keys), np.concatenate(idxs)
+
+
 def edit1_pairs(ds, column: str, num_parts: int = 64,
                 batch_size: int = 65536, max_len: int = 128,
                 max_bucket_members: int = 256):
@@ -1612,8 +1666,10 @@ def edit1_pairs(ds, column: str, num_parts: int = 64,
     blob-packed so the one shuffle moves O(batches x parts) rows; every
     bucket lands in exactly one partition; pair dedup and verify are
     vectorized byte-matrix passes. Buckets past max_bucket_members
-    degrade to consecutive+star pairing (the LSH-path guard) — for
-    ed<=1 mining prefer raising num_parts instead if that fires.
+    REFUSE loudly (this op's output IS the pair set — the LSH path's
+    consecutive+star degradation would silently drop real distance-1
+    pairs; raise max_bucket_members explicitly if the quadratic
+    expansion over a degenerate bucket is intended).
     No reference analogue (single-value validator, schema.go); extends
     the §2 dedup family (exact / minhash / simhash / hamming) to edit
     distance."""
@@ -1621,20 +1677,7 @@ def edit1_pairs(ds, column: str, num_parts: int = 64,
 
     def uniq_part(batch: pa.Table) -> pa.Table:
         col = batch.column(column).combine_chunks().drop_null().unique()
-        if len(col):
-            if not pc.all(pc.string_is_ascii(col)).as_py():
-                raise ValueError(
-                    f"edit1_pairs needs ASCII {column} values (byte == "
-                    "character keeps the verify exact vs SQL levenshtein)")
-            if pc.any(pc.greater(pc.count_substring(col, "\x00"),
-                                 0)).as_py():
-                raise ValueError(
-                    f"edit1_pairs: {column} contains NUL bytes — the "
-                    "padded-matrix alignment sentinel would be ambiguous")
-            if pc.any(pc.greater(pc.utf8_length(col), max_len)).as_py():
-                raise ValueError(
-                    f"edit1_pairs: {column} exceeds max_len={max_len} — "
-                    "deletion-neighborhood emission is O(len) per value")
+        _edit1_guard(col, "edit1_pairs", column, max_len)
         part = (hash64(col) % np.uint64(num_parts)).astype(np.int32)
         return pa.table({column: col, "__part": pa.array(part)})
 
@@ -1653,18 +1696,10 @@ def edit1_pairs(ds, column: str, num_parts: int = 64,
                           "blob": pa.array([], pa.binary())})
         if not len(col):
             return empty
-        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
-        keys, names = [col], [col]  # the self-key (indel partner)
-        for d in range(int(lens.max())):
-            sub = col.filter(pa.array(lens > d))
-            var = pc.binary_join_element_wise(
-                pc.utf8_slice_codeunits(sub, 0, d),
-                pc.utf8_slice_codeunits(sub, d + 1), "")
-            keys.append(var)
-            names.append(sub)
+        keys, idx = _deletion_neighborhood(col)
         tbl = pa.table({
-            "bucket_key": pa.chunked_array(keys).combine_chunks(),
-            "val": pa.chunked_array(names).combine_chunks(),
+            "bucket_key": keys.combine_chunks(),
+            "val": col.take(pa.array(idx)),
         })
         # equal-char runs produce duplicate variants of the same value —
         # collapse before the shuffle
@@ -1686,8 +1721,11 @@ def edit1_pairs(ds, column: str, num_parts: int = 64,
         seen: set = set()
         a_out, b_out = [], []
         # bucket-key hash collisions only merge buckets: extra candidates
-        # the exact verify removes, never lost pairs
-        for a, b in _emit_run_pairs(bk, vals, max_bucket_members):
+        # the exact verify removes, never lost pairs. oversize="raise":
+        # this op's OUTPUT is the pair set — the LSH consecutive+star
+        # degradation would silently drop real distance-1 pairs
+        for a, b in _emit_run_pairs(bk, vals, max_bucket_members,
+                                    oversize="raise"):
             if (a, b) in seen:
                 continue
             seen.add((a, b))
@@ -1774,19 +1812,7 @@ def edit1_join(left, right, left_col: str, right_col: str,
         def fn(batch: pa.Table) -> pa.Table:
             col = batch.column(col_name).combine_chunks().drop_null(
             ).unique()
-            if len(col):
-                if not pc.all(pc.string_is_ascii(col)).as_py():
-                    raise ValueError(
-                        f"edit1_join needs ASCII {col_name} values")
-                if pc.any(pc.greater(pc.count_substring(col, "\x00"),
-                                     0)).as_py():
-                    raise ValueError(
-                        f"edit1_join: {col_name} contains NUL bytes")
-                if pc.any(pc.greater(pc.utf8_length(col),
-                                     max_len)).as_py():
-                    raise ValueError(
-                        f"edit1_join: {col_name} exceeds "
-                        f"max_len={max_len}")
+            _edit1_guard(col, "edit1_join", col_name, max_len)
             part = (hash64(col) % np.uint64(num_parts)).astype(np.int32)
             return pa.table({
                 "val": col,
@@ -1813,21 +1839,12 @@ def edit1_join(left, right, left_col: str, right_col: str,
                           "blob": pa.array([], pa.binary())})
         if not len(col):
             return empty
-        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
-        keys, names, sd = [col], [col], [sides]
-        for d in range(int(lens.max())):
-            m = pa.array(lens > d)
-            sub = col.filter(m)
-            var = pc.binary_join_element_wise(
-                pc.utf8_slice_codeunits(sub, 0, d),
-                pc.utf8_slice_codeunits(sub, d + 1), "")
-            keys.append(var)
-            names.append(sub)
-            sd.append(sides.filter(m))
+        keys, idx = _deletion_neighborhood(col)
+        take = pa.array(idx)
         tbl = pa.table({
-            "bucket_key": pa.chunked_array(keys).combine_chunks(),
-            "val": pa.chunked_array(names).combine_chunks(),
-            "side": pa.chunked_array(sd).combine_chunks(),
+            "bucket_key": keys.combine_chunks(),
+            "val": col.take(take),
+            "side": sides.take(take),
         }).group_by(["bucket_key", "val", "side"]).aggregate([])
         if not tbl.num_rows:
             return empty

@@ -279,3 +279,13 @@ class TestEdit1Join:
              AND levenshtein(l.a, r.b) <= 1
             ORDER BY a, b""").df()
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_edit1_pairs_oversized_bucket_refuses(ray_session):
+    # five 2-char strings share the deletion variant "a" — with
+    # max_bucket_members=2 the pair-mining op must REFUSE (the LSH
+    # consecutive+star degradation would silently drop real pairs)
+    vals = [f"a{i}" for i in range(5)]
+    with pytest.raises(Exception, match="max_bucket_members"):
+        edit1_pairs(_ds({"s": vals}), "s",
+                    max_bucket_members=2).to_pandas()

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "name_typo_pairs",
     "fuzzy_name_join",
     "normalize_docs",
+    "normalized_dedup",
     "token_counts",
     "doc_freq_score",
     "source_vocab_overlap",

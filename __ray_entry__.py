@@ -3242,6 +3242,704 @@ def q_normalized_dedup(sf_dir: str):
         merge, batch_format="pyarrow").sort("keeper")
 
 
+def _rev_x10000_batches(ds, order_col: str = "l_orderkey",
+                        extra_cols: list[str] | None = None):
+    """Shared lineitem revenue kernel for the TPC-H family: per batch,
+    rev = round(extprice*100) * (100 - round(discount*100)) as exact
+    int64 (TPC-H money columns are 2-decimal so the x100 products are
+    exact), carrying ``order_col`` [+ extra_cols]. Same overflow guards
+    as tpch_q3; null price/discount rows drop (SQL arithmetic on NULL
+    yields NULL, which an aggregate SUM skips)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    extras = list(extra_cols or [])
+
+    def rev(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column("l_extendedprice")),
+                       pc.is_valid(b.column("l_discount")))
+        b = b.filter(keep)
+        ep = round_half_away(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        dc = round_half_away(
+            b.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        if len(ep) and np.abs(ep).max() >= (1 << 31):
+            raise ValueError("rev_x10000: x100 price exceeds 2^31 — the "
+                             "per-row product would overflow int64")
+        if len(dc) and (dc.min() < 0 or dc.max() > 10000):
+            raise ValueError("rev_x10000: discount rate outside [0, 100] "
+                             "at x100 scaling")
+        cols = {order_col: b.column(order_col)}
+        for c in extras:
+            cols[c] = b.column(c)
+        cols["rev"] = pa.array(ep * (100 - dc))
+        return pa.table(cols)
+
+    return ds.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_tpch_q4a(sf_dir: str):
+    """TPC-H Q4 order-priority checking, adapted to the testdata schema
+    (no l_commitdate/l_receiptdate: EXISTS(lineitem late) becomes
+    EXISTS(lineitem returned) — same EXISTS-semi-join + grouped-count
+    shape). Date-windowed orders bloom-semi-join the R-flag lineitem
+    keys (fixed-size bitmap broadcast + exact verify, shuffle ∝ match
+    rate — join.bloom_semi_join), then ONE map-side-combined grouped
+    count over the 5-value priority domain. Integer-exact."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import bloom_semi_join
+
+    lo = datetime.datetime(1997, 7, 1)
+    hi = datetime.datetime(1997, 10, 1)
+
+    def window(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).select(["o_orderkey", "o_orderpriority"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                   ).map_batches(window, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def returned(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("l_returnflag"), "R")).select(
+            ["l_orderkey"])
+
+    li_r = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag"]).map_batches(
+        returned, batch_format="pyarrow", zero_copy_batch=True)
+
+    hit = bloom_semi_join(orders, li_r, key="o_orderkey",
+                          right_key="l_orderkey",
+                          num_buckets=_fanout(sf_dir, "orders"))
+    return grouped_sums(hit.select_columns(["o_orderpriority"]),
+                        ["o_orderpriority"], {},
+                        count_alias="order_count").sort("o_orderpriority")
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier volume: ASIA-region revenue per nation
+    where the ordering customer and the line's supplier share the
+    nation. Dimension chain (region→nation→supplier, O(suppliers) rows)
+    broadcasts once; lineitem — the only big table — is cut FIRST by a
+    bloom semi join against the date-windowed orders, picks up
+    s_nationkey from the broadcast, pre-aggregates to (orderkey,
+    s_nationkey) int64 revenue partials through
+    aggregates.grouped_sums_partitioned (hash co-partition, never a
+    key-sorting Aggregate), and only those partials flow through the
+    two partitioned hash joins (orders for o_custkey, customer for
+    c_nationkey). The co-location predicate c_nationkey = s_nationkey
+    filters AFTER the customer join; the 25-row nation table broadcasts
+    for names. float64 enters once per output row in the spelled
+    /10000.0 division the mirror reproduces."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
+    from jsschema_ray.stages.join import (bloom_semi_join, broadcast_join,
+                                          hash_join)
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    # region+nation are O(10) rows: a driver-side metadata-scale read to
+    # derive the ASIA nationkey set (the broadcast-small-side doctrine)
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    rkeys = set(asia.column("r_regionkey").to_pylist())
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmask = pc.is_in(nation.column("n_regionkey"),
+                     value_set=pa.array(sorted(rkeys), pa.int32()))
+    asia_nations = nation.filter(nmask)
+    asia_keys = pa.array(
+        sorted(asia_nations.column("n_nationkey").to_pylist()), pa.int32())
+
+    def in_window(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        in_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asia_supp(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("s_nationkey"),
+                                 value_set=asia_keys)).select(
+            ["s_suppkey", "s_nationkey"])
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).map_batches(
+        asia_supp, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    fo = _fanout(sf_dir, "lineitem")
+    li = bloom_semi_join(li, orders, key="l_orderkey",
+                         right_key="o_orderkey", num_buckets=fo)
+    li = broadcast_join(li, supp, key="l_suppkey", small_key="s_suppkey",
+                        how="inner")
+    rev = _rev_x10000_batches(li, extra_cols=["s_nationkey"])
+    per_order = grouped_sums_partitioned(
+        rev, ["l_orderkey", "s_nationkey"], {"rev_x10000": "rev"},
+        num_parts=fo)
+
+    j1 = hash_join(per_order, orders, key="l_orderkey",
+                   right_key="o_orderkey",
+                   num_buckets=_fanout(sf_dir, "orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, key="o_custkey", right_key="c_custkey",
+                   num_buckets=_fanout(sf_dir, "customer"))
+
+    def colocated(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column("c_nationkey").cast(pa.int32()),
+                        b.column("s_nationkey").cast(pa.int32()))
+        return b.filter(mask).select(["s_nationkey", "rev_x10000"])
+
+    per_nation = grouped_sums(
+        j2.map_batches(colocated, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["s_nationkey"], {"rev_x10000": "rev_x10000"}, count_alias=None)
+
+    def cast_key(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("s_nationkey"),
+                            "s_nationkey",
+                            pc.cast(b.column("s_nationkey"), pa.int32()))
+
+    out = broadcast_join(
+        per_nation.map_batches(cast_key, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        asia_nations.select(["n_nationkey", "n_name"]),
+        key="s_nationkey", small_key="n_nationkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "rev_x10000": b.column("rev_x10000"),
+            "revenue": pc.divide(b.column("rev_x10000").cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("n_name")
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecast-revenue change: the pruned-scan shape — 4 of
+    16 lineitem columns leave storage, a row-local float-predicate
+    filter (same IEEE comparisons both engines), then ONE global
+    exact-int sum (x10000 = round(price*100) * round(discount*100))
+    folded map-side per batch; a single partial row per batch crosses
+    the wire. float64 enters once in the spelled /10000.0 division."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.windows import round_half_away
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                    pc.less(d, pa.scalar(hi).cast(d.type))),
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("l_discount"), 0.05),
+                        pc.less_equal(b.column("l_discount"), 0.07)),
+                pc.and_(pc.less(b.column("l_quantity"), 24.0),
+                        pc.is_valid(b.column("l_extendedprice")))))
+        b = b.filter(pc.fill_null(mask, False))
+        ep = round_half_away(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        dc = round_half_away(
+            b.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        if len(ep) and np.abs(ep).max() >= (1 << 31):
+            raise ValueError("tpch_q6: x100 price exceeds 2^31")
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "rev_x10000": pa.array([int((ep * dc).sum())]),
+                         "n_rows": pa.array([len(ep)])})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    tot = grouped_sums(ds.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["one"], {"rev_x10000": "rev_x10000",
+                                 "n_rows": "n_rows"}, count_alias=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rev_x10000": b.column("rev_x10000"),
+            "revenue": pc.divide(b.column("rev_x10000").cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+            "n_rows": b.column("n_rows"),
+        })
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item report: top-20 customers by revenue lost
+    to 'R'-flag returns in 1997Q4. The big table cuts first (bloom semi
+    join against the date-windowed orders + returnflag filter),
+    pre-aggregates per orderkey through grouped_sums_partitioned, joins
+    orders → re-aggregates per custkey → ONE partitioned hash join to
+    customer attributes, exact global top-20 via stats.top_k_rows
+    (value = int64 revenue, custkey tiebreak — ≤20 rows per batch cross
+    the wire, no global sort), 25-row nation broadcast for names.
+    c_acctbal passes through untouched (pure selection, hashes without
+    tolerance); revenue's single float division is spelled in the
+    mirror."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
+    from jsschema_ray.stages.join import (bloom_semi_join, broadcast_join,
+                                          hash_join)
+    from jsschema_ray.stages.stats import top_k_rows
+
+    lo = datetime.datetime(1997, 10, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def in_window(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        in_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    def returned(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("l_returnflag"), "R")).drop_columns(
+            ["l_returnflag"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"]).map_batches(
+        returned, batch_format="pyarrow", zero_copy_batch=True)
+    fo = _fanout(sf_dir, "lineitem")
+    li = bloom_semi_join(li, orders, key="l_orderkey",
+                         right_key="o_orderkey", num_buckets=fo)
+    per_order = grouped_sums_partitioned(
+        _rev_x10000_batches(li), ["l_orderkey"], {"rev_x10000": "rev"},
+        num_parts=fo)
+
+    fo_o = _fanout(sf_dir, "orders")
+    j1 = hash_join(per_order, orders, key="l_orderkey",
+                   right_key="o_orderkey", num_buckets=fo_o)
+    per_cust = grouped_sums_partitioned(
+        j1, ["o_custkey"], {"rev_x10000": "rev_x10000"}, num_parts=fo_o)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    j2 = hash_join(per_cust, cust, key="o_custkey", right_key="c_custkey",
+                   num_buckets=_fanout(sf_dir, "customer"))
+
+    top20 = top_k_rows(j2, value="rev_x10000", tiebreak="o_custkey", k=20,
+                       descending=True)
+
+    def cast_key(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("c_nationkey"),
+                            "c_nationkey",
+                            pc.cast(b.column("c_nationkey"), pa.int32()))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = broadcast_join(
+        top20.map_batches(cast_key, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        nation, key="c_nationkey", small_key="n_nationkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "c_name": b.column("c_name"),
+            "revenue": pc.divide(b.column("rev_x10000").cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+            "rev_x10000": b.column("rev_x10000"),
+            "c_acctbal": b.column("c_acctbal"),
+            "n_name": b.column("n_name"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    PROMO-type parts. The part dimension broadcasts (p_partkey →
+    is_promo, O(parts) rows — TPC-H's designated small side), lineitem
+    filters to the month and folds BOTH conditional sums map-side as
+    exact int64 (one partial row per batch; promo revenue = rev *
+    is_promo with the 0/1 flag, exactly the SQL CASE). The percentage
+    is the single spelled float expression the mirror reproduces."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import broadcast_join
+    from jsschema_ray.stages.windows import round_half_away
+
+    lo = datetime.datetime(1997, 9, 1)
+    hi = datetime.datetime(1997, 10, 1)
+
+    def month(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).select(
+            ["l_partkey", "l_extendedprice", "l_discount"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        month, batch_format="pyarrow", zero_copy_batch=True)
+
+    def promo_flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "is_promo": pc.equal(b.column("p_type"),
+                                 "PROMO").cast(pa.int64()),
+        })
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        promo_flag, batch_format="pyarrow", zero_copy_batch=True)
+    j = broadcast_join(li, part, key="l_partkey", small_key="p_partkey",
+                       how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column("l_extendedprice")),
+                       pc.is_valid(b.column("l_discount")))
+        b = b.filter(keep)
+        ep = round_half_away(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        dc = round_half_away(
+            b.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        if len(ep) and np.abs(ep).max() >= (1 << 31):
+            raise ValueError("tpch_q14: x100 price exceeds 2^31")
+        rev = ep * (100 - dc)
+        promo = b.column("is_promo").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "one": pa.array([1], pa.int64()),
+            "promo_x10000": pa.array([int((rev * promo).sum())]),
+            "total_x10000": pa.array([int(rev.sum())]),
+        })
+
+    tot = grouped_sums(j.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                       ["one"], {"promo_x10000": "promo_x10000",
+                                 "total_x10000": "total_x10000"},
+                       count_alias=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "promo_x10000": b.column("promo_x10000"),
+            "total_x10000": b.column("total_x10000"),
+            "promo_share": pc.divide(
+                pc.multiply(b.column("promo_x10000").cast(pa.float64()),
+                            pa.scalar(100.0)),
+                b.column("total_x10000").cast(pa.float64())),
+        })
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping: revenue between two trading nations per
+    (supplier nation, customer nation, ship year), both directions. The
+    supplier dimension (filtered to the two nations) broadcasts;
+    lineitem year-filters, picks up s_nationkey from the broadcast, and
+    pre-aggregates to (orderkey, s_nationkey, year) int64 partials
+    through grouped_sums_partitioned before the two partitioned hash
+    joins (orders → customer); the (supp, cust) ∈ {(1,2),(2,1)} pair
+    predicate filters after the customer join; names resolve from the
+    O(25)-row nation table driver-side. x100-exact int64 revenue, one
+    spelled division per output row."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
+    from jsschema_ray.stages.join import broadcast_join, hash_join
+
+    # nations 3 and 8: the only pair present in the supplier table at
+    # every test sf (an all-empty smoke-scale result exercises nothing)
+    n1, n2 = 3, 8
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+
+    def two_nations(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("s_nationkey"),
+                                 value_set=pa.array([n1, n2], pa.int32()))
+                        ).select(["s_suppkey", "s_nationkey"])
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).map_batches(
+        two_nations, batch_format="pyarrow", zero_copy_batch=True)
+
+    def in_years(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        b = b.filter(mask)
+        return b.append_column(
+            "l_year", pc.year(b.column("l_shipdate")).cast(pa.int64())
+        ).drop_columns(["l_shipdate"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        in_years, batch_format="pyarrow", zero_copy_batch=True)
+    li = broadcast_join(li, supp, key="l_suppkey", small_key="s_suppkey",
+                        how="inner")
+    rev = _rev_x10000_batches(li, extra_cols=["s_nationkey", "l_year"])
+    fo = _fanout(sf_dir, "lineitem")
+    per_order = grouped_sums_partitioned(
+        rev, ["l_orderkey", "s_nationkey", "l_year"],
+        {"rev_x10000": "rev"}, num_parts=fo)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = hash_join(per_order, orders, key="l_orderkey",
+                   right_key="o_orderkey",
+                   num_buckets=_fanout(sf_dir, "orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, key="o_custkey", right_key="c_custkey",
+                   num_buckets=_fanout(sf_dir, "customer"))
+
+    def pair_filter(b: pa.Table) -> pa.Table:
+        s = b.column("s_nationkey").cast(pa.int32())
+        c = b.column("c_nationkey").cast(pa.int32())
+        mask = pc.or_(pc.and_(pc.equal(s, n1), pc.equal(c, n2)),
+                      pc.and_(pc.equal(s, n2), pc.equal(c, n1)))
+        b = b.filter(mask)
+        return pa.table({"s_nationkey": b.column("s_nationkey"),
+                         "c_nationkey": b.column("c_nationkey"),
+                         "l_year": b.column("l_year"),
+                         "rev_x10000": b.column("rev_x10000")})
+
+    per_pair = grouped_sums(
+        j2.map_batches(pair_filter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["s_nationkey", "c_nationkey", "l_year"],
+        {"rev_x10000": "rev_x10000"}, count_alias=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sn = [names[int(k)] for k in b.column("s_nationkey").to_pylist()]
+        cn = [names[int(k)] for k in b.column("c_nationkey").to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": b.column("l_year"),
+            "rev_x10000": b.column("rev_x10000"),
+            "revenue": pc.divide(b.column("rev_x10000").cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return per_pair.map_batches(finish, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"])
+
+
+def q_tpch_q12a(sf_dir: str):
+    """TPC-H Q12 shipmode priority counts, adapted to the testdata
+    schema (l_linestatus stands in for the missing l_shipmode; the
+    late-delivery predicate drops with the missing commit/receipt
+    dates — the conditional-aggregate-after-join shape is what's
+    exercised). One year of lineitem joins order priorities through a
+    partitioned hash join; high/low counts fold as 0/1 int sums
+    map-side over the 2-value linestatus domain. Integer-exact."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import hash_join
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def in_year(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).select(["l_orderkey", "l_linestatus"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
+        in_year, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
+                  num_buckets=_fanout(sf_dir, "lineitem"))
+
+    def flags(b: pa.Table) -> pa.Table:
+        high = pc.is_in(b.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"])
+                        ).cast(pa.int64())
+        return pa.table({"l_linestatus": b.column("l_linestatus"),
+                         "high": high,
+                         "low": pc.subtract(pa.scalar(1, pa.int64()), high)})
+
+    return grouped_sums(
+        j.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_linestatus"], {"high_line_count": "high",
+                           "low_line_count": "low"},
+        count_alias=None).sort("l_linestatus")
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier: the supplier(s) achieving the MAX quarterly
+    revenue, ties included — the groupwise-global-max shape (distinct
+    from top_k_rows: the result size is data-dependent). Quarter-filtered
+    lineitem pre-aggregates per suppkey through grouped_sums_partitioned;
+    the O(suppliers) narrow totals materialize ONCE (documented: id-level
+    rows only), the global max folds to one driver scalar, and the
+    equality filter + supplier-name broadcast produce the winners.
+    x100-exact ints end-to-end; total_revenue's division is spelled."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
+    from jsschema_ray.stages.join import broadcast_join
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 4, 1)
+
+    def quarter(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).drop_columns(["l_shipdate"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        quarter, batch_format="pyarrow", zero_copy_batch=True)
+    rev = _rev_x10000_batches(li, order_col="l_suppkey")
+    per_supp = grouped_sums_partitioned(
+        rev, ["l_suppkey"], {"rev_x10000": "rev"},
+        num_parts=_fanout(sf_dir, "supplier")).materialize()
+
+    best = per_supp.max("rev_x10000")
+
+    def winners(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("rev_x10000"),
+                                 pa.scalar(best, pa.int64())))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = broadcast_join(
+        per_supp.map_batches(winners, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        supp, key="l_suppkey", small_key="s_suppkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": b.column("l_suppkey"),
+            "s_name": b.column("s_name"),
+            "rev_x10000": b.column("rev_x10000"),
+            "total_revenue": pc.divide(
+                b.column("rev_x10000").cast(pa.float64()),
+                pa.scalar(10000.0)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("s_suppkey")
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted revenue: disjunctive bracket predicates over
+    the lineitem⋈part join — three (brand, size-range, quantity-range)
+    OR-arms. The part dimension broadcasts (partkey → brand, size);
+    the disjunction evaluates as vectorized Arrow boolean algebra per
+    batch and the surviving rows fold to ONE exact-int partial row per
+    batch. The same IEEE comparisons run on the same stored doubles in
+    both engines; one spelled division."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import broadcast_join
+    from jsschema_ray.stages.windows import round_half_away
+
+    arms = [("Brand#12", 1, 15, 1.0, 11.0),
+            ("Brand#23", 10, 30, 10.0, 20.0),
+            ("Brand#3", 20, 50, 20.0, 30.0)]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    j = broadcast_join(li, part, key="l_partkey", small_key="p_partkey",
+                       how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity")
+        brand = b.column("p_brand")
+        size = b.column("p_size")
+        mask = None
+        for br, slo, shi, qlo, qhi in arms:
+            arm = pc.and_(
+                pc.and_(pc.equal(brand, br),
+                        pc.and_(pc.greater_equal(size, slo),
+                                pc.less_equal(size, shi))),
+                pc.and_(pc.greater_equal(qty, qlo),
+                        pc.less_equal(qty, qhi)))
+            mask = arm if mask is None else pc.or_(mask, arm)
+        keep = pc.and_(pc.fill_null(mask, False),
+                       pc.and_(pc.is_valid(b.column("l_extendedprice")),
+                               pc.is_valid(b.column("l_discount"))))
+        b = b.filter(keep)
+        ep = round_half_away(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        dc = round_half_away(
+            b.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        if len(ep) and np.abs(ep).max() >= (1 << 31):
+            raise ValueError("tpch_q19: x100 price exceeds 2^31")
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "rev_x10000": pa.array([int((ep * (100 - dc)).sum())]),
+                         "n_rows": pa.array([len(ep)])})
+
+    tot = grouped_sums(j.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                       ["one"], {"rev_x10000": "rev_x10000",
+                                 "n_rows": "n_rows"}, count_alias=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rev_x10000": b.column("rev_x10000"),
+            "revenue": pc.divide(b.column("rev_x10000").cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+            "n_rows": b.column("n_rows"),
+        })
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -3343,6 +4041,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,  # driver-green r4, anti-join path unchanged by the r5 minhash-side hunks — rotated out for event_value_share
         "image_validate": q_image_validate,  # driver-green r1-r4 (4 rounds), validate.py unchanged in r5; entry() drives the same validator path every round — rotated out for fuzzy_name_join
         "tpch_q18": q_tpch_q18,  # r5 tail: large-volume orders (every primitive it composes is window-pinned: grouped_sums_partitioned/hash_join/top_k_rows via tpch_q3; the window holds only never-verified/changed queries)
+        "tpch_q4a": q_tpch_q4a,  # r5 tail: EXISTS semi join + grouped count (bloom_semi_join window-pinned via tpch_q3/quantity_zscore-family; local mirror verifies the pair)
+        "tpch_q5": q_tpch_q5,  # r5 tail: local-supplier volume (co-location predicate over two partitioned joins; all primitives window-pinned)
+        "tpch_q6": q_tpch_q6,  # r5 tail: pruned-scan global exact-int sum
+        "tpch_q10": q_tpch_q10,  # r5 tail: returned-item top-20 (same top_k_rows/hash-join chain as tpch_q3/q18)
+        "tpch_q14": q_tpch_q14,  # r5 tail: promo share (broadcast dim + conditional int sums + spelled division)
+        "tpch_q7": q_tpch_q7,  # r5 tail: nation-pair volume (broadcast dim + 2 partitioned joins + pair predicate)
+        "tpch_q12a": q_tpch_q12a,  # r5 tail: conditional counts after a partitioned join
+        "tpch_q15": q_tpch_q15,  # r5 tail: groupwise global max with ties (data-dependent result size)
+        "tpch_q19": q_tpch_q19,  # r5 tail: disjunctive bracket predicates over the dim join
         "normalized_dedup": q_normalized_dedup,  # r5 tail: normalize->dedup composition (normalize_text window-pinned via normalize_docs; the min/count merge mirrors the window-pinned grouped_sums_partitioned shape)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
@@ -3963,6 +4670,231 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC,
                      o.o_orderdate, o.o_orderkey
             LIMIT 100
+        """,
+        # TPC-H Q4 adapted (no commit/receipt dates in the testdata):
+        # EXISTS(returned lineitem) semi join + integer-exact count
+        "tpch_q4a": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # TPC-H Q5: exact-int revenue; the single float division spelled;
+        # the c_nationkey = s_nationkey co-location predicate verbatim
+        "tpch_q5": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            ), an AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ), l AS (
+                SELECT l_orderkey, s.s_nationkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem
+                JOIN supplier s ON l_suppkey = s.s_suppkey
+                WHERE s.s_nationkey IN (SELECT n_nationkey FROM an)
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            )
+            SELECT an.n_name,
+                   CAST(SUM(l.rev) AS BIGINT) AS rev_x10000,
+                   CAST(CAST(SUM(l.rev) AS BIGINT) AS DOUBLE) / 10000.0
+                       AS revenue
+            FROM l
+            JOIN o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN an ON an.n_nationkey = l.s_nationkey
+            WHERE c.c_nationkey = l.s_nationkey
+            GROUP BY an.n_name
+            ORDER BY an.n_name
+        """,
+        # TPC-H Q6: same IEEE float predicates on the same stored
+        # doubles; one exact-int global sum, one spelled division
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS rev_x10000,
+                   CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)
+                                 * CAST(ROUND(l_discount * 100)
+                                        AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+              AND l_extendedprice IS NOT NULL
+        """,
+        # TPC-H Q10: exact-int revenue ordering with the custkey
+        # tiebreak; c_acctbal is selection-only (no arithmetic)
+        "tpch_q10": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            ), l AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem
+                WHERE l_returnflag = 'R'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            ), pc AS (
+                SELECT o.o_custkey, CAST(SUM(l.rev) AS BIGINT)
+                           AS rev_x10000
+                FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_custkey
+            ), top AS (
+                SELECT c.c_custkey, c.c_name, pc.rev_x10000,
+                       c.c_acctbal, c.c_nationkey
+                FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+                ORDER BY pc.rev_x10000 DESC, c.c_custkey
+                LIMIT 20
+            )
+            SELECT t.c_custkey, t.c_name,
+                   CAST(t.rev_x10000 AS DOUBLE) / 10000.0 AS revenue,
+                   t.rev_x10000, t.c_acctbal, n.n_name
+            FROM top t JOIN nation n ON t.c_nationkey = n.n_nationkey
+            ORDER BY t.c_custkey
+        """,
+        # TPC-H Q7: exact-int revenue per (supp nation, cust nation,
+        # ship year) both directions; EXTRACT(year) = pc.year
+        "tpch_q7": """
+            WITH supp AS (
+                SELECT s_suppkey, s_nationkey FROM supplier
+                WHERE s_nationkey IN (3, 8)
+            ), l AS (
+                SELECT l_orderkey, s_nationkey,
+                       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                           AS l_year,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            )
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   l.l_year,
+                   CAST(SUM(l.rev) AS BIGINT) AS rev_x10000,
+                   CAST(CAST(SUM(l.rev) AS BIGINT) AS DOUBLE) / 10000.0
+                       AS revenue
+            FROM l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON ns.n_nationkey = l.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE (l.s_nationkey = 3 AND c.c_nationkey = 8)
+               OR (l.s_nationkey = 8 AND c.c_nationkey = 3)
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        # TPC-H Q12 adapted (l_linestatus for the missing l_shipmode):
+        # integer-exact conditional counts after the join
+        "tpch_q12a": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        # TPC-H Q15: groupwise global max with ties — the correlated
+        # MAX subquery; exact ints, one spelled division
+        "tpch_q15": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS rev_x10000
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.rev_x10000,
+                   CAST(r.rev_x10000 AS DOUBLE) / 10000.0
+                       AS total_revenue
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rev_x10000 = (SELECT MAX(rev_x10000) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        # TPC-H Q19: three OR'd (brand, size, quantity) brackets — the
+        # same IEEE comparisons on the same stored doubles
+        "tpch_q19": """
+            WITH j AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                  AND ((p_brand = 'Brand#12'
+                        AND p_size BETWEEN 1 AND 15
+                        AND l_quantity BETWEEN 1.0 AND 11.0)
+                    OR (p_brand = 'Brand#23'
+                        AND p_size BETWEEN 10 AND 30
+                        AND l_quantity BETWEEN 10.0 AND 20.0)
+                    OR (p_brand = 'Brand#3'
+                        AND p_size BETWEEN 20 AND 50
+                        AND l_quantity BETWEEN 20.0 AND 30.0))
+            )
+            SELECT CAST(SUM(rev) AS BIGINT) AS rev_x10000,
+                   CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) / 10000.0
+                       AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM j
+        """,
+        # TPC-H Q14: the CASE-conditional sum is rev * the 0/1 promo
+        # flag on both engines; one spelled float expression
+        "tpch_q14": """
+            WITH j AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            )
+            SELECT CAST(SUM(rev * promo) AS BIGINT) AS promo_x10000,
+                   CAST(SUM(rev) AS BIGINT) AS total_x10000,
+                   CAST(CAST(SUM(rev * promo) AS BIGINT) AS DOUBLE)
+                       * 100.0
+                       / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE)
+                           AS promo_share
+            FROM j
         """,
         # per-row string normalization: both engines run RE2 with the
         # SAME explicitly spelled whitespace class (RE2 \s and Python

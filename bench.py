@@ -54,6 +54,15 @@ BENCH_QUERIES = [
     "weighted_median",
     "tpch_q3",
     "tpch_q18",
+    "tpch_q4a",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q7",
+    "tpch_q12a",
+    "tpch_q15",
+    "tpch_q19",
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",

@@ -710,3 +710,36 @@ def test_bloom_prefilter_reduces_shuffle_volume(ray_session):
     true_matches = int((left.k < 1000).sum())
     assert out.num_rows >= true_matches          # no false negatives
     assert out.num_rows < len(left) * 0.2        # large fp would fail this
+
+
+def test_broadcast_join_empty_small_dataset_keeps_schema(ray_session):
+    """An EMPTY small side (a dimension filter matched nothing — the
+    tpch_q7 two-nation filter at sf0.001) must still broadcast with its
+    schema intact: inner join → typed empty result, left join → all
+    left rows with null payload, never a KeyError on the join key."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsschema_ray.stages.join import broadcast_join
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "v": pa.array([10, 20, 30], pa.int64())})
+    small = ray.data.from_arrow(
+        pa.table({"sk": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"], pa.string())}))
+    empty_small = small.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sk"), 99)),
+        batch_format="pyarrow")
+
+    inner_ds = broadcast_join(ray.data.from_arrow(left), empty_small,
+                              key="k", small_key="sk")
+    # assert on the Dataset schema: the same empty-through-pandas
+    # round-trip this fix targets would also strip columns from the
+    # (empty) RESULT if checked via to_pandas()
+    assert set(inner_ds.schema(fetch_if_missing=True).names) == {
+        "k", "v", "name"}
+    assert inner_ds.count() == 0
+
+    lj = broadcast_join(ray.data.from_arrow(left), empty_small,
+                        key="k", small_key="sk", how="left").to_pandas()
+    assert len(lj) == 3 and lj["name"].isna().all()

@@ -3940,6 +3940,328 @@ def q_tpch_q19(sf_dir: str):
     return tot.map_batches(finish, batch_format="pyarrow")
 
 
+def q_tpch_q8a(sf_dir: str):
+    """TPC-H Q8 national market share, adapted to the testdata schema
+    (p_type 'ECONOMY' for the hint's two-word types): NATION_3's share
+    of ASIA-market ECONOMY-part revenue per order year. Two dimension
+    broadcasts (ECONOMY part keys as a semi join, supplier →
+    s_nationkey), per-(orderkey, supp-nation) int partials via
+    grouped_sums_partitioned, two partitioned hash joins (date-windowed
+    orders carrying the order YEAR, customer), ASIA filter on the
+    customer nation, then per-year conditional int sums (rev × the
+    s_nationkey=3 0/1 flag = the SQL CASE). mkt_share is ONE spelled
+    float division."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
+    from jsschema_ray.stages.join import broadcast_join, hash_join
+
+    target = 3
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmask = pc.is_in(
+        nation.column("n_regionkey"),
+        value_set=pa.array(asia.column("r_regionkey").to_pylist(),
+                           pa.int32()))
+    asia_keys = pa.array(
+        sorted(nation.filter(nmask).column("n_nationkey").to_pylist()),
+        pa.int32())
+
+    def econ(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("p_type"), "ECONOMY")).select(
+            ["p_partkey"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        econ, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    li = broadcast_join(li, part, key="l_partkey", small_key="p_partkey",
+                        how="semi")
+    li = broadcast_join(li, supp, key="l_suppkey", small_key="s_suppkey",
+                        how="inner")
+    fo = _fanout(sf_dir, "lineitem")
+    per_order = grouped_sums_partitioned(
+        _rev_x10000_batches(li, extra_cols=["s_nationkey"]),
+        ["l_orderkey", "s_nationkey"], {"rev_x10000": "rev"}, num_parts=fo)
+
+    def in_window(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        b = b.filter(mask)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        in_window, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(per_order, orders, key="l_orderkey",
+                   right_key="o_orderkey",
+                   num_buckets=_fanout(sf_dir, "orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, key="o_custkey", right_key="c_custkey",
+                   num_buckets=_fanout(sf_dir, "customer"))
+
+    def flags(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int32()),
+                              value_set=asia_keys))
+        is_target = pc.equal(b.column("s_nationkey").cast(pa.int32()),
+                             target).cast(pa.int64())
+        rev = b.column("rev_x10000")
+        return pa.table({
+            "o_year": b.column("o_year"),
+            "nation_rev": pc.multiply(rev, is_target),
+            "total_rev": rev,
+        })
+
+    per_year = grouped_sums(
+        j2.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_year"], {"nation_x10000": "nation_rev",
+                     "total_x10000": "total_rev"}, count_alias=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": b.column("o_year"),
+            "nation_x10000": b.column("nation_x10000"),
+            "total_x10000": b.column("total_x10000"),
+            "mkt_share": pc.divide(
+                b.column("nation_x10000").cast(pa.float64()),
+                b.column("total_x10000").cast(pa.float64())),
+        })
+
+    return per_year.map_batches(finish, batch_format="pyarrow").sort(
+        "o_year")
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution: how many customers
+    placed exactly k qualifying orders, INCLUDING k = 0 — the
+    left-outer-join + second-level-groupby shape (the zero bucket only
+    exists because of the outer join; o_orderpriority <> '5-LOW' stands
+    in for the reference's comment-pattern exclusion). Order counts per
+    custkey come from grouped_sums_partitioned at customer cardinality;
+    ONE partitioned left hash join against the customer keys, null
+    counts fill to 0 row-locally, and the O(max-k) distribution folds
+    through a map-side-combined grouped count. Integer-exact."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
+    from jsschema_ray.stages.join import hash_join
+
+    def qualifying(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("o_orderpriority"),
+                                     "5-LOW")).select(["o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"]).map_batches(
+        qualifying, batch_format="pyarrow", zero_copy_batch=True)
+    fo = _fanout(sf_dir, "customer")
+    per_cust = grouped_sums_partitioned(
+        orders, ["o_custkey"], {}, count_alias="c_count", num_parts=fo)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = hash_join(cust, per_cust, key="c_custkey", right_key="o_custkey",
+                  how="left", num_buckets=fo)
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(b.column("c_count"),
+                                    pa.scalar(0, pa.int64())),
+        })
+
+    return grouped_sums(
+        j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_count"], {}, count_alias="custdist").sort("c_count")
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue: total price of Brand#1
+    lines whose quantity is below 0.2 × the part's average quantity —
+    the correlated-scalar-aggregate shape. Per-part (sum_q100, n)
+    partials reduce through grouped_sums_partitioned, the O(brand
+    parts) threshold table broadcasts back, and the row-local compare
+    runs the SAME spelled float chain both engines evaluate
+    (0.2 * ((q100 / 100.0) / n)); the surviving extended prices fold to
+    ONE x100-exact int row per batch; avg_yearly's /100.0/7.0 chain is
+    spelled in the mirror."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
+    from jsschema_ray.stages.join import broadcast_join
+    from jsschema_ray.stages.windows import round_half_away
+
+    brand = "Brand#1"
+
+    def brand_parts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("p_brand"), brand)).select(
+            ["p_partkey"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        brand_parts, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_join(li, part, key="l_partkey", small_key="p_partkey",
+                        how="semi")
+
+    def q100(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("l_quantity")))
+        q = round_half_away(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "q100": pa.array(q)})
+
+    per_part = grouped_sums_partitioned(
+        li.map_batches(q100, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], {"sum_q100": "q100"}, count_alias="n_lines",
+        num_parts=_fanout(sf_dir, "part"))
+
+    def thresh(b: pa.Table) -> pa.Table:
+        sq = b.column("sum_q100").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = b.column("n_lines").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({"t_partkey": b.column("l_partkey"),
+                         "qty_threshold": pa.array(0.2 * ((sq / 100.0) / n))})
+
+    thresholds = per_part.map_batches(thresh, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    j = broadcast_join(li, thresholds, key="l_partkey",
+                       small_key="t_partkey", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.less(b.column("l_quantity"),
+                                 b.column("qty_threshold")), False),
+            pc.is_valid(b.column("l_extendedprice")))
+        b = b.filter(keep)
+        ep = round_half_away(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        if len(ep) and np.abs(ep).max() >= (1 << 31):
+            raise ValueError("tpch_q17: x100 price exceeds 2^31")
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "total_x100": pa.array([int(ep.sum())]),
+                         "n_rows": pa.array([len(ep)])})
+
+    tot = grouped_sums(j.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                       ["one"], {"total_x100": "total_x100",
+                                 "n_rows": "n_rows"}, count_alias=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "total_x100": b.column("total_x100"),
+            "avg_yearly": pc.divide(
+                pc.divide(b.column("total_x100").cast(pa.float64()),
+                          pa.scalar(100.0)),
+                pa.scalar(7.0)),
+            "n_rows": b.column("n_rows"),
+        })
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
+def q_tpch_q22a(sf_dir: str):
+    """TPC-H Q22 global-sales opportunity, adapted (c_nationkey for the
+    missing phone country code): per nation, the count and total
+    balance of above-average-balance customers who never ordered — the
+    global-scalar-threshold + anti-join shape (the order side restricts
+    to 1-URGENT orders: in this testdata EVERY customer has some order,
+    so the reference's bare no-orders predicate is vacuously empty —
+    "never placed an urgent order" keeps the shape AND the result
+    non-trivial at every sf). The positive-balance average folds to ONE
+    driver scalar from x100-exact int partials (spelled float
+    division); the threshold compare is the same IEEE operation in both
+    engines; the anti predicate is ONE partitioned anti hash join
+    against the urgent-order custkeys; totacctbal sums x100-exact ints
+    per nation (the float column is ONE spelled division per group)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.windows import round_half_away
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.fill_null(pc.greater(b.column("c_acctbal"), 0.0),
+                                  False))
+        a = round_half_away(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "s100": pa.array([int(a.sum())]),
+                         "n": pa.array([len(a)])})
+
+    tot = grouped_sums(
+        cust.map_batches(pos_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["one"], {"s100": "s100", "n": "n"}, count_alias=None).take_all()
+    # O(1) driver scalar — the broadcast-threshold pattern
+    threshold = (float(tot[0]["s100"]) / 100.0) / float(tot[0]["n"])
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.fill_null(
+            pc.greater(b.column("c_acctbal"), threshold), False))
+
+    rich = cust.map_batches(above, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def urgent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderpriority"),
+                                 "1-URGENT")).select(["o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow", zero_copy_batch=True)
+    no_orders = hash_join(rich, orders, key="c_custkey",
+                          right_key="o_custkey", how="anti",
+                          num_buckets=_fanout(sf_dir, "customer"))
+
+    def bal100(b: pa.Table) -> pa.Table:
+        a = round_half_away(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        return pa.table({"c_nationkey": b.column("c_nationkey"),
+                         "bal100": pa.array(a)})
+
+    per_nation = grouped_sums(
+        no_orders.map_batches(bal100, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["c_nationkey"], {"bal_x100": "bal100"}, count_alias="numcust")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey").cast(pa.int32()),
+            "numcust": b.column("numcust"),
+            "bal_x100": b.column("bal_x100"),
+            "totacctbal": pc.divide(b.column("bal_x100").cast(pa.float64()),
+                                    pa.scalar(100.0)),
+        })
+
+    return per_nation.map_batches(finish, batch_format="pyarrow").sort(
+        "c_nationkey")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4050,6 +4372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12a": q_tpch_q12a,  # r5 tail: conditional counts after a partitioned join
         "tpch_q15": q_tpch_q15,  # r5 tail: groupwise global max with ties (data-dependent result size)
         "tpch_q19": q_tpch_q19,  # r5 tail: disjunctive bracket predicates over the dim join
+        "tpch_q8a": q_tpch_q8a,  # r5 tail: market-share ratio (semi + inner broadcasts, conditional int sums per year)
+        "tpch_q13": q_tpch_q13,  # r5 tail: left-outer count distribution incl. the zero bucket
+        "tpch_q17": q_tpch_q17,  # r5 tail: correlated scalar aggregate (per-part avg threshold broadcast back)
+        "tpch_q22a": q_tpch_q22a,  # r5 tail: global scalar threshold + anti join
         "normalized_dedup": q_normalized_dedup,  # r5 tail: normalize->dedup composition (normalize_text window-pinned via normalize_docs; the min/count merge mirrors the window-pinned grouped_sums_partitioned shape)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
@@ -4872,6 +5198,122 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM j
+        """,
+        # TPC-H Q8 adapted: conditional int sums per order year; the
+        # CASE is rev × the 0/1 target-nation flag on both engines
+        "tpch_q8a": """
+            WITH an AS (
+                SELECT n_nationkey
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ), l AS (
+                SELECT l_orderkey, s.s_nationkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem
+                JOIN supplier s ON l_suppkey = s.s_suppkey
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_type = 'ECONOMY')
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            ), o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o.o_year,
+                   CAST(SUM(CASE WHEN l.s_nationkey = 3 THEN l.rev
+                            ELSE 0 END) AS BIGINT) AS nation_x10000,
+                   CAST(SUM(l.rev) AS BIGINT) AS total_x10000,
+                   CAST(CAST(SUM(CASE WHEN l.s_nationkey = 3 THEN l.rev
+                                 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(SUM(l.rev) AS BIGINT) AS DOUBLE)
+                           AS mkt_share
+            FROM l
+            JOIN o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey IN (SELECT n_nationkey FROM an)
+            GROUP BY o.o_year
+            ORDER BY o.o_year
+        """,
+        # TPC-H Q13: LEFT JOIN so never-ordered customers land in the
+        # k = 0 bucket; integer-exact counts
+        "tpch_q13": """
+            WITH o AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+                FROM orders WHERE o_orderpriority <> '5-LOW'
+                GROUP BY o_custkey
+            )
+            SELECT COALESCE(o.c_count, 0) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # TPC-H Q17: the per-part avg threshold is the SAME spelled
+        # float chain 0.2 * ((q100 / 100.0) / n) both engines evaluate;
+        # the same IEEE < compare on the same stored doubles
+        "tpch_q17": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand = 'Brand#1')
+            ), pp AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS sum_q100,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM li WHERE l_quantity IS NOT NULL
+                GROUP BY l_partkey
+            ), th AS (
+                SELECT l_partkey,
+                       0.2 * ((CAST(sum_q100 AS DOUBLE) / 100.0)
+                              / CAST(n_lines AS DOUBLE)) AS qty_threshold
+                FROM pp
+            )
+            SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS total_x100,
+                   (CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                       AS BIGINT)) AS BIGINT) AS DOUBLE)
+                    / 100.0) / 7.0 AS avg_yearly,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM li l JOIN th t ON l.l_partkey = t.l_partkey
+            WHERE l.l_quantity < t.qty_threshold
+              AND l.l_extendedprice IS NOT NULL
+        """,
+        # TPC-H Q22 adapted: the positive-balance average is the same
+        # spelled (s100 / 100.0) / n scalar; NOT EXISTS = anti join
+        "tpch_q22a": """
+            WITH t AS (
+                SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                            AS BIGINT) AS s100,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM customer WHERE c_acctbal > 0.0
+            ), rich AS (
+                SELECT c_custkey, c_nationkey, c_acctbal
+                FROM customer, t
+                WHERE c_acctbal > (CAST(s100 AS DOUBLE) / 100.0)
+                                      / CAST(n AS DOUBLE)
+            ), no_o AS (
+                SELECT * FROM rich r
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = r.c_custkey
+                                    AND o.o_orderpriority = '1-URGENT')
+            )
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal_x100,
+                   CAST(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                             AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+            FROM no_o
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         # TPC-H Q14: the CASE-conditional sum is rev * the 0/1 promo
         # flag on both engines; one spelled float expression

@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "tpch_q12a",
     "tpch_q15",
     "tpch_q19",
+    "tpch_q8a",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q22a",
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",

@@ -3847,6 +3847,10 @@ def q_tpch_q15(sf_dir: str):
         num_parts=_fanout(sf_dir, "supplier")).materialize()
 
     best = per_supp.max("rev_x10000")
+    if best is None:
+        raise ValueError("tpch_q15: no lineitem rows in the quarter — "
+                         "the MAX-revenue selection is undefined on an "
+                         "empty input")
 
     def winners(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b.column("rev_x10000"),

@@ -4266,6 +4266,32 @@ def q_tpch_q22a(sf_dir: str):
         "c_nationkey")
 
 
+def q_top_quantity_ties(sf_dir: str):
+    """Top-n-with-TIES selection (stages/aggregates.top_n_with_ties):
+    every lineitem carrying one of its returnflag's 2 highest DISTINCT
+    quantities — SQL QUALIFY DENSE_RANK() OVER (PARTITION BY flag ORDER
+    BY qty DESC) <= 2. The WITH-TIES shape top_n_per_group (ROW_NUMBER)
+    cannot express: the result size is data-dependent and needs no
+    tiebreak. Quantity is integer-valued so ties are real (thousands of
+    rows share the top value at sf0.1). Null quantities filter on both
+    sides (DuckDB sorts NaN/NULL HIGHEST on DESC; the operator sorts
+    them last — the explicit filter removes the divergence)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import top_n_with_ties
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"])
+
+    def valid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("l_quantity")))
+
+    return top_n_with_ties(
+        ds.map_batches(valid, batch_format="pyarrow", zero_copy_batch=True),
+        group="l_returnflag", value="l_quantity", n=2, dense=True,
+    ).sort(["l_returnflag", "l_orderkey", "l_linenumber"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4380,6 +4406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": q_tpch_q13,  # r5 tail: left-outer count distribution incl. the zero bucket
         "tpch_q17": q_tpch_q17,  # r5 tail: correlated scalar aggregate (per-part avg threshold broadcast back)
         "tpch_q22a": q_tpch_q22a,  # r5 tail: global scalar threshold + anti join
+        "top_quantity_ties": q_top_quantity_ties,  # r5 tail: DENSE_RANK WITH-TIES selection (data-dependent result size)
         "normalized_dedup": q_normalized_dedup,  # r5 tail: normalize->dedup composition (normalize_text window-pinned via normalize_docs; the min/count merge mirrors the window-pinned grouped_sums_partitioned shape)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
@@ -5318,6 +5345,22 @@ def oracle_sql() -> dict[str, str]:
             FROM no_o
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # WITH-TIES top-n: DENSE_RANK <= n, null quantities filtered on
+        # both sides (DuckDB sorts NULL/NaN highest on DESC)
+        "top_quantity_ties": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                   rnk
+            FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber,
+                       l_quantity,
+                       CAST(DENSE_RANK() OVER (
+                            PARTITION BY l_returnflag
+                            ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+                FROM lineitem WHERE l_quantity IS NOT NULL
+            )
+            WHERE rnk <= 2
+            ORDER BY l_returnflag, l_orderkey, l_linenumber
         """,
         # TPC-H Q14: the CASE-conditional sum is rev * the 0/1 promo
         # flag on both engines; one spelled float expression

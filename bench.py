@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q17",
     "tpch_q22a",
+    "top_quantity_ties",
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",

@@ -284,6 +284,93 @@ def top_n_per_group(ds, group: str, value: str, tiebreak: str,
                                    batch_format="pandas")
 
 
+def top_n_with_ties(ds, group: str, value: str, n: int = 1,
+                    dense: bool = False, num_partitions: int = 64,
+                    batch_size: int = 65536):
+    """Keep each group's rows whose value RANKS in the top ``n``,
+    TIES INCLUDED — SQL ``QUALIFY RANK() OVER (PARTITION BY group
+    ORDER BY value DESC) <= n`` (equivalently FETCH FIRST n ROWS WITH
+    TIES per group) — with the rank emitted as ``rnk``. With
+    ``dense=True`` the rank is DENSE_RANK (no gaps): "the rows carrying
+    the group's n highest distinct values" — under heavy ties RANK > 1
+    may be unreachable (rank jumps past n), which makes dense the
+    useful variant for top-n-VALUES questions. Distinct from
+    :func:`top_n_per_group` (ROW_NUMBER): the result size is
+    data-dependent (every row tied with the nth value survives), so no
+    tiebreak is needed — the surviving SET is deterministic.
+
+    Scale shape: each batch pre-trims to its local rank <= n (batch-local
+    strictly-greater counts never exceed global ones, so every global
+    winner survives the trim), surviving candidates hash(group)-
+    co-partition, and each partition replays the same selection to get
+    exact global ranks. Two lexsorts total, no per-group loop. NaN
+    values sort LAST (never outrank real values — callers mirroring
+    DuckDB, where NaN sorts HIGHEST, must filter NaN/NULL on both
+    sides). Result-size caveat: a group tied everywhere returns all its
+    rows — that is the operator's semantics, not a bug."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def topties(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        if not len(df):
+            if with_rank:
+                df = df.assign(rnk=np.array([], dtype="int64"))
+            return df
+        # descending-value key without arithmetic negation (the
+        # top_n_per_group construction; NaN forced past every real value)
+        v = df[value].to_numpy()
+        uniq, inv = np.unique(v, return_inverse=True)
+        desc_key = (len(uniq) - 1 - inv).astype(np.int64)
+        if v.dtype.kind == "f":
+            desc_key[np.isnan(v)] = len(uniq)
+        g_arr = df[group].to_numpy()
+        order = np.lexsort((desc_key, g_arr))
+        df = df.iloc[order]
+        g = df[group].to_numpy()
+        dk = desc_key[order]
+        g_change = np.r_[True, g[1:] != g[:-1]]
+        group_start = np.repeat(
+            np.flatnonzero(g_change),
+            np.diff(np.r_[np.flatnonzero(g_change), len(g)]))
+        run_change = g_change | np.r_[True, dk[1:] != dk[:-1]]
+        if dense:
+            # DENSE_RANK: distinct value-runs counted within the group
+            cs = np.cumsum(run_change)
+            rank0 = cs - cs[group_start]
+        else:
+            # RANK: position of the row's VALUE-run start in its group
+            run_start = np.repeat(
+                np.flatnonzero(run_change),
+                np.diff(np.r_[np.flatnonzero(run_change), len(g)]))
+            rank0 = run_start - group_start
+        keep = rank0 < n
+        df = df.iloc[keep].reset_index(drop=True)
+        if with_rank:
+            df = df.assign(rnk=(rank0[keep] + 1).astype("int64"))
+        return df
+
+    def pre_trim(df: pd.DataFrame) -> pd.DataFrame:
+        w = topties(df, with_rank=False)
+        part = (hash64(pa.array(w[group]))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return w.assign(__part=part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return topties(g.drop(columns=["__part"]), with_rank=True)
+
+    from jsschema_ray.stages._blocks import arrow_out
+
+    return ds.map_batches(
+        pre_trim, batch_format="pandas", batch_size=batch_size,
+    ).groupby("__part").map_groups(arrow_out(per_partition),
+                                   batch_format="pandas")
+
+
 def grouped_string_agg(ds, key: str, col: str, order_cols: list[str],
                        sep: str = ">", out_name: str = "path",
                        num_partitions: int = 64):

@@ -1124,3 +1124,46 @@ class TestGroupedShare:
                         "x": pa.array([float(1 << 53)])})
         with pytest.raises(Exception, match="2\\^52"):
             grouped_share(rd.from_arrow(tbl), "g", "x").to_pandas()
+
+
+def test_top_n_with_ties_rank_and_dense(ray_session):
+    """Both RANK (gaps) and DENSE_RANK variants against a pandas
+    reference, across batch boundaries so the pre-trim is exercised."""
+    import numpy as np
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import top_n_with_ties
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 4000).astype("int64"),
+        "v": rng.integers(0, 8, 4000).astype("int64"),
+        "id": np.arange(4000, dtype="int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    for dense in (False, True):
+        got = top_n_with_ties(ds, "g", "v", n=2, dense=dense,
+                              batch_size=300).to_pandas()
+        method = "dense" if dense else "min"
+        ref = df.copy()
+        ref["rnk"] = (ref.groupby("g")["v"]
+                      .rank(method=method, ascending=False).astype("int64"))
+        ref = ref[ref.rnk <= 2]
+        got_s = got.sort_values("id").reset_index(drop=True)
+        ref_s = ref.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got_s[["g", "v", "id", "rnk"]], ref_s[["g", "v", "id", "rnk"]])
+
+
+def test_top_n_with_ties_nan_sorts_last(ray_session):
+    import numpy as np
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import top_n_with_ties
+
+    df = pd.DataFrame({"g": [0, 0, 0, 0], "v": [np.nan, 1.0, 2.0, 2.0],
+                       "id": [0, 1, 2, 3]})
+    got = top_n_with_ties(ray.data.from_pandas(df), "g", "v",
+                          n=1).to_pandas()
+    assert sorted(got["id"].tolist()) == [2, 3]

@@ -4292,6 +4292,58 @@ def q_top_quantity_ties(sf_dir: str):
     ).sort(["l_returnflag", "l_orderkey", "l_linenumber"])
 
 
+def _events_half(sf_dir: str, first: bool):
+    """(user_id, event_type) rows from the first/second half of the
+    events month — the two bags the EXCEPT ALL / INTERSECT ALL queries
+    compare."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    lo = datetime.datetime(2024, 1, 1) if first \
+        else datetime.datetime(2024, 1, 16)
+    hi = datetime.datetime(2024, 1, 16) if first \
+        else datetime.datetime(2024, 2, 1)
+
+    def window(b: pa.Table) -> pa.Table:
+        d = b.column("ts")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo).cast(d.type)),
+                       pc.less(d, pa.scalar(hi).cast(d.type)))
+        return b.filter(mask).select(["user_id", "event_type"])
+
+    return _read(sf_dir, "events",
+                 ["user_id", "event_type", "ts"]).map_batches(
+        window, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_except_all_events(sf_dir: str):
+    """SQL EXCEPT ALL — BAG difference with multiplicities
+    (stages/uniqueness.except_all_rows): each (user, event_type) row of
+    the month's first half survives max(0, first-half count −
+    second-half count) times. Distinct from the DISTINCT-semantics
+    except_customers: duplicates are the payload. Map-side (row →
+    count) partials co-partition on the normalized combined-key hash
+    (raw duplicates never shuffle); the per-partition finish sums
+    counts per side and np.repeats survivors. Integer-exact."""
+    from jsschema_ray.stages.uniqueness import except_all_rows
+
+    return except_all_rows(_events_half(sf_dir, True),
+                           _events_half(sf_dir, False)).sort(
+        ["user_id", "event_type"])
+
+
+def q_intersect_all_events(sf_dir: str):
+    """SQL INTERSECT ALL — bag intersection
+    (stages/uniqueness.intersect_all_rows): min(count_a, count_b)
+    copies per (user, event_type); same distribution shape as
+    except_all_events."""
+    from jsschema_ray.stages.uniqueness import intersect_all_rows
+
+    return intersect_all_rows(_events_half(sf_dir, True),
+                              _events_half(sf_dir, False)).sort(
+        ["user_id", "event_type"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4407,6 +4459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,  # r5 tail: correlated scalar aggregate (per-part avg threshold broadcast back)
         "tpch_q22a": q_tpch_q22a,  # r5 tail: global scalar threshold + anti join
         "top_quantity_ties": q_top_quantity_ties,  # r5 tail: DENSE_RANK WITH-TIES selection (data-dependent result size)
+        "except_all_events": q_except_all_events,  # r5 tail: bag-semantics EXCEPT ALL (count partials, np.repeat finish)
+        "intersect_all_events": q_intersect_all_events,  # r5 tail: bag-semantics INTERSECT ALL
         "normalized_dedup": q_normalized_dedup,  # r5 tail: normalize->dedup composition (normalize_text window-pinned via normalize_docs; the min/count merge mirrors the window-pinned grouped_sums_partitioned shape)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
@@ -5361,6 +5415,28 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rnk <= 2
             ORDER BY l_returnflag, l_orderkey, l_linenumber
+        """,
+        # bag-semantics set ops: multiplicities are the payload; NULLs
+        # compare equal in SQL set ops and in the engine's groupbys
+        "except_all_events": """
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-16'
+            EXCEPT ALL
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'
+              AND ts < TIMESTAMP '2024-02-01'
+            ORDER BY user_id, event_type
+        """,
+        "intersect_all_events": """
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-16'
+            INTERSECT ALL
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'
+              AND ts < TIMESTAMP '2024-02-01'
+            ORDER BY user_id, event_type
         """,
         # TPC-H Q14: the CASE-conditional sum is rev * the 0/1 promo
         # flag on both engines; one spelled float expression

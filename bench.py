@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q22a",
     "top_quantity_ties",
+    "except_all_events",
+    "intersect_all_events",
     "quantity_price_corr",
     "brand_price_linreg",
     "quantity_stddev",

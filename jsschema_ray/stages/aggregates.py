@@ -159,6 +159,28 @@ def grouped_count_distinct(ds, group: str, col: str,
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
 
 
+def _hash_part_arrow(ds, key: str, num_partitions: int, batch_size: int):
+    """Append the co-partition column ``__part = hash(key) % n`` in an
+    ARROW step, before any pandas conversion (r5 fix): Ray's
+    arrow→pandas batch conversion promotes an int64 column to float64
+    exactly when THAT batch holds a null, so a hash computed from the
+    pandas view gives the SAME key different partitions depending on
+    which rows shared its batch — equal groups then merge per-partition
+    instead of globally. Hashing the raw arrow column (state/hll.hash64,
+    itself batch-composition-invariant) is stable for any layout."""
+    import numpy as np
+
+    from jsschema_ray.state.hll import hash64
+
+    def add(b: pa.Table) -> pa.Table:
+        part = (hash64(b.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__part", pa.array(part))
+
+    return ds.map_batches(add, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
 def argmax_per_group(ds, group: str, value: str, tiebreak: str,
                      num_partitions: int = 64,
                      batch_size: int = 65536):
@@ -200,19 +222,17 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
                      df[group].to_numpy()[1:] != df[group].to_numpy()[:-1]]
         return df.iloc[keep].reset_index(drop=True)
 
-    def pre_trim(df: pd.DataFrame) -> pd.DataFrame:
-        w = winners(df)
-        part = (hash64(pa.array(w[group]))
-                % np.uint64(num_partitions)).astype(np.int32)
-        return w.assign(__part=part)
-
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         return winners(g.drop(columns=["__part"]))
 
     from jsschema_ray.stages._blocks import arrow_out
 
-    return ds.map_batches(
-        pre_trim, batch_format="pandas", batch_size=batch_size,
+    # __part comes from the ARROW view of the group column (see
+    # _hash_part_arrow) and rides through the pandas pre-trim as data
+    # (functionally dependent on group, so the dedup keeps it correct)
+    return _hash_part_arrow(ds, group, num_partitions,
+                            batch_size).map_batches(
+        winners, batch_format="pandas", batch_size=batch_size,
     ).groupby("__part").map_groups(arrow_out(per_partition),
                                    batch_format="pandas")
 
@@ -268,17 +288,18 @@ def top_n_per_group(ds, group: str, value: str, tiebreak: str,
         return df
 
     def pre_trim(df: pd.DataFrame) -> pd.DataFrame:
-        w = topn(df, with_rank=False)
-        part = (hash64(pa.array(w[group]))
-                % np.uint64(num_partitions)).astype(np.int32)
-        return w.assign(__part=part)
+        return topn(df, with_rank=False)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         return topn(g.drop(columns=["__part"]), with_rank=True)
 
     from jsschema_ray.stages._blocks import arrow_out
 
-    return ds.map_batches(
+    # __part from the ARROW view of the group column (_hash_part_arrow):
+    # pandas-view hashing was batch-composition-dependent for nullable
+    # int keys
+    return _hash_part_arrow(ds, group, num_partitions,
+                            batch_size).map_batches(
         pre_trim, batch_format="pandas", batch_size=batch_size,
     ).groupby("__part").map_groups(arrow_out(per_partition),
                                    batch_format="pandas")
@@ -355,17 +376,18 @@ def top_n_with_ties(ds, group: str, value: str, n: int = 1,
         return df
 
     def pre_trim(df: pd.DataFrame) -> pd.DataFrame:
-        w = topties(df, with_rank=False)
-        part = (hash64(pa.array(w[group]))
-                % np.uint64(num_partitions)).astype(np.int32)
-        return w.assign(__part=part)
+        return topties(df, with_rank=False)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         return topties(g.drop(columns=["__part"]), with_rank=True)
 
     from jsschema_ray.stages._blocks import arrow_out
 
-    return ds.map_batches(
+    # __part from the ARROW view of the group column (_hash_part_arrow):
+    # pandas-view hashing was batch-composition-dependent for nullable
+    # int keys
+    return _hash_part_arrow(ds, group, num_partitions,
+                            batch_size).map_batches(
         pre_trim, batch_format="pandas", batch_size=batch_size,
     ).groupby("__part").map_groups(arrow_out(per_partition),
                                    batch_format="pandas")

@@ -94,14 +94,17 @@ def duplicate_keys(ds, column: str, batch_size: int = 262144,
         batch_size=batch_size, zero_copy_batch=True,
     )
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        # arrow-native reduce (r5 fix): the pandas groupby promoted an
+        # int64 key to float64 whenever the bucket held a NULL key
+        # (value_counts emits null as a countable value), collapsing
+        # distinct large ints; pyarrow group_by keeps exact dtypes and
+        # groups nulls together
         tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
-        df = tbl.to_pandas()
-        totals = df.groupby(column, sort=False)["partial_count"].sum()
-        dup = totals[totals > 1]
-        return pd.DataFrame(
-            {column: dup.index.to_numpy(), "dup_count": dup.to_numpy()}
-        )
+        tot = tbl.group_by(column).aggregate([("partial_count", "sum")])
+        dup = tot.filter(pc.greater(tot.column("partial_count_sum"), 1))
+        return pa.table({column: dup.column(column),
+                         "dup_count": dup.column("partial_count_sum")})
 
     return partials.groupby("bucket").map_groups(
         reduce_bucket, batch_format="pandas"
@@ -150,17 +153,19 @@ def duplicate_keys_multi(ds, columns: list[str], batch_size: int = 262144,
         zero_copy_batch=True,
     )
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        # arrow-native reduce — same exact-dtype rationale as
+        # duplicate_keys.reduce_bucket
         ci = int(g["col_idx"].iloc[0])
         tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
-        df = tbl.to_pandas()
-        totals = df.groupby("key", sort=False)["partial_count"].sum()
-        dup = totals[totals > 1]
-        return pd.DataFrame(
+        tot = tbl.group_by("key").aggregate([("partial_count", "sum")])
+        dup = tot.filter(pc.greater(tot.column("partial_count_sum"), 1))
+        return pa.table(
             {
-                "col_idx": np.full(len(dup), ci, dtype=np.int32),
-                "key": dup.index.to_numpy(),
-                "dup_count": dup.to_numpy(),
+                "col_idx": pa.array(
+                    np.full(len(dup), ci, dtype=np.int32)),
+                "key": dup.column("key"),
+                "dup_count": dup.column("partial_count_sum"),
             }
         )
 
@@ -407,18 +412,152 @@ def _run_setop(left, right, how: str, columns, right_columns,
                            batch_format="pyarrow",
                            batch_size=batch_size, zero_copy_batch=True)
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
+    def finish(t: pa.Table) -> pa.Table:
+        # ArrowDtype-backed pandas (r5 fix): the plain pandas conversion
+        # promotes an int64 column to float64 whenever THIS partition
+        # holds a null — large ints then collapse (2^60 and 2^60+1 are
+        # float-equal) both inside the merge and in the OUTPUT block.
+        # ArrowDtype keeps exact int64 + NA while pandas merge still
+        # matches NA keys to each other (the set-op NULL semantics).
+        g = t.to_pandas(types_mapper=pd.ArrowDtype)
         sel = [c for c in g.columns if c not in ("__part", "__side")]
         lf = g[g["__side"] == 0][sel].drop_duplicates()
         rf = g[g["__side"] == 1][sel].drop_duplicates()
         if how == "intersect":
-            return lf.merge(rf, on=sel, how="inner")
-        m = lf.merge(rf, on=sel, how="left", indicator=True)
-        return m[m["_merge"] == "left_only"][sel]
+            out = lf.merge(rf, on=sel, how="inner")
+        else:
+            m = lf.merge(rf, on=sel, how="left", indicator=True)
+            out = m[m["_merge"] == "left_only"][sel]
+        # strip the pandas metadata: it would reconstruct ArrowDtype
+        # columns (<NA> instead of None) on the consumer's to_pandas
+        return pa.Table.from_pandas(
+            out[sel], preserve_index=False).replace_schema_metadata(None)
 
     return lt.union(rt).groupby("__part").map_groups(
-        finish, batch_format="pandas"
+        finish, batch_format="pyarrow"
     )
+
+
+def _run_setop_all(left, right, how: str, columns, right_columns,
+                   batch_size: int, num_parts: int):
+    """Shared engine for SQL EXCEPT ALL / INTERSECT ALL (BAG semantics:
+    output multiplicity = max(0, count_left − count_right) /
+    min(count_left, count_right)). Same normalization + combined-key
+    hash co-partitioning as the DISTINCT set ops, but the map side
+    pre-aggregates per-batch (row → count) partials — the shuffle
+    carries at most one row per distinct value per batch, never the raw
+    duplicates — and the per-partition finish sums counts per side and
+    REPEATS surviving rows to their multiplicity (np.repeat, no Python
+    loop). NULLs compare equal, floats signed-zero-normalized."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    if right_columns is not None and columns is None:
+        raise ValueError(
+            "right_columns requires explicit left columns (the output "
+            "schema) so the right side can be renamed onto it"
+        )
+    cols = columns
+
+    def make_pretrim(side: int, sel_override=None):
+        def pretrim(batch: pa.Table) -> pa.Table:
+            sel = sel_override or cols or batch.column_names
+            out = batch.select(sel)
+            for c in sel:
+                t = out.schema.field(c).type
+                if pa.types.is_nested(t):
+                    raise ValueError(
+                        f"{how}_rows supports primitive columns only; "
+                        f"{c!r} is {t} — hash or serialize nested first"
+                    )
+            for c in sel:
+                col = out.column(c).combine_chunks()
+                norm = normalize_zeros(col)
+                if norm is not col:
+                    out = out.set_column(out.column_names.index(c), c,
+                                         norm)
+            # Arrow-native per-batch (row -> count) partial: exact dtypes
+            # preserved, nulls group together (the distinct_rows r3 fix
+            # applies here too — never round-trip the KEYS through pandas
+            # before the co-partition hash)
+            out = out.group_by(out.column_names).aggregate(
+                [([], "count_all")])
+            out = out.rename_columns(
+                ["__n" if c == "count_all" else c
+                 for c in out.column_names])
+            if sel_override is not None and cols is not None:
+                ren = dict(zip(sel_override, cols))
+                out = out.rename_columns(
+                    [ren.get(c, c) for c in out.column_names])
+            h = None
+            for c in out.column_names:
+                if c == "__n":
+                    continue
+                hk = hash64(out.column(c).combine_chunks())
+                with np.errstate(over="ignore"):
+                    h = hk if h is None else h * np.uint64(1000003) + hk
+            part = (h % np.uint64(num_parts)).astype(np.int32) \
+                if len(out) else np.empty(0, dtype=np.int32)
+            out = out.append_column("__part", pa.array(part))
+            return out.append_column(
+                "__side",
+                pa.array(np.full(len(out), side, dtype=np.int8)))
+        return pretrim
+
+    lt = left.map_batches(make_pretrim(0), batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+    rt = right.map_batches(make_pretrim(1, right_columns),
+                           batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # ArrowDtype-backed pandas: same exact-int64/NA rationale as the
+        # DISTINCT set-op finish (see _run_setop)
+        g = t.to_pandas(types_mapper=pd.ArrowDtype)
+        sel = [c for c in g.columns
+               if c not in ("__part", "__side", "__n")]
+        lf = (g[g["__side"] == 0]
+              .groupby(sel, dropna=False, sort=False, as_index=False)
+              ["__n"].sum().rename(columns={"__n": "__nl"}))
+        rf = (g[g["__side"] == 1]
+              .groupby(sel, dropna=False, sort=False, as_index=False)
+              ["__n"].sum().rename(columns={"__n": "__nr"}))
+        m = lf.merge(rf, on=sel, how="left")
+        nr = m["__nr"].fillna(0).to_numpy(dtype=np.int64)
+        nl = m["__nl"].to_numpy(dtype=np.int64)
+        if how == "intersect_all":
+            k = np.minimum(nl, nr)
+        else:
+            k = np.maximum(nl - nr, 0)
+        out = m.loc[np.repeat(m.index.to_numpy(), k)][sel].reset_index(
+            drop=True)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return lt.union(rt).groupby("__part").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def except_all_rows(left, right, columns: Optional[list[str]] = None,
+                    right_columns: Optional[list[str]] = None,
+                    batch_size: int = 262144, num_parts: int = 64):
+    """SQL ``EXCEPT ALL`` (bag difference): each row of ``left`` survives
+    max(0, left_count − right_count) times. See _run_setop_all for the
+    distribution shape."""
+    return _run_setop_all(left, right, "except_all", columns,
+                          right_columns, batch_size, num_parts)
+
+
+def intersect_all_rows(left, right, columns: Optional[list[str]] = None,
+                       right_columns: Optional[list[str]] = None,
+                       batch_size: int = 262144, num_parts: int = 64):
+    """SQL ``INTERSECT ALL`` (bag intersection): each row appears
+    min(left_count, right_count) times; same shape as except_all_rows."""
+    return _run_setop_all(left, right, "intersect_all", columns,
+                          right_columns, batch_size, num_parts)
 
 
 def except_rows(left, right, columns: Optional[list[str]] = None,

@@ -31,11 +31,49 @@ def normalize_zeros(col):
     return col
 
 
+#: fixed hash for NULL slots in integer/boolean columns (arbitrary odd
+#: constant — collisions with a real value's hash only co-locate them in
+#: a partition, they never merge values)
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+
 def hash64(values) -> np.ndarray:
     """Vectorized 64-bit hash of a column (numpy array / pyarrow array /
     pandas Series) -> uint64. pandas' hash_array is deterministic across
-    processes (fixed default hash_key)."""
+    processes (fixed default hash_key).
+
+    BATCH-COMPOSITION INVARIANT (r5 find): a non-null value's hash must
+    not depend on whether its batch happens to contain nulls. The naive
+    to_pandas() path breaks this for integer/boolean columns — an int64
+    batch WITH nulls converts to float64 (5 -> 5.0) or object while a
+    null-free batch stays int64, and pd.util.hash_array hashes 5 and
+    5.0 differently — so the SAME key could land in different hash
+    partitions depending on which rows shared its batch (silent wrong
+    merges in every hash-co-partitioned op, double-counts in HLL).
+    Integer/boolean arrays with nulls therefore hash their FILLED values
+    on the native dtype and overwrite null slots with a fixed sentinel."""
+    if isinstance(values, pd.Series):
+        # nullable extension dtypes (Int64 etc., dtype.kind still 'i')
+        # would round-trip to OBJECT ndarrays and hash on the
+        # python-object path — route through arrow so they take the same
+        # branch as arrow inputs
+        if isinstance(values.dtype, pd.api.extensions.ExtensionDtype):
+            values = pa.Array.from_pandas(values)
+        else:
+            values = values.to_numpy()
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        t = values.type
+        if (pa.types.is_integer(t) or pa.types.is_boolean(t)) \
+                and values.null_count:
+            mask = values.is_null().to_numpy(zero_copy_only=False)
+            fill = False if pa.types.is_boolean(t) else 0
+            filled = values.fill_null(fill).to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(filled, categorize=False).astype(
+                np.uint64)
+            h[mask] = _NULL_HASH
+            return h
         values = values.to_pandas()
     if isinstance(values, pd.Series):
         values = values.to_numpy()

@@ -1167,3 +1167,39 @@ def test_top_n_with_ties_nan_sorts_last(ray_session):
     got = top_n_with_ties(ray.data.from_pandas(df), "g", "v",
                           n=1).to_pandas()
     assert sorted(got["id"].tolist()) == [2, 3]
+
+
+def test_argmax_topn_nullable_int_group_across_batches(ray_session):
+    """r5 fix: with an int64 group column where only SOME batches hold a
+    null, the pandas-view hash gave the same group different partitions
+    (float64 promotion) — each partition then emitted its own 'winner'
+    for one group. The arrow-side __part must keep exactly one."""
+    import numpy as np
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import (argmax_per_group,
+                                                top_n_per_group,
+                                                top_n_with_ties)
+
+    # group 5 appears in a null-bearing AND a null-free block
+    b1 = pa.table({"g": pa.array([5, None, 5], pa.int64()),
+                   "v": pa.array([1.0, 9.0, 2.0]),
+                   "id": pa.array([0, 1, 2], pa.int64())})
+    b2 = pa.table({"g": pa.array([5, 6], pa.int64()),
+                   "v": pa.array([3.0, 4.0]),
+                   "id": pa.array([3, 4], pa.int64())})
+    ds = ray.data.from_arrow([b1, b2])
+
+    am = argmax_per_group(ds, "g", "v", tiebreak="id",
+                          num_partitions=16).to_pandas()
+    got = {(-1 if pd.isna(r.g) else int(r.g)): int(r.id)
+           for r in am.itertuples()}
+    assert got == {5: 3, 6: 4, -1: 1}, got
+
+    tn = top_n_per_group(ds, "g", "v", tiebreak="id", n=1,
+                         num_partitions=16).to_pandas()
+    assert len(tn) == 3  # one winner per group incl. the null group
+
+    tt = top_n_with_ties(ds, "g", "v", n=1,
+                         num_partitions=16).to_pandas()
+    assert len(tt) == 3

@@ -743,3 +743,62 @@ def test_broadcast_join_empty_small_dataset_keeps_schema(ray_session):
     lj = broadcast_join(ray.data.from_arrow(left), empty_small,
                         key="k", small_key="sk", how="left").to_pandas()
     assert len(lj) == 3 and lj["name"].isna().all()
+
+
+def test_except_all_and_intersect_all_vs_duckdb(ray_session):
+    """Bag-semantics set ops against DuckDB's EXCEPT ALL / INTERSECT
+    ALL on data with duplicates, NULL keys, and cross-batch splits."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from jsschema_ray.stages.uniqueness import (except_all_rows,
+                                                intersect_all_rows)
+
+    rng = np.random.default_rng(11)
+    def mk(n, seed_shift):
+        k = rng.integers(0, 6, n).astype("float64")
+        k[rng.random(n) < 0.1] = np.nan  # NULL keys
+        return pd.DataFrame({
+            "k": pd.array([None if np.isnan(x) else int(x) for x in k],
+                          dtype="Int64"),
+            "s": rng.choice(["a", "b", "c"], n),
+        })
+
+    la, rb = mk(500, 0), mk(400, 1)
+    con = duckdb.connect()
+    con.register("la", la)
+    con.register("rb", rb)
+
+    for how, fn in (("EXCEPT ALL", except_all_rows),
+                    ("INTERSECT ALL", intersect_all_rows)):
+        want = con.execute(
+            f"SELECT * FROM la {how} SELECT * FROM rb "
+            f"ORDER BY k NULLS FIRST, s").df()
+        got = fn(ray.data.from_pandas(la).repartition(5),
+                 ray.data.from_pandas(rb).repartition(3),
+                 batch_size=64).to_pandas()
+        got = got.sort_values(["k", "s"], na_position="first").reset_index(
+            drop=True)
+        want = want.sort_values(["k", "s"], na_position="first").reset_index(
+            drop=True)
+        assert len(got) == len(want), how
+        assert got["k"].fillna(-1).astype("int64").tolist() == \
+            want["k"].fillna(-1).astype("int64").tolist(), how
+        assert got["s"].tolist() == want["s"].tolist(), how
+
+
+def test_except_all_right_columns_rename(ray_session):
+    import ray.data
+
+    from jsschema_ray.stages.uniqueness import except_all_rows
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2], "v": ["x", "x", "y", "z"]})
+    right = pd.DataFrame({"rk": [1], "rv": ["x"]})
+    got = except_all_rows(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right),
+                          columns=["k", "v"],
+                          right_columns=["rk", "rv"]).to_pandas()
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)
+    # one of the two (1, x) copies cancels; (1, y) and (2, z) survive
+    assert got.values.tolist() == [[1, "x"], [1, "y"], [2, "z"]]

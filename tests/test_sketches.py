@@ -227,3 +227,32 @@ def test_top_k_exact_and_distributed_merge(ray_session):
     for kk, n in zip(want["k"], want["n"]):
         if kk in est_map:
             assert est_map[kk] >= n
+
+
+def test_hash64_batch_composition_invariant():
+    """A non-null value's hash must not depend on whether its batch
+    contains nulls (r5 find: int64-with-nulls round-tripped to float64
+    through pandas, so the SAME key hashed differently across batches —
+    breaking hash co-partitioning and HLL distinct counts on nullable
+    integer columns)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from jsschema_ray.state.hll import hash64
+
+    with_nulls = hash64(pa.array([5, None, 7], pa.int64()))
+    without = hash64(pa.array([5, 7], pa.int64()))
+    assert with_nulls[0] == without[0] and with_nulls[2] == without[1]
+    # the no-null arrow path must agree with the raw numpy path
+    assert (without == hash64(np.array([5, 7], dtype=np.int64))).all()
+    # nullable pandas Series routes through arrow, not object arrays
+    s = hash64(pd.Series(pd.array([5, None, 7], dtype="Int64")))
+    assert (s == with_nulls).all()
+    # booleans had the same object-promotion exposure
+    b = hash64(pa.array([True, None], pa.bool_()))
+    assert b[0] == hash64(pa.array([True], pa.bool_()))[0]
+    # strings were already stable; pin it
+    assert hash64(pa.array(["x", None]))[0] == hash64(pa.array(["x"]))[0]
+    # all null hashes equal the fixed sentinel (partition-stable)
+    assert with_nulls[1] == b[1]

@@ -4354,7 +4354,17 @@ def entry():
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness verifies the FIRST 50
-    # entries of this dict. Round-5 rotation closes the hard-signal sweep:
+    # entries of this dict.
+    # r5 CONTINUATION rotation (r5b): five seats swapped for the new
+    # operators and the code changed in the continuation session —
+    # top_quantity_ties + except_all_events (brand-new operators),
+    # top_events_per_user (top_n __part hoisted to arrow),
+    # duplicate_keys (arrow-native bucket reduce), except_customers
+    # (ArrowDtype set-op finish). Rotated OUT: curation_pipeline,
+    # decontam_pack_pipeline, quantity_mad, event_lag_lead, event_funnel
+    # — each driver-green in r4 with its changed code paths still pinned
+    # by an in-window representative (rationales on their tail lines).
+    # Original round-5 rotation below closes the hard-signal sweep:
     # the LAST six never-driver-verified oracled queries (similarity_join,
     # event_type_mode, mad_outliers, unnest_embeddings,
     # quantity_price_moments, image_resize_plan) move inside the window,
@@ -4399,8 +4409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_orders_sketch": q_distinct_orders_sketch,  # r5: grouped HLL
         "hopping_distinct_users": q_hopping_distinct_users,  # r5 NEW: sliding-window distinct — replaces histogram_chars in-window
         "event_transitions": q_event_transitions,  # r5 NEW: Markov transition matrix — replaces tfidf_terms in-window
-        "curation_pipeline": q_curation_pipeline,
-        "decontam_pack_pipeline": q_decontam_pack_pipeline,
+        "top_events_per_user": q_top_events_per_user,  # r5b: top_n_per_group __part hoisted to arrow (changed code needs re-verification)
+        "top_quantity_ties": q_top_quantity_ties,  # r5b NEW operator: RANK/DENSE_RANK WITH-TIES selection
         # --- new round-4 hard-signal groundings for the sketch dedups
         "minhash_recall": q_minhash_recall,
         "simhash_recall": q_simhash_recall,
@@ -4409,13 +4419,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": q_doc_split_assign,  # r5 NEW: train/val/test labels — replaces rollup_revenue in-window
         "price_decile": q_price_decile,  # r5 NEW: global CUME_DIST decile binning via value_cdf + hash_join — replaces cube_revenue in-window
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
-        "quantity_mad": q_quantity_mad,  # r4 NEW: grouped exact MAD
+        "duplicate_keys": q_duplicate_keys,  # r5b: arrow-native bucket reduce (changed code needs re-verification)
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
-        "event_lag_lead": q_event_lag_lead,  # r4 NEW: generic LAG/LEAD-n
+        "except_all_events": q_except_all_events,  # r5b NEW operator: bag-semantics EXCEPT ALL
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,  # r5 NEW: resumable hive sink round-trip — replaces sample_n_docs in-window
         "normalize_docs": q_normalize_docs,  # r5 NEW: canonical text normalization (per-row string oracle) — replaces chunk_documents in-window (chunk_pack_pipeline keeps the chunking path)
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
-        "event_funnel": q_event_funnel,  # r4 NEW: ordered funnel
+        "except_customers": q_except_customers,  # r5b: ArrowDtype set-op finish (changed code needs re-verification)
         "image_letterbox_plan": q_image_letterbox_plan,  # r5 NEW: integer-exact letterbox targets — replaces category_drift in-window
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
@@ -4424,9 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,  # pos 51+: driver-green r3+r4, unchanged — rotated out for brand_price_linreg
-        "top_events_per_user": q_top_events_per_user,  # r4: NEW top-n op
         "column_stats": q_column_stats,
-        "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
         # ---------------- driver-green in r2/r3; tail (local mirror still
         # ---------------- verifies every oracle pair at sf0.01)
@@ -4458,9 +4466,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": q_tpch_q13,  # r5 tail: left-outer count distribution incl. the zero bucket
         "tpch_q17": q_tpch_q17,  # r5 tail: correlated scalar aggregate (per-part avg threshold broadcast back)
         "tpch_q22a": q_tpch_q22a,  # r5 tail: global scalar threshold + anti join
-        "top_quantity_ties": q_top_quantity_ties,  # r5 tail: DENSE_RANK WITH-TIES selection (data-dependent result size)
-        "except_all_events": q_except_all_events,  # r5 tail: bag-semantics EXCEPT ALL (count partials, np.repeat finish)
         "intersect_all_events": q_intersect_all_events,  # r5 tail: bag-semantics INTERSECT ALL
+        "curation_pipeline": q_curation_pipeline,  # rotated out r5b: driver-green r4, quality/lang_id/token paths unchanged since; components pinned in-window via near_contamination/normalize_docs
+        "decontam_pack_pipeline": q_decontam_pack_pipeline,  # rotated out r5b: driver-green r4; SSJoin pinned via near_contamination, packing via chunk_pack_pipeline (in-window)
+        "quantity_mad": q_quantity_mad,  # rotated out r5b: driver-green r4; the shared vectorized grouped-quantile path is pinned via group_quantiles (in-window)
+        "event_lag_lead": q_event_lag_lead,  # rotated out r5b: driver-green r4; the _key_block_starts windows path is pinned via event_transitions (in-window)
+        "event_funnel": q_event_funnel,  # rotated out r5b: driver-green r4; same per-key windows machinery as event_lag_lead
         "normalized_dedup": q_normalized_dedup,  # r5 tail: normalize->dedup composition (normalize_text window-pinned via normalize_docs; the min/count merge mirrors the window-pinned grouped_sums_partitioned shape)
         "violation_summary": q_violation_summary,  # driver-green r4, roll-up body unchanged in r5 — rotated out for source_vocab_overlap
         "phash_near_dup": q_phash_near_dup,  # driver-green r4, hamming path unchanged in r5 — rotated out for weighted_median
@@ -4469,7 +4480,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,  # driver-green r4, chunking code unchanged in r5; chunk_pack_pipeline keeps the path in-window — rotated out for normalize_docs
         "image_curation_pipeline": q_image_curation_pipeline,  # driver-green r4, pipeline body unchanged in r5 — rotated out for lang_concentration
         "multikey_join": q_multikey_join,  # driver-green r4, join.py unchanged in r5 — rotated out for quantity_stddev
-        "except_customers": q_except_customers,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for aspect_bucket_stats
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
         "distinct_lang_source": q_distinct_lang_source,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for price_minmax
         "jaccard_pairs": q_jaccard_pairs,  # driver-green r4, exact_jaccard_pairs untouched in r5 (dedup.py hunks are minhash-side) — rotated out for doc_freq_score

@@ -154,32 +154,43 @@ def duplicate_keys_multi(ds, columns: list[str], batch_size: int = 262144,
     )
 
     def reduce_bucket(g: pd.DataFrame) -> pa.Table:
-        # arrow-native reduce — same exact-dtype rationale as
-        # duplicate_keys.reduce_bucket
+        # arrow-native reduce (same exact-dtype rationale as
+        # duplicate_keys.reduce_bucket), RE-PACKED as one IPC blob:
+        # different columns carry different key TYPES (string image_id
+        # vs int64 phash), so typed `key` blocks from different buckets
+        # cannot unify into one Dataset schema — the blob keeps each
+        # column's exact type opaque to the block layer
         ci = int(g["col_idx"].iloc[0])
         tbl = pa.concat_tables(_unpack(b) for b in g["blob"])
         tot = tbl.group_by("key").aggregate([("partial_count", "sum")])
         dup = tot.filter(pc.greater(tot.column("partial_count_sum"), 1))
+        out_tbl = pa.table({"key": dup.column("key"),
+                            "dup_count": dup.column("partial_count_sum")})
         return pa.table(
             {
-                "col_idx": pa.array(
-                    np.full(len(dup), ci, dtype=np.int32)),
-                "key": dup.column("key"),
-                "dup_count": dup.column("partial_count_sum"),
+                "col_idx": pa.array([ci], type=pa.int32()),
+                "blob": pa.array([_pack(out_tbl)], type=pa.binary()),
             }
         )
 
-    merged = partials.groupby("bucket").map_groups(
+    rows = partials.groupby("bucket").map_groups(
         reduce_bucket, batch_format="pandas"
-    ).to_pandas()
+    ).take_all()
+    schema_types = {n: t for n, t in zip(ds.schema().names,
+                                         ds.schema().types)}
     out: dict[str, pa.Table] = {}
     for ci, column in enumerate(columns):
-        sub = merged[merged["col_idx"] == ci]
-        out[column] = pa.table(
-            {column: pa.array(sub["key"].tolist()),
-             "dup_count": pa.array(sub["dup_count"].tolist(),
-                                   type=pa.int64())}
-        )
+        tabs = [_unpack(r["blob"]) for r in rows if r["col_idx"] == ci]
+        if tabs:
+            merged_t = pa.concat_tables(tabs)
+            out[column] = pa.table(
+                {column: merged_t.column("key"),
+                 "dup_count": merged_t.column("dup_count").cast(
+                     pa.int64())})
+        else:
+            out[column] = pa.table(
+                {column: pa.array([], type=schema_types[column]),
+                 "dup_count": pa.array([], type=pa.int64())})
     return out
 
 

@@ -3614,10 +3614,13 @@ def q_tpch_q14(sf_dir: str):
         month, batch_format="pyarrow", zero_copy_batch=True)
 
     def promo_flag(b: pa.Table) -> pa.Table:
+        # fill_null: a NULL p_type is ELSE 0 in the SQL CASE — without it
+        # the null rides into the per-batch int fold as NaN and crashes
         return pa.table({
             "p_partkey": b.column("p_partkey"),
-            "is_promo": pc.equal(b.column("p_type"),
-                                 "PROMO").cast(pa.int64()),
+            "is_promo": pc.fill_null(
+                pc.equal(b.column("p_type"), "PROMO"),
+                False).cast(pa.int64()),
         })
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
@@ -3771,14 +3774,18 @@ def q_tpch_q12a(sf_dir: str):
     schema (l_linestatus stands in for the missing l_shipmode; the
     late-delivery predicate drops with the missing commit/receipt
     dates — the conditional-aggregate-after-join shape is what's
-    exercised). One year of lineitem joins order priorities through a
-    partitioned hash join; high/low counts fold as 0/1 int sums
-    map-side over the 2-value linestatus domain. Integer-exact."""
+    exercised). Lineitem pre-aggregates to (orderkey, linestatus) COUNT
+    partials BEFORE the partitioned join (the same
+    pre-aggregate-before-join shape as the revenue queries — the join
+    shuffle carries ~|orders|×2 count rows, never raw lines); high/low
+    then fold as cnt × the 0/1 priority flag map-side over the 2-value
+    linestatus domain. Integer-exact."""
     import datetime
 
     import pyarrow.compute as pc
 
-    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
     from jsschema_ray.stages.join import hash_join
 
     lo = datetime.datetime(1997, 1, 1)
@@ -3793,17 +3800,25 @@ def q_tpch_q12a(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
         in_year, batch_format="pyarrow", zero_copy_batch=True)
+    per_order = grouped_sums_partitioned(
+        li, ["l_orderkey", "l_linestatus"], {}, count_alias="cnt",
+        num_parts=_fanout(sf_dir, "lineitem"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
-                  num_buckets=_fanout(sf_dir, "lineitem"))
+    j = hash_join(per_order, orders, key="l_orderkey",
+                  right_key="o_orderkey",
+                  num_buckets=_fanout(sf_dir, "orders"))
 
     def flags(b: pa.Table) -> pa.Table:
         high = pc.is_in(b.column("o_orderpriority"),
                         value_set=pa.array(["1-URGENT", "2-HIGH"])
                         ).cast(pa.int64())
-        return pa.table({"l_linestatus": b.column("l_linestatus"),
-                         "high": high,
-                         "low": pc.subtract(pa.scalar(1, pa.int64()), high)})
+        cnt = b.column("cnt")
+        return pa.table({
+            "l_linestatus": b.column("l_linestatus"),
+            "high": pc.multiply(cnt, high),
+            "low": pc.multiply(cnt, pc.subtract(pa.scalar(1, pa.int64()),
+                                                high)),
+        })
 
     return grouped_sums(
         j.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
@@ -4121,8 +4136,12 @@ def q_tpch_q17(sf_dir: str):
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_quantity", "l_extendedprice"])
+    # li feeds BOTH the threshold aggregation and the final join —
+    # materialize the brand-cut rows (~1/|brands| of lineitem, 3 narrow
+    # columns) so the scan + semi join run once, the repo's
+    # materialize-small-intermediates doctrine (cf. tpch_q15's per_supp)
     li = broadcast_join(li, part, key="l_partkey", small_key="p_partkey",
-                        how="semi")
+                        how="semi").materialize()
 
     def q100(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b.column("l_quantity")))
@@ -4220,8 +4239,14 @@ def q_tpch_q22a(sf_dir: str):
         cust.map_batches(pos_partial, batch_format="pyarrow",
                          zero_copy_batch=True),
         ["one"], {"s100": "s100", "n": "n"}, count_alias=None).take_all()
-    # O(1) driver scalar — the broadcast-threshold pattern
-    threshold = (float(tot[0]["s100"]) / 100.0) / float(tot[0]["n"])
+    # O(1) driver scalar — the broadcast-threshold pattern. With NO
+    # positive balances the SQL threshold is NULL and `c_acctbal > NULL`
+    # keeps nothing — +inf reproduces that empty result exactly (never a
+    # bare ZeroDivisionError)
+    if not tot or int(tot[0]["n"]) == 0:
+        threshold = float("inf")
+    else:
+        threshold = (float(tot[0]["s100"]) / 100.0) / float(tot[0]["n"])
 
     def above(b: pa.Table) -> pa.Table:
         return b.filter(pc.fill_null(

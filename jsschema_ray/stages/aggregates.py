@@ -160,25 +160,89 @@ def grouped_count_distinct(ds, group: str, col: str,
 
 
 def _hash_part_arrow(ds, key: str, num_partitions: int, batch_size: int):
-    """Append the co-partition column ``__part = hash(key) % n`` in an
-    ARROW step, before any pandas conversion (r5 fix): Ray's
-    arrow→pandas batch conversion promotes an int64 column to float64
-    exactly when THAT batch holds a null, so a hash computed from the
-    pandas view gives the SAME key different partitions depending on
-    which rows shared its batch — equal groups then merge per-partition
-    instead of globally. Hashing the raw arrow column (state/hll.hash64,
-    itself batch-composition-invariant) is stable for any layout."""
+    """Append the co-partition column ``__part = hash(key) % n`` PLUS the
+    exact grouping surrogates ``__gv`` (is_valid) / ``__gf`` (null-filled
+    key on its native type) in an ARROW step, before any pandas
+    conversion (r5 fix, extended after review): Ray's arrow→pandas batch
+    conversion promotes an int64 key column to float64 exactly when THAT
+    batch holds a null — so (a) a pandas-computed hash gave the SAME key
+    different partitions depending on which rows shared its batch, and
+    (b) the pandas-side SELECTION merged distinct keys above 2^53 and
+    split the NULL group into one-group-per-row. The consumers sort and
+    detect group boundaries on (__gv, __gf) — null-free, exact native
+    dtype, NULLs one group (SQL PARTITION BY) — and restore the real key
+    column from them (_restore_group) before returning. Float keys keep
+    the documented NaN-splits-groups caveat (NaN is a data value, not a
+    null — fill_null cannot canonicalize it)."""
     import numpy as np
 
     from jsschema_ray.state.hll import hash64
 
-    def add(b: pa.Table) -> pa.Table:
-        part = (hash64(b.column(key).combine_chunks())
-                % np.uint64(num_partitions)).astype(np.int32)
-        return b.append_column("__part", pa.array(part))
+    def add(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(key).combine_chunks()
+        part = (hash64(col) % np.uint64(num_partitions)).astype(np.int32)
+        tbl = tbl.append_column("__part", pa.array(part))
+        t = col.type
+        fill = None
+        try:
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                fill = pa.scalar("", type=t)
+            elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                fill = pa.scalar(b"", type=t)
+            elif pa.types.is_boolean(t):
+                fill = pa.scalar(False, type=t)
+            else:
+                fill = pa.scalar(0).cast(t)
+        except Exception:
+            fill = None  # exotic type: pandas path behaves as before
+        if fill is not None:
+            tbl = tbl.append_column("__gv", col.is_valid())
+            tbl = tbl.append_column("__gf", col.fill_null(fill))
+        return tbl
 
     return ds.map_batches(add, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+_PD_NULLABLE = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                "uint32": "UInt32", "uint64": "UInt64", "bool": "boolean"}
+
+
+def _group_sort_keys(df):
+    """(primary, secondary) lexsort keys for the group column: the exact
+    (__gf, __gv) surrogates when present, else the raw column."""
+    if "__gv" in df.columns:
+        return df["__gv"].to_numpy(), df["__gf"].to_numpy()
+    return None, None
+
+
+def _group_change_mask(gv, gf):
+    import numpy as np
+
+    return np.r_[True, (gv[1:] != gv[:-1]) | (gf[1:] != gf[:-1])]
+
+
+def _restore_group(df, group: str):
+    """Rebuild the real group column from (__gv, __gf) so the OUTPUT
+    carries exact values (an integer key promoted to float64 by a
+    null-bearing partition would otherwise corrupt large ints in the
+    result itself), then drop the surrogates."""
+    import numpy as np
+    import pandas as pd
+
+    if "__gv" not in df.columns:
+        return df
+    gf = df["__gf"]
+    pd_t = _PD_NULLABLE.get(gf.dtype.name)
+    if pd_t is not None:
+        gv = df["__gv"].to_numpy()
+        arr = pd.array(gf.to_numpy(), dtype=pd_t)
+        arr[~gv] = pd.NA
+        df = df.assign(**{group: arr})
+    # non-integer/bool keys were never promoted (strings stay object,
+    # floats keep NaN, timestamps NaT) — the original column is exact
+    return df.drop(columns=["__gv", "__gf"])
 
 
 def argmax_per_group(ds, group: str, value: str, tiebreak: str,
@@ -199,8 +263,6 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
     import numpy as np
     import pandas as pd
 
-    from jsschema_ray.state.hll import hash64
-
     def winners(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df
@@ -214,16 +276,25 @@ def argmax_per_group(ds, group: str, value: str, tiebreak: str,
         desc_key = (len(uniq) - 1 - inv).astype(np.int64)
         if v.dtype.kind == "f":
             desc_key[np.isnan(v)] = len(uniq)
-        order = np.lexsort((df[tiebreak].to_numpy(),
-                            desc_key,
-                            df[group].to_numpy()))
-        df = df.iloc[order]
-        keep = np.r_[True,
-                     df[group].to_numpy()[1:] != df[group].to_numpy()[:-1]]
+        gv, gf = _group_sort_keys(df)
+        if gv is not None:
+            # exact surrogates: int64 keys never float-promote, NULL
+            # keys form ONE group (SQL PARTITION BY)
+            order = np.lexsort((df[tiebreak].to_numpy(), desc_key,
+                                gf, gv))
+            df = df.iloc[order]
+            keep = _group_change_mask(gv[order], gf[order])
+        else:
+            order = np.lexsort((df[tiebreak].to_numpy(),
+                                desc_key,
+                                df[group].to_numpy()))
+            df = df.iloc[order]
+            g = df[group].to_numpy()
+            keep = np.r_[True, g[1:] != g[:-1]]
         return df.iloc[keep].reset_index(drop=True)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        return winners(g.drop(columns=["__part"]))
+        return _restore_group(winners(g.drop(columns=["__part"])), group)
 
     from jsschema_ray.stages._blocks import arrow_out
 
@@ -257,8 +328,6 @@ def top_n_per_group(ds, group: str, value: str, tiebreak: str,
     import numpy as np
     import pandas as pd
 
-    from jsschema_ray.state.hll import hash64
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
@@ -274,13 +343,21 @@ def top_n_per_group(ds, group: str, value: str, tiebreak: str,
         desc_key = (len(uniq) - 1 - inv).astype(np.int64)
         if v.dtype.kind == "f":
             desc_key[np.isnan(v)] = len(uniq)
-        order = np.lexsort((df[tiebreak].to_numpy(), desc_key,
-                            df[group].to_numpy()))
-        df = df.iloc[order]
-        g = df[group].to_numpy()
-        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
-        key_start = np.repeat(starts, np.diff(np.r_[starts, len(g)]))
-        rank0 = np.arange(len(g)) - key_start
+        gv, gf = _group_sort_keys(df)
+        if gv is not None:
+            order = np.lexsort((df[tiebreak].to_numpy(), desc_key,
+                                gf, gv))
+            df = df.iloc[order]
+            change = _group_change_mask(gv[order], gf[order])
+        else:
+            order = np.lexsort((df[tiebreak].to_numpy(), desc_key,
+                                df[group].to_numpy()))
+            df = df.iloc[order]
+            g = df[group].to_numpy()
+            change = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(change)
+        key_start = np.repeat(starts, np.diff(np.r_[starts, len(df)]))
+        rank0 = np.arange(len(df)) - key_start
         keep = rank0 < n
         df = df.iloc[keep].reset_index(drop=True)
         if with_rank:
@@ -291,7 +368,8 @@ def top_n_per_group(ds, group: str, value: str, tiebreak: str,
         return topn(df, with_rank=False)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        return topn(g.drop(columns=["__part"]), with_rank=True)
+        return _restore_group(topn(g.drop(columns=["__part"]),
+                                   with_rank=True), group)
 
     from jsschema_ray.stages._blocks import arrow_out
 
@@ -332,8 +410,6 @@ def top_n_with_ties(ds, group: str, value: str, n: int = 1,
     import numpy as np
     import pandas as pd
 
-    from jsschema_ray.state.hll import hash64
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
@@ -349,15 +425,21 @@ def top_n_with_ties(ds, group: str, value: str, n: int = 1,
         desc_key = (len(uniq) - 1 - inv).astype(np.int64)
         if v.dtype.kind == "f":
             desc_key[np.isnan(v)] = len(uniq)
-        g_arr = df[group].to_numpy()
-        order = np.lexsort((desc_key, g_arr))
-        df = df.iloc[order]
-        g = df[group].to_numpy()
+        gv, gf = _group_sort_keys(df)
+        if gv is not None:
+            order = np.lexsort((desc_key, gf, gv))
+            df = df.iloc[order]
+            g_change = _group_change_mask(gv[order], gf[order])
+        else:
+            order = np.lexsort((desc_key, df[group].to_numpy()))
+            df = df.iloc[order]
+            g = df[group].to_numpy()
+            g_change = np.r_[True, g[1:] != g[:-1]]
         dk = desc_key[order]
-        g_change = np.r_[True, g[1:] != g[:-1]]
+        nrows = len(df)
         group_start = np.repeat(
             np.flatnonzero(g_change),
-            np.diff(np.r_[np.flatnonzero(g_change), len(g)]))
+            np.diff(np.r_[np.flatnonzero(g_change), nrows]))
         run_change = g_change | np.r_[True, dk[1:] != dk[:-1]]
         if dense:
             # DENSE_RANK: distinct value-runs counted within the group
@@ -367,7 +449,7 @@ def top_n_with_ties(ds, group: str, value: str, n: int = 1,
             # RANK: position of the row's VALUE-run start in its group
             run_start = np.repeat(
                 np.flatnonzero(run_change),
-                np.diff(np.r_[np.flatnonzero(run_change), len(g)]))
+                np.diff(np.r_[np.flatnonzero(run_change), nrows]))
             rank0 = run_start - group_start
         keep = rank0 < n
         df = df.iloc[keep].reset_index(drop=True)
@@ -379,7 +461,8 @@ def top_n_with_ties(ds, group: str, value: str, n: int = 1,
         return topties(df, with_rank=False)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        return topties(g.drop(columns=["__part"]), with_rank=True)
+        return _restore_group(topties(g.drop(columns=["__part"]),
+                                      with_rank=True), group)
 
     from jsschema_ray.stages._blocks import arrow_out
 

@@ -114,16 +114,20 @@ def _to_arrow(obj) -> pa.Table:
 
     if isinstance(obj, rd.Dataset):
         # small by contract: collect once on the driver
-        sch = obj.schema(fetch_if_missing=True)
+        ds_ref = obj
         obj = obj.to_pandas()
-        if obj.shape[1] == 0 and sch is not None:
+        if obj.shape[1] == 0:
             # an EMPTY Dataset round-trips through pandas as a zero-COLUMN
             # frame, which would blow up the key lookup downstream (seen
             # when a dimension filter matches nothing at tiny sf) — rebuild
-            # the typed empty table from the known Arrow schema instead
-            return pa.table(
-                {n: pa.array([], type=t)
-                 for n, t in zip(sch.names, sch.types)})
+            # the typed empty table from the Arrow schema. The schema
+            # fetch (which may execute part of the plan) happens ONLY on
+            # this empty path, never on the common non-empty one.
+            sch = ds_ref.schema(fetch_if_missing=True)
+            if sch is not None:
+                return pa.table(
+                    {n: pa.array([], type=t)
+                     for n, t in zip(sch.names, sch.types)})
     if isinstance(obj, pd.DataFrame):
         return pa.Table.from_pandas(obj, preserve_index=False)
     return obj

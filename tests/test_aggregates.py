@@ -1203,3 +1203,71 @@ def test_argmax_topn_nullable_int_group_across_batches(ray_session):
     tt = top_n_with_ties(ds, "g", "v", n=1,
                          num_partitions=16).to_pandas()
     assert len(tt) == 3
+
+
+def test_selection_exact_above_2_53_with_null_in_batch(ray_session):
+    """Review repro: one batch {2^60, 2^60+1, null} — the pandas view
+    float-promotes and merges the two big groups, dropping one winner
+    and corrupting the output key. The (__gv, __gf) surrogates must
+    keep both groups and return exact int64 keys."""
+    import numpy as np
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import (argmax_per_group,
+                                                top_n_per_group,
+                                                top_n_with_ties)
+
+    big = 1 << 60
+    t = pa.table({"g": pa.array([big, big + 1, None], pa.int64()),
+                  "v": pa.array([10.0, 1.0, 0.0]),
+                  "id": pa.array([0, 1, 2], pa.int64())})
+    ds = ray.data.from_arrow(t)
+
+    am = argmax_per_group(ds, "g", "v", tiebreak="id", num_partitions=8)
+    tbl = pa.concat_tables(
+        __import__("ray").get(r) for r in am.to_arrow_refs())
+    assert tbl.num_rows == 3
+    keys = set(tbl.column("g").to_pylist())
+    assert keys == {big, big + 1, None}, keys  # exact ints, no collapse
+    assert pa.types.is_integer(tbl.schema.field("g").type)
+
+    tn = top_n_per_group(ds, "g", "v", tiebreak="id", n=1,
+                         num_partitions=8)
+    tbl2 = pa.concat_tables(
+        __import__("ray").get(r) for r in tn.to_arrow_refs())
+    assert set(tbl2.column("g").to_pylist()) == {big, big + 1, None}
+
+    tt = top_n_with_ties(ds, "g", "v", n=1, num_partitions=8)
+    tbl3 = pa.concat_tables(
+        __import__("ray").get(r) for r in tt.to_arrow_refs())
+    assert set(tbl3.column("g").to_pylist()) == {big, big + 1, None}
+
+
+def test_null_group_is_one_partition(ray_session):
+    """Review repro: NULL group keys must form ONE group (SQL PARTITION
+    BY), not one group per row — across the argmax/top-n family."""
+    import ray.data
+
+    from jsschema_ray.stages.aggregates import (argmax_per_group,
+                                                top_n_with_ties)
+
+    t = pa.table({"g": pa.array([None, None, 1], pa.int64()),
+                  "v": pa.array([1.0, 2.0, 5.0]),
+                  "id": pa.array([0, 1, 2], pa.int64())})
+    ds = ray.data.from_arrow(t)
+
+    tt = top_n_with_ties(ds, "g", "v", n=1).to_pandas()
+    # SQL: the v=2.0 null row ranks 1, the v=1.0 null row ranks 2
+    assert len(tt) == 2 and sorted(tt["v"].tolist()) == [2.0, 5.0]
+
+    am = argmax_per_group(ds, "g", "v", tiebreak="id").to_pandas()
+    assert len(am) == 2 and sorted(am["v"].tolist()) == [2.0, 5.0]
+
+    # string group keys with nulls: one NULL group, and no TypeError
+    # from None-vs-str comparisons in the lexsort
+    ts = pa.table({"g": pa.array([None, None, "a"], pa.string()),
+                   "v": pa.array([1.0, 2.0, 5.0]),
+                   "id": pa.array([0, 1, 2], pa.int64())})
+    am2 = argmax_per_group(ray.data.from_arrow(ts), "g", "v",
+                           tiebreak="id").to_pandas()
+    assert len(am2) == 2 and sorted(am2["v"].tolist()) == [2.0, 5.0]

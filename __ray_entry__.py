@@ -4369,6 +4369,84 @@ def q_intersect_all_events(sf_dir: str):
         ["user_id", "event_type"])
 
 
+def q_user_coverage(sf_dir: str):
+    """Per-user UNION length of [ts, ts + value ms) event intervals
+    (stages/windows.interval_coverage) — the sweep-line "covered time"
+    statistic (machine utilization, stitched listening/speech seconds).
+    Timestamps become exact int64 microseconds, durations exact
+    half-away-rounded int64 (value x1000 us), so the running
+    previous-max sweep and the per-user sums are integer-exact and the
+    SQL window mirror hashes without tolerance. Rows with NULL or
+    non-positive value drop on both sides."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import interval_coverage, round_half_away
+
+    def iv(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.fill_null(pc.greater(b.column("value"), 0.0), False))
+        s = b.column("ts").combine_chunks().cast(pa.int64())
+        dur = round_half_away(
+            b.column("value").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype("int64")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "s": s,
+            "e": pc.add(s, pa.array(dur)),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        iv, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_coverage(ds, "user_id", "s", "e",
+                             num_partitions=_fanout(sf_dir, "events")
+                             ).sort("user_id")
+
+
+def q_quantity_skewness(sf_dir: str):
+    """Per-returnflag population skewness of l_quantity
+    (stages/aggregates.grouped_skewness): exact x100-scaled int64
+    moment sums s1/s2/s3, ONE fixed-op-order float64 finish
+    num / (den * SQRT(den)) per group — the SQL oracle spells the
+    identical casts and association over the identical integer sums
+    (and uses den*SQRT(den), never POWER(den,1.5), because sqrt/mul/div
+    are IEEE-correctly-rounded while libm pow is not), so the float64
+    bits match and rows hash without tolerance."""
+    from jsschema_ray.stages.aggregates import grouped_skewness
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_skewness(ds, "l_returnflag",
+                            "l_quantity").sort("l_returnflag")
+
+
+def q_min_price_parts(sf_dir: str):
+    """Parts at their brand's MINIMUM retail price, ties kept — the
+    TPC-H Q2 min-join-back shape as one operator
+    (stages/aggregates.top_n_with_ties ascending=True: QUALIFY RANK()
+    OVER (PARTITION BY p_brand ORDER BY price ASC) <= 1) instead of a
+    grouped-min + join-back double scan. Prices compare as exact x100
+    int64 cents; NULL prices drop on both sides."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import top_n_with_ties
+    from jsschema_ray.stages.windows import round_half_away
+
+    def cents(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("p_retailprice")))
+        v = round_half_away(
+            b.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+        ).astype("int64")
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "p_partkey": b.column("p_partkey"),
+            "price_x100": pa.array(v),
+        })
+
+    ds = _read(sf_dir, "part",
+               ["p_brand", "p_partkey", "p_retailprice"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    return top_n_with_ties(ds, "p_brand", "price_x100", n=1,
+                           ascending=True).sort(["p_brand", "p_partkey"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4411,6 +4489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": q_unnest_embeddings,  # r5 sweep: first driver row
         "quantity_price_moments": q_quantity_price_moments,  # r5 sweep + overflow-guard change
         "image_resize_plan": q_image_resize_plan,  # r5 sweep: first driver row
+        "user_coverage": q_user_coverage,  # r5c NEW operator: sweep-line interval-union coverage — replaces near_dedup_corpus in-window
+        "quantity_skewness": q_quantity_skewness,  # r5c NEW operator: grouped third-moment skewness (bit-mirrored) — replaces group_quantiles in-window
+        "min_price_parts": q_min_price_parts,  # r5c NEW: ascending top_n_with_ties (min-join-back shape) — replaces simhash_recall in-window
         "weighted_median": q_weighted_median,  # r5 NEW: grouped weighted median (exact selection) — replaces phash_near_dup in-window
         "name_typo_pairs": q_name_typo_pairs,  # r5 NEW: Levenshtein<=1 pair mining (FastSS banding) — replaces image_near_dup_components in-window
         "lang_concentration": q_lang_concentration,  # r5 NEW: per-source Simpson index — replaces image_curation_pipeline in-window
@@ -4428,8 +4509,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,  # r5 NEW: weekly cohort retention — replaces intersect_event_users in-window
         "doc_freq_score": q_doc_freq_score,  # r5 NEW: mean-corpus-TF quality score (CCNet-analogue, bit-exact) — replaces jaccard_pairs in-window
         "tpch_q3": q_tpch_q3,  # r5 NEW: shipping-priority top-10 (semi join + partitioned grouped sums + exact top-k) — replaces dedup_components in-window
-        "near_dedup_corpus": q_near_dedup_corpus,
-        "group_quantiles": q_group_quantiles,
         "group_quantile_sketch": q_group_quantile_sketch,  # r5: mergeable per-group t-digest
         "distinct_orders_sketch": q_distinct_orders_sketch,  # r5: grouped HLL
         "hopping_distinct_users": q_hopping_distinct_users,  # r5 NEW: sliding-window distinct — replaces histogram_chars in-window
@@ -4438,7 +4517,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quantity_ties": q_top_quantity_ties,  # r5b NEW operator: RANK/DENSE_RANK WITH-TIES selection
         # --- new round-4 hard-signal groundings for the sketch dedups
         "minhash_recall": q_minhash_recall,
-        "simhash_recall": q_simhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         "quantity_zscore": q_quantity_zscore,  # r5 NEW: per-row z-score (bit-mirrored) — replaces bloom_semi_orders in-window
         "doc_split_assign": q_doc_split_assign,  # r5 NEW: train/val/test labels — replaces rollup_revenue in-window
@@ -4472,6 +4550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_orders": q_bloom_semi_orders,  # driver-green r4, join.py unchanged — rotated out for quantity_zscore
         "sample_n_docs": q_sample_n_docs,  # driver-green r4, code unchanged — rotated out for partitioned_write_roundtrip
         "category_drift": q_category_drift,  # driver-green r4, drift.py unchanged in r5 — rotated out for image_letterbox_plan
+        "near_dedup_corpus": q_near_dedup_corpus,  # driver-green r4, SSJoin+components chain unchanged since — rotated out for user_coverage (local mirror still verifies)
+        "group_quantiles": q_group_quantiles,  # driver-green r4, grouped_quantile_disc unchanged; group_quantile_sketch pins grouped quantiles in-window — rotated out for quantity_skewness
+        "simhash_recall": q_simhash_recall,  # driver-green r4, simhash path unchanged in r5; minhash_recall pins the sketch-grounding family in-window — rotated out for min_price_parts
         "rollup_revenue": q_rollup_revenue,  # driver-green r4, code unchanged; cube_revenue pins the same GROUPING path in-window — rotated out for doc_split_assign
         "knn_ivf": q_knn_ivf,  # driver-green r4, similarity.py unchanged in r5 — rotated out for top_bigrams
         "approx_top_phash": q_approx_top_phash,  # driver-green r4, CMS path unchanged in r5 — rotated out for tpch_q1
@@ -5724,6 +5805,73 @@ def oracle_sql() -> dict[str, str]:
                                   / (fn * (fn - 1.0))) / 100.0
                    END AS stddev_samp
             FROM m ORDER BY l_returnflag
+        """,
+        # interval-union coverage: running previous-max sweep — every term
+        # is int64-exact so the window mirror hashes without tolerance
+        "user_coverage": """
+            WITH iv AS (SELECT user_id,
+                               epoch_us(ts) AS s,
+                               epoch_us(ts)
+                                   + CAST(ROUND(value * 1000) AS BIGINT)
+                                   AS e
+                        FROM events WHERE value > 0),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id
+                                      ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS pm
+                  FROM iv)
+            SELECT user_id,
+                   CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0))
+                        AS BIGINT) AS covered,
+                   COUNT(*) AS n_intervals
+            FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        # skewness: exact third-moment sums, num / (den * SQRT(den)) —
+        # NOT POWER(den, 1.5): sqrt/mul/div are IEEE-correctly-rounded so
+        # the bits match; libm pow is not
+        "quantity_skewness": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity * 100) AS BIGINT) AS v
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL),
+            m AS (SELECT l_returnflag,
+                         COUNT(*) AS n,
+                         CAST(COUNT(*) AS DOUBLE) AS fn,
+                         CAST(SUM(v) AS BIGINT) AS s1,
+                         CAST(SUM(v * v) AS BIGINT) AS s2,
+                         CAST(SUM(v * v * v) AS BIGINT) AS s3
+                  FROM s GROUP BY l_returnflag)
+            SELECT l_returnflag, n, s1, s2, s3,
+                   CASE WHEN fn * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+                        THEN (fn * fn * CAST(s3 AS DOUBLE)
+                              - 3.0 * fn * CAST(s1 AS DOUBLE)
+                                    * CAST(s2 AS DOUBLE)
+                              + 2.0 * CAST(s1 AS DOUBLE)
+                                    * CAST(s1 AS DOUBLE)
+                                    * CAST(s1 AS DOUBLE))
+                             / ((fn * CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                * SQRT(fn * CAST(s2 AS DOUBLE)
+                                       - CAST(s1 AS DOUBLE)
+                                         * CAST(s1 AS DOUBLE)))
+                        ELSE NULL END AS skew
+            FROM m ORDER BY l_returnflag
+        """,
+        # min-join-back with ties: RANK() ASC <= 1 over exact cents
+        "min_price_parts": """
+            SELECT p_brand, p_partkey, price_x100, rnk
+            FROM (SELECT p_brand, p_partkey,
+                         CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                             AS price_x100,
+                         RANK() OVER (PARTITION BY p_brand
+                                      ORDER BY CAST(ROUND(p_retailprice
+                                                          * 100) AS BIGINT)
+                                          ASC) AS rnk
+                  FROM part
+                  WHERE p_retailprice IS NOT NULL) t
+            WHERE rnk <= 1 ORDER BY p_brand, p_partkey
         """,
         # aspect buckets: nearest-ratio assignment — dist is plain IEEE
         # float64 over exact ints, so ORDER BY dist, bucket_id picks the

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q22a",
     "top_quantity_ties",
+    "user_coverage",
+    "quantity_skewness",
+    "min_price_parts",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -384,12 +384,16 @@ def top_n_per_group(ds, group: str, value: str, tiebreak: str,
 
 
 def top_n_with_ties(ds, group: str, value: str, n: int = 1,
-                    dense: bool = False, num_partitions: int = 64,
+                    dense: bool = False, ascending: bool = False,
+                    num_partitions: int = 64,
                     batch_size: int = 65536):
     """Keep each group's rows whose value RANKS in the top ``n``,
     TIES INCLUDED — SQL ``QUALIFY RANK() OVER (PARTITION BY group
     ORDER BY value DESC) <= n`` (equivalently FETCH FIRST n ROWS WITH
-    TIES per group) — with the rank emitted as ``rnk``. With
+    TIES per group) — with the rank emitted as ``rnk``.
+    ``ascending=True`` flips the ORDER BY to ASC — the min-join-back
+    shape (TPC-H Q2's "parts at the group's minimum cost", ties kept)
+    without a separate grouped-min + join-back pass. With
     ``dense=True`` the rank is DENSE_RANK (no gaps): "the rows carrying
     the group's n highest distinct values" — under heavy ties RANK > 1
     may be unreachable (rank jumps past n), which makes dense the
@@ -418,11 +422,15 @@ def top_n_with_ties(ds, group: str, value: str, n: int = 1,
             if with_rank:
                 df = df.assign(rnk=np.array([], dtype="int64"))
             return df
-        # descending-value key without arithmetic negation (the
-        # top_n_per_group construction; NaN forced past every real value)
+        # direction key without arithmetic negation (the
+        # top_n_per_group construction; NaN forced past every real value
+        # in EITHER direction, so it never outranks a real value)
         v = df[value].to_numpy()
         uniq, inv = np.unique(v, return_inverse=True)
-        desc_key = (len(uniq) - 1 - inv).astype(np.int64)
+        if ascending:
+            desc_key = inv.astype(np.int64)
+        else:
+            desc_key = (len(uniq) - 1 - inv).astype(np.int64)
         if v.dtype.kind == "f":
             desc_key[np.isnan(v)] = len(uniq)
         gv, gf = _group_sort_keys(df)
@@ -859,6 +867,103 @@ def grouped_moments(ds, group: str, x: str, y: str, scale: int = 100,
         return batch.select([group, "n"] + list(int_cols))
 
     return merged.map_batches(check_wrap, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_skewness(ds, group: str, x: str, scale: int = 100,
+                     batch_size: int = 65536):
+    """Per-group population SKEWNESS from EXACT integer moment sums —
+    the third-moment extension of :func:`grouped_moments` (reference
+    analogue: the single-value numeric constraints of
+    /root/reference/schema.go, extended to a grouped distribution-shape
+    statistic). Emits (group, n, s1, s2, s3, skew): s1/s2/s3 are the
+    int64 sums of (x*scale)^{1,2,3} — bit-equal to a SQL mirror — and
+    ``skew`` is population skewness m3 / m2^1.5 computed ONCE per group
+    in one fixed float operation order::
+
+        num = fn*fn*f3 - 3.0*fn*f1*f2 + 2.0*f1*f1*f1    # = n^3 * m3
+        den = fn*f2 - f1*f1                              # = n^2 * m2
+        skew = num / (den * sqrt(den))   if den > 0 else NULL
+
+    sqrt/×/÷ are IEEE-754 correctly rounded, so a SQL mirror using the
+    same literal expression (``num / (den * SQRT(den))`` — NOT
+    ``POWER(den, 1.5)``, whose libm rounding may differ) is
+    bit-identical. NULL x rows drop (SQL aggregate semantics).
+
+    Scale shape: one :func:`grouped_sums` shuffle of O(groups × batches)
+    partial rows. Guards: |x*scale| < 2^21 so each CUBE fits int64
+    (per-row), and the merged s2/s3 sums are wrap-checked against
+    float64 shadow sums (the grouped_moments r5-ADVICE detector)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    int_cols = ("s1", "s2", "s3")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = batch.select([group, x]).filter(pc.is_valid(batch.column(x)))
+        v = round_half_away(
+            b.column(x).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        if len(v) and np.abs(v).max() >= (1 << 21):
+            raise ValueError(
+                f"grouped_skewness values exceed 2^21 at scale={scale}; "
+                "cubes would overflow int64 — lower the scale")
+        cols = {"s1": v, "s2": v * v, "s3": v * v * v}
+        out = {group: b.column(group)}
+        for name, c in cols.items():
+            out[name] = pa.array(c)
+            out["f" + name] = pa.array(c.astype(np.float64))
+        return pa.table(out)
+
+    merged = grouped_sums(
+        ds.select_columns([group, x]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [group],
+        {c: c for c in int_cols} | {"f" + c: "f" + c for c in int_cols},
+        count_alias="n", batch_size=batch_size,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        for c in ("s2", "s3"):
+            iv = batch.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            fv = batch.column("f" + c).to_numpy(zero_copy_only=False)
+            if len(iv) and np.abs(iv - fv).max() > float(1 << 62):
+                raise ValueError(
+                    f"grouped_skewness: int64 sum of {c} wrapped (exceeds "
+                    f"2^63 at scale={scale}) — lower the scale")
+        fn = batch.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        f1 = batch.column("s1").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        f2 = batch.column("s2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        f3 = batch.column("s3").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        num = fn * fn * f3 - 3.0 * fn * f1 * f2 + 2.0 * f1 * f1 * f1
+        den = fn * f2 - f1 * f1
+        ok = den > 0.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            skew = np.where(ok, num / (den * np.sqrt(np.where(ok, den, 1.0))
+                                       ), np.nan)
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "s1": batch.column("s1"),
+            "s2": batch.column("s2"),
+            "s3": batch.column("s3"),
+            # NULL (not NaN) where den <= 0 — mirrors SQL CASE ... END
+            "skew": pa.array(skew, type=pa.float64(), mask=~ok),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
 
 

@@ -937,3 +937,88 @@ def transition_counts(ds, key: str, order: str, tiebreak: str, col: str,
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
     return grouped_sums(pairs, ["from_value", "to_value"], {},
                         count_alias="n_transitions")
+
+
+def interval_coverage(ds, key: str, start: str, end: str,
+                      num_partitions: int = 64,
+                      batch_size: int = 65536):
+    """Per-key total length of the UNION of [start, end) int64 intervals
+    — the classic sweep-line "covered time" statistic (machine
+    utilization, stitched session seconds, speech/VAD coverage). SQL
+    mirror: ``MAX(e) OVER (PARTITION BY key ORDER BY s, e ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` as the running previous-max,
+    then ``SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0))``.
+    Emits (key, covered, n_intervals) — all int64-exact, so the SQL
+    mirror is bit-equal. Rows with NULL start/end drop (SQL arithmetic
+    on NULL yields NULL and GREATEST/SUM skip them only per-expression —
+    callers wanting SQL-literal NULL rows must not pre-filter; this
+    operator documents the drop). Intervals with end <= start contribute
+    0 but still count in n_intervals, matching the mirror.
+
+    Scale shape (the rolling_windows contract): keys hash-co-partition;
+    each partition runs ONE Arrow C sort by (key, s, e) and ONE
+    vectorized sweep — the segmented running max is a single
+    ``np.maximum.accumulate`` over ``e + key_rank * span`` (monotone
+    block encoding: cross-key carry is impossible because every later
+    key's block sits strictly above the previous key's maximum), and the
+    per-key sums fall out of ``np.add.reduceat``. The block encoding
+    bounds keys-per-partition x value-span to int64; the guard RAISES
+    (raise num_partitions) instead of wrapping."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        b = batch.select([key, start, end]).filter(
+            pc.and_(pc.is_valid(batch.column(start)),
+                    pc.is_valid(batch.column(end))))
+        part = (hash64(b.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__part", pa.array(part))
+
+    def per_partition(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["__part"])
+        kt = g.schema.field(key).type
+        if not g.num_rows:
+            return pa.table({
+                key: pa.array([], type=kt),
+                "covered": pa.array([], type=pa.int64()),
+                "n_intervals": pa.array([], type=pa.int64()),
+            })
+        g = _arrow_sorted(g, [key, start, end])
+        n = g.num_rows
+        s = g.column(start).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g.column(end).to_numpy(zero_copy_only=False).astype(np.int64)
+        karr = g.column(key).combine_chunks()
+        key_starts = _key_block_starts(karr)
+        kr = np.zeros(n, dtype=np.int64)
+        kr[key_starts] = 1
+        kr = np.cumsum(kr) - 1
+        n_keys = int(kr[-1]) + 1
+        lo = int(min(e.min(), s.min()))
+        span = int(e.max()) - lo + 2
+        if n_keys and span > (2 ** 62) // n_keys:
+            raise ValueError(
+                f"interval_coverage block encoding would overflow int64: "
+                f"{n_keys} keys x {span} value span in one partition — "
+                f"raise num_partitions (got {num_partitions})")
+        cm = np.maximum.accumulate((e - lo) + kr * span) - kr * span + lo
+        # previous-max: inclusive cummax shifted one row; key-start rows
+        # have no predecessor -> GREATEST(s, COALESCE(pm, s)) == clamp at s
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cm[:-1]
+        prev[key_starts] = np.iinfo(np.int64).min
+        contrib = np.maximum(e - np.maximum(s, prev), 0)
+        covered = np.add.reduceat(contrib, key_starts)
+        counts = np.diff(np.r_[key_starts, n]).astype(np.int64)
+        return pa.table({
+            key: karr.take(key_starts),
+            "covered": pa.array(covered.astype(np.int64)),
+            "n_intervals": pa.array(counts),
+        })
+
+    return ds.select_columns([key, start, end]).map_batches(
+        add_part, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

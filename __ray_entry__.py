@@ -4447,6 +4447,39 @@ def q_min_price_parts(sf_dir: str):
                            ascending=True).sort(["p_brand", "p_partkey"])
 
 
+def q_revenue_gini(sf_dir: str):
+    """Per-returnflag GINI COEFFICIENT of l_extendedprice
+    (stages/quantiles.grouped_gini) — the concentration / inequality
+    statistic of data curation (is one slice hoarding all the
+    revenue/tokens?). Prices become exact x100 int64 cents; the
+    rank-weighted sums s1/sw are int64-exact and tie-permutation-
+    invariant, so the SQL ROW_NUMBER mirror reproduces the identical
+    integers and the single fixed-op-order float finish
+    (2*sw - (n+1)*s1) / (n*s1) hashes bit-exactly. NULL prices drop on
+    both sides."""
+    from jsschema_ray.stages.quantiles import grouped_gini
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_gini(ds, "l_returnflag",
+                        "l_extendedprice").sort("l_returnflag")
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """Chi-square independence cells for documents lang x source
+    (stages/drift.chi_square_cells): one row per observed cell with
+    exact int64 counts (n, row_n, col_n, total_n) and the two floats
+    (expected, contrib) computed in ONE fixed operation order —
+    expected = row_n*col_n/total_n, contrib = (n-expected)^2/expected —
+    so the SQL window-sum mirror is bit-identical. The chi-square
+    statistic is SUM(contrib), left to the caller (cross-engine float
+    SUM has no canonical order). NULL lang/source rows drop on both
+    sides."""
+    from jsschema_ray.stages.drift import chi_square_cells
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return chi_square_cells(ds, "lang", "source").sort(["lang", "source"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4494,7 +4527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_price_parts": q_min_price_parts,  # r5c NEW: ascending top_n_with_ties (min-join-back shape) — replaces simhash_recall in-window
         "weighted_median": q_weighted_median,  # r5 NEW: grouped weighted median (exact selection) — replaces phash_near_dup in-window
         "name_typo_pairs": q_name_typo_pairs,  # r5 NEW: Levenshtein<=1 pair mining (FastSS banding) — replaces image_near_dup_components in-window
-        "lang_concentration": q_lang_concentration,  # r5 NEW: per-source Simpson index — replaces image_curation_pipeline in-window
+        "lang_source_chi2": q_lang_source_chi2,  # r5d NEW operator: chi-square independence cells (bit-mirrored window sums) — replaces lang_concentration in-window (same grouped-counts + window-sum-mirror shape; Simpson index stays locally mirrored)
         "top_bigrams": q_top_bigrams,  # r5 NEW: corpus bigram statistic — replaces knn_ivf in-window
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
@@ -4502,7 +4535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
         "tpch_q1": q_tpch_q1,  # r5 NEW: TPC-H Q1 pricing summary (bit-mirrored) — replaces approx_top_phash in-window
         "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
-        "price_winsorized": q_price_winsorized,  # r5 NEW: grouped quantile clamp (bit-exact selection) — displaces event_deltas past the window
+        "revenue_gini": q_revenue_gini,  # r5d NEW operator: grouped Gini coefficient (rank-weighted exact sums) — replaces price_winsorized in-window (same _grouped_value_counts + sorted-segments machinery; winsorize stays locally mirrored)
         "event_cooccurrence": q_event_cooccurrence,  # r5 NEW: market-basket pair counts — displaces rolling_rows past the window
         "event_value_share": q_event_value_share,  # r5 NEW: ratio-to-report shares (bit-mirrored) — replaces incremental_dedup in-window
         "aspect_bucket_stats": q_aspect_bucket_stats,  # r5 NEW: image aspect-ratio bucketing — replaces except_customers in-window
@@ -4534,6 +4567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in round 4 are all kept inside the window)
         "quantity_price_corr": q_quantity_price_corr,  # r5 NEW: grouped Pearson corr (bit-mirrored float finish)
         "brand_price_linreg": q_brand_price_linreg,  # r5 NEW: grouped least-squares fit (bit-mirrored float finish)
+        "price_winsorized": q_price_winsorized,  # r5d: displaced past the window by revenue_gini (shared _grouped_value_counts machinery; local mirror verifies the pair)
+        "lang_concentration": q_lang_concentration,  # r5d: displaced past the window by lang_source_chi2 (shared grouped-counts shape; local mirror verifies the pair)
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,  # pos 51+: driver-green r3+r4, unchanged — rotated out for brand_price_linreg
@@ -5872,6 +5907,54 @@ def oracle_sql() -> dict[str, str]:
                   FROM part
                   WHERE p_retailprice IS NOT NULL) t
             WHERE rnk <= 1 ORDER BY p_brand, p_partkey
+        """,
+        # Gini: ROW_NUMBER rank-weighted exact sums (tie-permutation-
+        # invariant), one fixed-op-order float finish — bit-equal
+        "revenue_gini": """
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  AS v
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            r AS (SELECT l_returnflag, v,
+                         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                            ORDER BY v) AS i
+                  FROM s),
+            m AS (SELECT l_returnflag, COUNT(*) AS n,
+                         CAST(SUM(v) AS BIGINT) AS s1,
+                         CAST(SUM(i * v) AS BIGINT) AS sw
+                  FROM r GROUP BY l_returnflag)
+            SELECT l_returnflag, n, s1, sw,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+                        THEN (2.0 * CAST(sw AS DOUBLE)
+                              - (CAST(n AS DOUBLE) + 1.0)
+                                    * CAST(s1 AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        ELSE NULL END AS gini
+            FROM m ORDER BY l_returnflag
+        """,
+        # chi-square cells: integer window sums, expected/contrib spelled
+        # in the engine's exact float operation order — bit-equal per row
+        "lang_source_chi2": """
+            WITH c AS (SELECT lang, source, COUNT(*) AS n
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY lang, source),
+            w AS (SELECT lang, source, n,
+                         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                             AS row_n,
+                         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT)
+                             AS col_n,
+                         CAST(SUM(n) OVER () AS BIGINT) AS total_n
+                  FROM c),
+            e AS (SELECT *, CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                                / CAST(total_n AS DOUBLE) AS expected
+                  FROM w)
+            SELECT lang, source, n, row_n, col_n, total_n, expected,
+                   (CAST(n AS DOUBLE) - expected)
+                       * (CAST(n AS DOUBLE) - expected) / expected
+                       AS contrib
+            FROM e ORDER BY lang, source
         """,
         # aspect buckets: nearest-ratio assignment — dist is plain IEEE
         # float64 over exact ints, so ORDER BY dist, bucket_id picks the

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "user_coverage",
     "quantity_skewness",
     "min_price_parts",
+    "revenue_gini",
+    "lang_source_chi2",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

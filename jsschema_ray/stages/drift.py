@@ -218,3 +218,89 @@ def categorical_drift(ds, category_col: str, side_col: str,
 
     return counts.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+def chi_square_cells(ds, row_col: str, col_col: str,
+                     batch_size: int = 262144):
+    """Pearson chi-square INDEPENDENCE-TEST CELLS for two categorical
+    columns — the contingency-table companion of
+    :func:`categorical_drift` (is language independent of source? did a
+    crawl slice skew the label mix?). Output one row per observed
+    (row, col) cell:
+
+        (row, col, n, row_n, col_n, total_n, expected, contrib)
+
+    where n/row_n/col_n/total_n are EXACT int64 counts and the two
+    floats are computed ONCE per cell in one fixed operation order::
+
+        expected = (row_n * col_n) / total_n          (all as float64)
+        contrib  = (n - expected)^2 / expected
+
+    Every step is a correctly-rounded IEEE op on exactly-representable
+    int64 inputs, so a SQL mirror spelling the identical expression over
+    identical window sums is bit-equal (the grouped_skewness recipe) —
+    the chi-square statistic itself is SUM(contrib), left to the caller
+    because a cross-engine SUM of floats has no canonical order. Rows
+    with a NULL in either column drop (observed-cells contract, as in
+    categorical_drift).
+
+    Scale shape: ONE grouped_sums shuffle over (row, col) — map-side
+    combined count partials, O(cells x batches) rows — then a
+    single-task finish over the O(cells)-row table (contingency tables
+    are small by construction; same fits-one-worker contract as
+    categorical_drift). Guard: total_n < 2^53 so the float casts stay
+    exact (counts are int64-exact far beyond that, but expected/contrib
+    would silently round).
+
+    No reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57); extends §2.C
+    distribution-drift checking to categorical independence."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(row_col)),
+                       pc.is_valid(batch.column(col_col)))
+        return batch.select([row_col, col_col]).filter(keep)
+
+    cells = grouped_sums(
+        ds.select_columns([row_col, col_col]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        [row_col, col_col], {}, count_alias="n", batch_size=batch_size,
+    ).repartition(1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        n = df["n"].to_numpy(np.int64)
+        total = int(n.sum())
+        if total >= (1 << 53):
+            raise ValueError(
+                "chi_square_cells total count must be < 2^53 for exact "
+                "float64 casts of the expected-count products")
+        row_n = df.groupby(row_col, dropna=False)["n"].transform(
+            "sum").to_numpy(np.int64)
+        col_n = df.groupby(col_col, dropna=False)["n"].transform(
+            "sum").to_numpy(np.int64)
+        fn = n.astype(np.float64)
+        expected = (row_n.astype(np.float64) * col_n.astype(np.float64)
+                    ) / np.float64(total)
+        d = fn - expected
+        contrib = (d * d) / expected
+        return pa.table({
+            row_col: t.column(row_col),
+            col_col: t.column(col_col),
+            "n": pa.array(n),
+            "row_n": pa.array(row_n),
+            "col_n": pa.array(col_n),
+            "total_n": pa.array(np.full(len(n), total, dtype=np.int64)),
+            "expected": pa.array(expected),
+            "contrib": pa.array(contrib),
+        })
+
+    return cells.map_batches(finish, batch_format="pyarrow",
+                             batch_size=None)

@@ -798,3 +798,111 @@ def grouped_weighted_median(ds, group_col: str, column: str,
         pre, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(select_part, batch_format="pandas")
+
+
+def grouped_gini(ds, group_col: str, column: str, scale: int = 100,
+                 num_parts: int = 32, batch_size: int = 262144):
+    """Exact per-group GINI COEFFICIENT of a non-negative 2-decimal
+    column — the standard inequality / concentration statistic of data
+    curation (is one source/brand hoarding all the revenue/tokens?).
+    With the group's n values sorted ascending as exact int64 at
+    x``scale`` (v_1 <= ... <= v_n, 1-based rank i):
+
+        s1 = SUM(v_i)    sw = SUM(i * v_i)            (exact int64)
+        gini = (2*sw - (n + 1)*s1) / (n * s1)         (float, ONCE)
+
+    sw is rank-permutation-invariant under ties (equal values times
+    consecutive ranks sum the same in any order), so a SQL mirror using
+    ROW_NUMBER() with ANY tie order reproduces the identical integers,
+    and the single fixed-op-order float expression
+    ``(2.0*sw - (n+1.0)*s1) / (n*s1)`` is then bit-equal (every term a
+    correctly-rounded IEEE op on exactly-representable inputs — the
+    grouped_skewness recipe). NULL values drop (SQL aggregate
+    semantics); NEGATIVE values refuse loudly (Gini is undefined there;
+    a silent drop would hide a sign bug); n*s1 == 0 -> NULL.
+
+    Scale shape: the _grouped_value_counts histogram trick — batches
+    collapse to (group, value, cnt) rows, ONE hash(group) co-partition
+    of count rows (raw rows never shuffle), and each partition computes
+    ALL its groups' rank-weighted sums with one vectorized pass: for a
+    run of cnt equal values v after ``prev`` earlier in-group values,
+    SUM(i*v) over the run = v * (cnt*prev + cnt*(cnt+1)/2) — then one
+    np.add.reduceat per group. Overflow guard (exact Python ints):
+    max(v) * n_max*(n_max+1)/2 must stay below 2^62, else RAISE.
+
+    No reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57); extends §2.C column
+    statistics with a grouped distribution-shape statistic."""
+    import pandas as pd
+
+    from jsschema_ray.stages.windows import round_half_away
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        df = df[df[column].notna()]
+        v = round_half_away(
+            df[column].to_numpy(dtype=np.float64) * scale
+        ).astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError(
+                f"grouped_gini values must be non-negative at x{scale} "
+                f"scaling, got min {v.min()}")
+        g = (df.assign(__v=v)
+             .groupby([group_col, "__v"], sort=False, dropna=False)
+             .size().reset_index(name="cnt"))
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        gcol = normalize_zeros(tbl.column(group_col).combine_chunks())
+        part = (hash64(gcol) % np.uint64(num_parts)).astype(np.int32)
+        # strip pandas schema metadata (unhashable dict disables Ray's
+        # shuffle schema-dedup fast path — the _grouped_value_counts fix)
+        return tbl.replace_schema_metadata(None).append_column(
+            "__part", pa.array(part))
+
+    def gini_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["__part"])
+        if not len(gdf):
+            return pd.DataFrame({
+                group_col: gdf[group_col],
+                "n": pd.Series([], dtype="int64"),
+                "s1": pd.Series([], dtype="int64"),
+                "sw": pd.Series([], dtype="int64"),
+                "gini": pd.Series([], dtype="float64")})
+        gdf = gdf.sort_values([group_col, "__v"], kind="stable")
+        codes, uniq = pd.factorize(gdf[group_col], use_na_sentinel=False)
+        v = gdf["__v"].to_numpy(np.int64)
+        c = gdf["cnt"].to_numpy(np.int64)
+        csum = np.cumsum(c)
+        starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
+        ends = np.r_[starts[1:], len(c)]
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        n_g = csum[ends - 1] - base
+        n_max, v_max = int(n_g.max()), int(v.max())
+        if v_max * (n_max * (n_max + 1) // 2) >= (1 << 62):
+            raise ValueError(
+                f"grouped_gini rank-weighted sum would overflow int64: "
+                f"max value {v_max} x n {n_max} at scale={scale} — "
+                "lower the scale")
+        # run of cnt equal values v after `prev` earlier in-group values:
+        # its SUM(rank * v) = v * (cnt*prev + cnt*(cnt+1)/2), exactly
+        prev = csum - c - np.repeat(base, ends - starts)
+        sw_row = v * (c * prev + c * (c + 1) // 2)
+        sw = np.add.reduceat(sw_row, starts)
+        s1 = np.add.reduceat(v * c, starts)
+        fn = n_g.astype(np.float64)
+        fs1 = s1.astype(np.float64)
+        fsw = sw.astype(np.float64)
+        den = fn * fs1
+        ok = den > 0.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = np.where(
+                ok,
+                (2.0 * fsw - (fn + 1.0) * fs1) / np.where(ok, den, 1.0),
+                np.nan)
+        return pd.DataFrame({group_col: uniq, "n": n_g, "s1": s1,
+                             "sw": sw, "gini": gini})
+
+    return ds.select_columns([group_col, column]).map_batches(
+        pre, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(gini_part, batch_format="pandas")

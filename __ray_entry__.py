@@ -4480,6 +4480,33 @@ def q_lang_source_chi2(sf_dir: str):
     return chi_square_cells(ds, "lang", "source").sort(["lang", "source"])
 
 
+def q_fd_source_lang(sf_dir: str):
+    """Functional-dependency violation check: does source determine lang
+    in documents? (stages/referential.functional_dependency — the
+    GROUP BY det HAVING COUNT(DISTINCT dep) > 1 data-profiling
+    constraint.) One row per violating source with exact int64 COUNT(*)
+    and COUNT(DISTINCT lang); NULL lang ignored by the distinct count,
+    NULL source one group — SQL semantics, so the mirror hashes
+    bit-equal."""
+    from jsschema_ray.stages.referential import functional_dependency
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return functional_dependency(ds, "source", "lang").sort("source")
+
+
+def q_orderkey_gaps(sf_dir: str):
+    """Sequence-completeness audit (stages/referential.id_gaps): maximal
+    runs of MISSING l_orderkey values in lineitem's distinct key set —
+    orders that never shipped a line item. Pure int64 arithmetic
+    (gap_start, gap_end, n_missing), bit-equal to the DuckDB LEAD-window
+    mirror; distinct ids merge through one hash co-partition, one range
+    sort, and cross-block gaps stitch from an O(blocks) driver fold."""
+    from jsschema_ray.stages.referential import id_gaps
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return id_gaps(ds, "l_orderkey").sort("gap_start")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4562,13 +4589,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": q_normalize_docs,  # r5 NEW: canonical text normalization (per-row string oracle) — replaces chunk_documents in-window (chunk_pack_pipeline keeps the chunking path)
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
         "except_customers": q_except_customers,  # r5b: ArrowDtype set-op finish (changed code needs re-verification)
-        "image_letterbox_plan": q_image_letterbox_plan,  # r5 NEW: integer-exact letterbox targets — replaces category_drift in-window
+        "fd_source_lang": q_fd_source_lang,  # r5e NEW operator: functional-dependency violations — replaces image_letterbox_plan in-window (integer-plan family stays represented by image_resize_plan + aspect_bucket_stats; letterbox stays locally mirrored)
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
         "quantity_price_corr": q_quantity_price_corr,  # r5 NEW: grouped Pearson corr (bit-mirrored float finish)
-        "brand_price_linreg": q_brand_price_linreg,  # r5 NEW: grouped least-squares fit (bit-mirrored float finish)
+        "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_price_corr + quantity_stddev; linreg stays locally mirrored)
         "price_winsorized": q_price_winsorized,  # r5d: displaced past the window by revenue_gini (shared _grouped_value_counts machinery; local mirror verifies the pair)
         "lang_concentration": q_lang_concentration,  # r5d: displaced past the window by lang_source_chi2 (shared grouped-counts shape; local mirror verifies the pair)
+        "brand_price_linreg": q_brand_price_linreg,  # r5e: displaced past the window by orderkey_gaps (float-finish family in-window via quantity_price_corr; local mirror verifies the pair)
+        "image_letterbox_plan": q_image_letterbox_plan,  # r5e: displaced past the window by fd_source_lang (integer-plan family in-window via image_resize_plan; local mirror verifies the pair)
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
         "event_ranks": q_event_ranks,  # pos 51+: driver-green r3+r4, unchanged — rotated out for brand_price_linreg
@@ -5955,6 +5984,23 @@ def oracle_sql() -> dict[str, str]:
                        * (CAST(n AS DOUBLE) - expected) / expected
                        AS contrib
             FROM e ORDER BY lang, source
+        """,
+        # functional dependency: pure int64 counts, HAVING > 1 — bit-equal
+        "fd_source_lang": """
+            SELECT source, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT lang) AS n_distinct_dep
+            FROM documents GROUP BY source
+            HAVING COUNT(DISTINCT lang) > 1
+            ORDER BY source
+        """,
+        # id gaps: LEAD over the distinct key set, pure int64 — bit-equal
+        "orderkey_gaps": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                       WHERE l_orderkey IS NOT NULL),
+            g AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nx FROM d)
+            SELECT k + 1 AS gap_start, nx - 1 AS gap_end,
+                   nx - k - 1 AS n_missing
+            FROM g WHERE nx > k + 1 ORDER BY gap_start
         """,
         # aspect buckets: nearest-ratio assignment — dist is plain IEEE
         # float64 over exact ints, so ORDER BY dist, bucket_id picks the

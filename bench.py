@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "min_price_parts",
     "revenue_gini",
     "lang_source_chi2",
+    "fd_source_lang",
+    "orderkey_gaps",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

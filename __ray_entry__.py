@@ -4507,6 +4507,21 @@ def q_orderkey_gaps(sf_dir: str):
     return id_gaps(ds, "l_orderkey").sort("gap_start")
 
 
+def q_value_monotonicity(sf_dir: str):
+    """Sequence-validity audit (stages/windows.monotonicity_violations):
+    per user, adjacent steps of `value` that go BACKWARDS under the
+    (ts, event_id) total order — the counters-decreasing / out-of-order
+    ingest check. Counts are int64-exact (n_pairs = rows-with-
+    predecessor, n_violations = value < prev pairs), bit-equal to the
+    LAG-window SQL mirror; NULL values drop before pairing on both
+    sides."""
+    from jsschema_ray.stages.windows import monotonicity_violations
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return monotonicity_violations(
+        ds, "user_id", "ts", "event_id", "value").sort("user_id")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4592,11 +4607,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_source_lang": q_fd_source_lang,  # r5e NEW operator: functional-dependency violations — replaces image_letterbox_plan in-window (integer-plan family stays represented by image_resize_plan + aspect_bucket_stats; letterbox stays locally mirrored)
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
-        "quantity_price_corr": q_quantity_price_corr,  # r5 NEW: grouped Pearson corr (bit-mirrored float finish)
-        "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_price_corr + quantity_stddev; linreg stays locally mirrored)
+        "value_monotonicity": q_value_monotonicity,  # r5e NEW operator: per-key sequence-validity audit — replaces quantity_price_corr in-window (exact-moment float-finish family stays represented by quantity_stddev + quantity_skewness + revenue_gini; corr stays locally mirrored)
+        "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
         "price_winsorized": q_price_winsorized,  # r5d: displaced past the window by revenue_gini (shared _grouped_value_counts machinery; local mirror verifies the pair)
         "lang_concentration": q_lang_concentration,  # r5d: displaced past the window by lang_source_chi2 (shared grouped-counts shape; local mirror verifies the pair)
-        "brand_price_linreg": q_brand_price_linreg,  # r5e: displaced past the window by orderkey_gaps (float-finish family in-window via quantity_price_corr; local mirror verifies the pair)
+        "brand_price_linreg": q_brand_price_linreg,  # r5e: displaced past the window by orderkey_gaps (float-finish family in-window via quantity_stddev/skewness; local mirror verifies the pair)
+        "quantity_price_corr": q_quantity_price_corr,  # r5e: displaced past the window by value_monotonicity (same exact-moment float-finish family; local mirror verifies the pair)
         "image_letterbox_plan": q_image_letterbox_plan,  # r5e: displaced past the window by fd_source_lang (integer-plan family in-window via image_resize_plan; local mirror verifies the pair)
         "rolling_rows": q_rolling_rows,
         "event_deltas": q_event_deltas,
@@ -5992,6 +6008,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             HAVING COUNT(DISTINCT lang) > 1
             ORDER BY source
+        """,
+        # monotonicity: LAG window over the null-filtered set, int64
+        # counts only — bit-equal
+        "value_monotonicity": """
+            WITH f AS (SELECT user_id, ts, event_id, value FROM events
+                       WHERE value IS NOT NULL),
+            l AS (SELECT user_id, value,
+                         LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+                  FROM f)
+            SELECT user_id, COUNT(prev) AS n_pairs,
+                   CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM l GROUP BY user_id ORDER BY user_id
         """,
         # id gaps: LEAD over the distinct key set, pure int64 — bit-equal
         "orderkey_gaps": """

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "fd_source_lang",
     "orderkey_gaps",
+    "value_monotonicity",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -1022,3 +1022,84 @@ def interval_coverage(ds, key: str, start: str, end: str,
         add_part, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def monotonicity_violations(ds, key: str, order: str, tiebreak: str,
+                            col: str, strict: bool = False,
+                            num_partitions: int = 64):
+    """SEQUENCE-VALIDITY audit: per key, how many ADJACENT steps of
+    ``col`` go BACKWARDS under the (order, tiebreak) total order? The
+    ingest sanity check of an event/metrics pipeline (timestamps out of
+    order, counters decreasing, versions regressing) — a cross-row
+    constraint the single-value reference cannot express
+    (/root/reference/validator/validator.go:57; extends SURVEY §2.C to
+    ordered-sequence form). Output one row per key:
+
+        (key, n_pairs int64, n_violations int64)
+
+    where n_pairs counts adjacent in-key pairs (rows-with-a-predecessor
+    = group size - 1) and a violation is ``value < prev``
+    (``strict=True`` audits strictly-increasing sequences and counts
+    ``value <= prev``). Rows with NULL ``col`` drop FIRST (SQL LAG over
+    a filtered CTE), so the mirror
+
+        WITH f AS (SELECT ... WHERE col IS NOT NULL),
+        l AS (SELECT key, col, LAG(col) OVER (
+                  PARTITION BY key ORDER BY order, tiebreak) AS prev
+              FROM f)
+        SELECT key, COUNT(prev) AS n_pairs,
+               CAST(SUM(CASE WHEN col < prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM l GROUP BY key
+
+    is exactly reproduced (comparisons are exact on any orderable type —
+    the values themselves never round-trip through floats). A key with
+    one surviving row reports (0, 0), like the SQL. NULL keys form ONE
+    group (SQL PARTITION BY; the _key_block_starts contract). The
+    (order, tiebreak) pair must be a TOTAL order per key — with
+    duplicate (order, tiebreak) rows the adjacent pairing is ambiguous
+    in BOTH engines.
+
+    Scale shape: the standard one-shuffle per-key window (lag_lead's) —
+    hash(key) partitions, ONE Arrow C sort per partition, then the
+    whole audit is one vectorized ``pc.less`` over adjacent slices +
+    one np.add.reduceat per key. No per-key loop, no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(col)))
+        part = (hash64(batch.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        if not n:
+            e = pa.array([], pa.int64())
+            return pa.table({key: g.column(key),
+                             "n_pairs": e, "n_violations": e})
+        g = _arrow_sorted(g, [key, order, tiebreak])
+        vals = g.column(col).combine_chunks()
+        starts = _key_block_starts(g.column(key))
+        sizes = np.diff(np.r_[starts, n])
+        cmp = pc.less_equal if strict else pc.less
+        viol = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            viol[1:] = pc.fill_null(
+                cmp(vals.slice(1), vals.slice(0, n - 1)), False
+            ).to_numpy(zero_copy_only=False)
+        viol[starts] = 0  # pairs never cross a key boundary
+        return pa.table({
+            key: g.column(key).take(pa.array(starts)),
+            "n_pairs": pa.array(sizes - 1),
+            "n_violations": pa.array(np.add.reduceat(viol, starts)),
+        })
+
+    return ds.select_columns([key, order, tiebreak, col]).map_batches(
+        add_part, batch_format="pyarrow", batch_size=262144,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

@@ -136,3 +136,75 @@ class TestIdGaps:
         got = id_gaps(_ds({"k": pa.array(ids, pa.int64())}, 8),
                       "k").to_pandas()
         assert got.values.tolist() == [[4000, 999_999, 996_000]]
+
+
+class TestMonotonicityViolations:
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        from jsschema_ray.stages.windows import monotonicity_violations
+
+        rng = np.random.default_rng(53)
+        n = 12000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 200, n),
+            "o": rng.integers(0, 50, n),          # heavy order ties
+            "tb": np.arange(n),                    # total-order tiebreak
+            "v": rng.normal(0, 10, n).round(3),
+        })
+        df.loc[::17, "v"] = np.nan
+        got = monotonicity_violations(
+            _ds({c: pa.array(df[c]) for c in df}, 6),
+            "k", "o", "tb", "v",
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = duckdb.sql("""
+            WITH f AS (SELECT k, o, tb, v FROM df WHERE v IS NOT NULL),
+            l AS (SELECT k, v, LAG(v) OVER (PARTITION BY k
+                                            ORDER BY o, tb) AS prev
+                  FROM f)
+            SELECT k, COUNT(prev) AS n_pairs,
+                   CAST(SUM(CASE WHEN v < prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM l GROUP BY k ORDER BY k
+        """).df()
+        assert got["n_violations"].sum() > 0  # fixture has violations
+        for c in ("k", "n_pairs", "n_violations"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+    def test_strict_counts_plateaus(self, ray_session):
+        from jsschema_ray.stages.windows import monotonicity_violations
+
+        t = {"k": pa.array(["a"] * 4), "o": pa.array([1, 2, 3, 4]),
+             "tb": pa.array([1, 2, 3, 4]),
+             "v": pa.array([1.0, 1.0, 2.0, 1.5])}
+        lax = monotonicity_violations(_ds(t, 2), "k", "o", "tb",
+                                      "v").to_pandas()
+        strict = monotonicity_violations(_ds(t, 2), "k", "o", "tb", "v",
+                                         strict=True).to_pandas()
+        assert lax["n_violations"].tolist() == [1]      # only 2.0 -> 1.5
+        assert strict["n_violations"].tolist() == [2]   # plateau too
+
+    def test_single_row_key_and_null_key_group(self, ray_session):
+        from jsschema_ray.stages.windows import monotonicity_violations
+
+        got = monotonicity_violations(
+            _ds({"k": pa.array(["x", None, None]),
+                 "o": pa.array([1, 1, 2]), "tb": pa.array([1, 2, 3]),
+                 "v": pa.array([5.0, 9.0, 3.0])}, 2),
+            "k", "o", "tb", "v",
+        ).to_pandas()
+        got = got.sort_values("k", na_position="first") \
+            .reset_index(drop=True)
+        # NULL keys form ONE group (9.0 -> 3.0 is its violation);
+        # the single-row key reports (0, 0)
+        assert got["n_pairs"].tolist() == [1, 0]
+        assert got["n_violations"].tolist() == [1, 0]
+
+    def test_monotone_sequence_clean(self, ray_session):
+        from jsschema_ray.stages.windows import monotonicity_violations
+
+        got = monotonicity_violations(
+            _ds({"k": pa.array([7] * 100, pa.int64()),
+                 "o": pa.array(np.arange(100)),
+                 "tb": pa.array(np.arange(100)),
+                 "v": pa.array(np.arange(100).astype(np.float64))}, 4),
+            "k", "o", "tb", "v").to_pandas()
+        assert got.values.tolist() == [[7, 99, 0]]

@@ -4522,6 +4522,32 @@ def q_value_monotonicity(sf_dir: str):
         ds, "user_id", "ts", "event_id", "value").sort("user_id")
 
 
+def q_benford_digits(sf_dir: str):
+    """First-significant-digit audit (stages/stats.benford_digits):
+    the leading-digit distribution of lineitem prices — the Benford's-law
+    fabricated-data screen. Counts are exact int64 (digit extracted by
+    pure int64 floor-division after the repo's cents scaling), and
+    share = n / total is ONE cast pair + ONE IEEE division, bit-equal to
+    the SQL mirror. Raw rows never shuffle (<=9-row partial per batch)."""
+    from jsschema_ray.stages.stats import benford_digits
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return benford_digits(ds, "l_extendedprice").sort("digit")
+
+
+def q_longest_streaks(sf_dir: str):
+    """Gaps-and-islands activity audit (stages/windows.longest_streaks):
+    per user, the longest run of consecutive active DAYS plus total
+    distinct days and maximal-run count — the SQL "islands" problem
+    (day - ROW_NUMBER() grouping), pure int64 arithmetic end to end.
+    Distinct (user, day) partials collapse map-side; raw events never
+    shuffle."""
+    from jsschema_ray.stages.windows import longest_streaks
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return longest_streaks(ds, "user_id", "ts").sort("user_id")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4594,8 +4620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_recall": q_minhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
         "quantity_zscore": q_quantity_zscore,  # r5 NEW: per-row z-score (bit-mirrored) — replaces bloom_semi_orders in-window
-        "doc_split_assign": q_doc_split_assign,  # r5 NEW: train/val/test labels — replaces rollup_revenue in-window
-        "price_decile": q_price_decile,  # r5 NEW: global CUME_DIST decile binning via value_cdf + hash_join — replaces cube_revenue in-window
+        "benford_digits": q_benford_digits,  # r5f NEW operator: leading-digit (Benford) distribution audit — replaces doc_split_assign in-window (doc_split is a composition of the mix32 machinery already pinned by mixture_sample + weighted_sample; benford's partial/bincount path has no other driver row)
+        "longest_streaks": q_longest_streaks,  # r5f NEW operator: gaps-and-islands per-key streaks — replaces price_decile in-window (price_decile composes value_cdf [in-window] + hash_join [family in-window]; the run-detection reduceat path has no other driver row)
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         "duplicate_keys": q_duplicate_keys,  # r5b: arrow-native bucket reduce (changed code needs re-verification)
         "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
@@ -4609,6 +4635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in round 4 are all kept inside the window)
         "value_monotonicity": q_value_monotonicity,  # r5e NEW operator: per-key sequence-validity audit — replaces quantity_price_corr in-window (exact-moment float-finish family stays represented by quantity_stddev + quantity_skewness + revenue_gini; corr stays locally mirrored)
         "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
+        "doc_split_assign": q_doc_split_assign,  # r5f: displaced past the window by benford_digits (mix32 split family stays in-window via mixture_sample + weighted_sample; local mirror verifies the pair)
+        "price_decile": q_price_decile,  # r5f: displaced past the window by longest_streaks (composition of in-window value_cdf + join family; local mirror verifies the pair)
         "price_winsorized": q_price_winsorized,  # r5d: displaced past the window by revenue_gini (shared _grouped_value_counts machinery; local mirror verifies the pair)
         "lang_concentration": q_lang_concentration,  # r5d: displaced past the window by lang_source_chi2 (shared grouped-counts shape; local mirror verifies the pair)
         "brand_price_linreg": q_brand_price_linreg,  # r5e: displaced past the window by orderkey_gaps (float-finish family in-window via quantity_stddev/skewness; local mirror verifies the pair)
@@ -6022,6 +6050,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_violations
             FROM l GROUP BY user_id ORDER BY user_id
+        """,
+        # benford: leading digit via exact int64 cents -> varchar head;
+        # share is one cast pair + one IEEE division on both sides —
+        # bit-equal (SUM(n) OVER () promotes to HUGEINT in DuckDB, so it
+        # casts back to BIGINT before the double cast, matching the
+        # engine's int64 total)
+        "benford_digits": """
+            WITH c AS (
+                SELECT CAST(LEFT(CAST(CAST(ABS(ROUND(
+                           l_extendedprice * 100)) AS BIGINT) AS VARCHAR),
+                           1) AS BIGINT) AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) <> 0
+            ),
+            g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit)
+            SELECT digit, n,
+                   CAST(n AS DOUBLE)
+                       / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE)
+                       AS share
+            FROM g ORDER BY digit
+        """,
+        # gaps-and-islands: unit - ROW_NUMBER() groups consecutive days;
+        # pure int64 (epochs non-negative, so // == engine floor-div) —
+        # bit-equal
+        "longest_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS unit
+                       FROM events WHERE ts IS NOT NULL),
+            r AS (SELECT user_id, unit,
+                         unit - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                   ORDER BY unit) AS grp
+                  FROM d),
+            s AS (SELECT user_id, grp, COUNT(*) AS len
+                  FROM r GROUP BY user_id, grp)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_units,
+                   COUNT(*) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM s GROUP BY user_id ORDER BY user_id
         """,
         # id gaps: LEAD over the distinct key set, pure int64 — bit-equal
         "orderkey_gaps": """

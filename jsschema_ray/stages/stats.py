@@ -673,3 +673,84 @@ def grouped_distinct_sketch(ds, group_col: str, column: str, p: int = 12,
         partial, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
+def benford_digits(ds, column: str, scale: int = 100,
+                   batch_size: int = 262144):
+    """FIRST-SIGNIFICANT-DIGIT audit (Benford's-law screen): the global
+    distribution of the leading digit of ``|column|`` — the classic
+    fabricated-/synthetic-data and unit-mixing detector for financial
+    and measurement columns (Benford 1938; Hill 1995 — public
+    literature). Extends SURVEY §2.C column statistics with a
+    distributional data-quality constraint the single-value reference
+    cannot express (/root/reference/validator/validator.go:57). Output
+    one row per OBSERVED digit (1-9):
+
+        (digit int64, n int64, share float64)
+
+    Semantics, engine == SQL mirror bit-exactly: values scale to exact
+    integers via round-half-away(v * scale) (the repo-wide 2-decimal
+    cents recipe — CAST(ROUND(v * scale) AS BIGINT) in DuckDB), NULLs
+    drop, zeros drop (no leading digit), negatives audit by magnitude
+    (ABS); ``share = n / total`` is ONE int64→double cast pair + ONE
+    IEEE division, so it hashes bit-equal cross-engine. Guards RAISE on
+    |v*scale| ≥ 2^62 (round-trip exactness) and total ≥ 2^53 (exact
+    double cast).
+
+    Scale shape: per-batch leading digits via ~log10(max) vectorized
+    int64 floor-divisions + one np.bincount → a ≤9-row partial per
+    batch; grouped_sums merges the partials (single-digit group
+    universe); the share finish runs in ONE task over the ≤9-row table
+    (bounded by construction). Raw rows never shuffle."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.windows import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks().drop_null() \
+            .to_numpy(zero_copy_only=False)
+        scaled = np.abs(round_half_away(np.asarray(v, np.float64)
+                                        * scale))
+        if len(scaled) and scaled.max() >= 2.0**62:
+            raise ValueError(
+                f"benford_digits: |{column} * {scale}| reaches 2^62 — "
+                "the int64 cents round-trip would lose exactness")
+        d = scaled.astype(np.int64)
+        d = d[d > 0]
+        while len(d) and d.max() >= 10:
+            big = d >= 10
+            d[big] //= 10
+        cnt = np.bincount(d, minlength=10)[1:10]
+        # FIXED 9-row partial (zero counts included): Ray never runs map
+        # UDFs on empty blocks and its groupby yields ZERO schema-less
+        # blocks on zero-row input, so an observed-digits-only partial
+        # would leave an all-NULL/all-zero column with a schema-less
+        # output Dataset. Constant 9 rows keep every downstream stage
+        # non-empty; finish drops the unobserved digits.
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n_partial": pa.array(cnt, pa.int64()),
+        })
+
+    merged = grouped_sums(ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ), ["digit"], {"n": "n_partial"}, count_alias=None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        if total >= 2**53:
+            raise ValueError("benford_digits: total count reaches 2^53 "
+                             "— the exact double cast would round")
+        si = np.argsort(t.column("digit").to_numpy(zero_copy_only=False))
+        si = si[n[si] > 0]  # one row per OBSERVED digit
+        share = (n[si].astype(np.float64) / np.float64(total)
+                 if total else n[si].astype(np.float64))
+        return pa.table({
+            "digit": t.column("digit").take(pa.array(si)),
+            "n": t.column("n").take(pa.array(si)),
+            "share": pa.array(share, pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -1103,3 +1103,101 @@ def monotonicity_violations(ds, key: str, order: str, tiebreak: str,
         add_part, batch_format="pyarrow", batch_size=262144,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def longest_streaks(ds, key: str, ts_col: str,
+                    unit_us: int = 86_400_000_000,
+                    num_partitions: int = 64):
+    """GAPS-AND-ISLANDS activity audit: per key, the longest run of
+    CONSECUTIVE active units (days by default) plus the total distinct
+    active units and the number of maximal runs — the retention /
+    engagement-continuity statistic of an event log, and the classic
+    SQL "islands" problem (day - ROW_NUMBER() OVER (... ORDER BY day)
+    groups consecutive days). A cross-row constraint the single-value
+    reference cannot express (/root/reference/validator/validator.go:57;
+    extends SURVEY §2.C to ordered-sequence form alongside
+    monotonicity_violations). Output one row per key:
+
+        (key, n_units int64, n_streaks int64, longest_streak int64)
+
+    where unit = floor-division of the epoch-microsecond timestamp by
+    ``unit_us`` (exact int64 arithmetic — the value never touches a
+    float), duplicates within a unit collapse (DISTINCT), and a streak
+    is a maximal run of units with consecutive values. Rows with NULL
+    ``ts_col`` drop FIRST (mirror: WHERE ts IS NOT NULL); NULL keys
+    form ONE group (SQL PARTITION BY). The SQL mirror
+
+        WITH d AS (SELECT DISTINCT key,
+                          epoch_us(ts) // <unit_us> AS unit
+                   FROM t WHERE ts IS NOT NULL),
+        r AS (SELECT key, unit, unit - ROW_NUMBER() OVER (
+                  PARTITION BY key ORDER BY unit) AS grp FROM d),
+        s AS (SELECT key, grp, COUNT(*) AS len FROM r GROUP BY key, grp)
+        SELECT key, SUM(len) AS n_units, COUNT(*) AS n_streaks,
+               MAX(len) AS longest_streak
+        FROM s GROUP BY key
+
+    is int64-exact (note DuckDB ``//`` truncates toward zero while this
+    floor-divides — identical for the non-negative epochs this targets;
+    a pre-1970 timestamp RAISES rather than silently diverging).
+
+    Scale shape: per-batch (key, unit) DISTINCT partials via one Arrow
+    group_by (map-side combine — raw event rows never shuffle), ONE
+    hash(key) co-partition of the distinct partials, then per partition
+    one Arrow C sort + vectorized run detection (np.diff over unit,
+    run/key starts via flatnonzero, lengths via np.diff of starts,
+    per-key max via np.maximum.reduceat). No per-key loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(ts_col)))
+        ts = batch.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            ts = ts.cast(pa.int64())
+        if len(ts) and pc.min(ts).as_py() < 0:
+            raise ValueError(
+                "longest_streaks requires non-negative epochs (pre-1970 "
+                "timestamps floor-divide differently from SQL's //)")
+        unit = pc.divide(ts, pa.scalar(unit_us, pa.int64()))
+        t = pa.table({key: batch.column(key), "__unit": unit})
+        # map-side DISTINCT partial: collapse this batch's duplicates
+        t = t.group_by([key, "__unit"], use_threads=False).aggregate([])
+        part = (hash64(t.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        # merge cross-batch duplicates, then ONE C sort
+        g = g.group_by([key, "__unit"], use_threads=False).aggregate([])
+        n = g.num_rows
+        if not n:
+            e = pa.array([], pa.int64())
+            return pa.table({key: g.column(key), "n_units": e,
+                             "n_streaks": e, "longest_streak": e})
+        g = _arrow_sorted(g, [key, "__unit"])
+        units = g.column("__unit").to_numpy(zero_copy_only=False)
+        kstarts = _key_block_starts(g.column(key))
+        # a run starts at every key start and wherever the unit step != 1
+        breaks = np.flatnonzero(np.diff(units) != 1) + 1
+        rstarts = np.union1d(kstarts, breaks)
+        rlens = np.diff(np.r_[rstarts, n])
+        # index of each key's first run inside rstarts (kstarts ⊆ rstarts)
+        kfirst = np.searchsorted(rstarts, kstarts)
+        return pa.table({
+            key: g.column(key).take(pa.array(kstarts)),
+            "n_units": pa.array(np.diff(np.r_[kstarts, n])),
+            "n_streaks": pa.array(np.diff(np.r_[kfirst, len(rstarts)])),
+            "longest_streak": pa.array(
+                np.maximum.reduceat(rlens, kfirst)),
+        })
+
+    return ds.select_columns([key, ts_col]).map_batches(
+        add_part, batch_format="pyarrow", batch_size=262144,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

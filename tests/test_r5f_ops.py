@@ -1,0 +1,172 @@
+"""Round-5 final-session additions, part 4: benford_digits (leading-
+significant-digit distribution audit) and longest_streaks (gaps-and-
+islands per-key consecutive-day runs). SQL parity for the two oracled
+queries (benford_digits, longest_streaks) runs in test_oracle_parity;
+these pin edge cases, NULL/zero/negative semantics, the half-away
+rounding boundary, distributed batch-boundary merging, and the refusal
+guards."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from jsschema_ray.stages.stats import benford_digits
+from jsschema_ray.stages.windows import longest_streaks
+
+
+def _ds(table: dict, n_blocks=4):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table)).repartition(n_blocks)
+
+
+class TestBenfordDigits:
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(53)
+        # log-uniform magnitudes over 5 decades, signs, zeros, nulls
+        v = np.power(10.0, rng.uniform(-2, 3, 20000))
+        v = np.round(v * np.where(rng.random(20000) < 0.2, -1, 1), 2)
+        v[rng.random(20000) < 0.02] = 0.0
+        arr = pa.array(v, pa.float64())
+        arr = pa.compute.if_else(
+            pa.array(rng.random(20000) < 0.03), pa.scalar(None, pa.float64()),
+            arr)
+        got = benford_digits(_ds({"v": arr}, 8), "v").to_pandas() \
+            .sort_values("digit").reset_index(drop=True)
+        df = pd.DataFrame({"v": arr.to_pandas()})
+        exp = duckdb.sql("""
+            WITH c AS (
+                SELECT CAST(LEFT(CAST(CAST(ABS(ROUND(v * 100)) AS BIGINT)
+                           AS VARCHAR), 1) AS BIGINT) AS digit
+                FROM df WHERE v IS NOT NULL
+                  AND CAST(ROUND(v * 100) AS BIGINT) <> 0),
+            g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit)
+            SELECT digit, n,
+                   CAST(n AS DOUBLE)
+                       / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE)
+                       AS share
+            FROM g ORDER BY digit
+        """).df()
+        assert got["digit"].tolist() == exp["digit"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        # shares must be BIT-equal (one cast pair + one division each side)
+        assert (got["share"].to_numpy() == exp["share"].to_numpy()).all()
+
+    def test_zero_null_negative_semantics(self, ray_session):
+        # zeros and NULLs drop; negatives audit by magnitude
+        got = benford_digits(
+            _ds({"v": pa.array([0.0, None, -3.21, 3.0, 0.004, -0.004],
+                               pa.float64())}, 3),
+            "v").to_pandas().sort_values("digit").reset_index(drop=True)
+        # 0.004*100 = 0.4 -> rounds to 0 -> drops (both signs);
+        # -3.21 -> 321 -> digit 3; 3.0 -> 300 -> digit 3
+        assert got["digit"].tolist() == [3]
+        assert got["n"].tolist() == [2]
+        assert got["share"].tolist() == [1.0]
+
+    def test_half_away_rounding_boundary(self, ray_session):
+        # 0.005 * 100 = 0.5: half-AWAY rounds to 1 (digit 1); numpy's
+        # default half-to-even would round to 0 and silently drop it
+        got = benford_digits(
+            _ds({"v": pa.array([0.005, -0.005], pa.float64())}, 1),
+            "v").to_pandas()
+        assert got["digit"].tolist() == [1]
+        assert got["n"].tolist() == [2]
+
+    def test_empty_keeps_schema(self, ray_session):
+        out = benford_digits(
+            _ds({"v": pa.array([0.0, None], pa.float64())}, 2), "v")
+        assert out.schema().names == ["digit", "n", "share"]
+        assert out.count() == 0
+
+    def test_magnitude_guard_raises(self, ray_session):
+        with pytest.raises(Exception, match="2\\^62"):
+            benford_digits(
+                _ds({"v": pa.array([2.0 ** 61], pa.float64())}, 1),
+                "v").materialize()
+
+
+class TestLongestStreaks:
+    US_DAY = 86_400_000_000
+
+    def _ts(self, days):
+        return pa.array(
+            [None if d is None else d * self.US_DAY + 12345 for d in days],
+            pa.timestamp("us"))
+
+    def test_known_islands(self, ray_session):
+        # user 1: days {0,1,2, 5,6, 9} -> 6 units, 3 streaks, longest 3
+        # user 2: single day -> 1/1/1
+        days = [0, 1, 1, 2, 5, 6, 9, 9, 4]
+        users = [1] * 8 + [2]
+        got = longest_streaks(
+            _ds({"u": pa.array(users, pa.int64()),
+                 "ts": self._ts(days)}, 4),
+            "u", "ts").to_pandas().sort_values("u").reset_index(drop=True)
+        assert got["u"].tolist() == [1, 2]
+        assert got["n_units"].tolist() == [6, 1]
+        assert got["n_streaks"].tolist() == [3, 1]
+        assert got["longest_streak"].tolist() == [3, 1]
+
+    def test_duplicates_collapse_across_blocks(self, ray_session):
+        # the same (user, day) repeated in EVERY block must count once —
+        # pins the cross-batch DISTINCT merge inside per_partition
+        days = [7, 8, 7, 8, 7, 8, 7, 8]
+        got = longest_streaks(
+            _ds({"u": pa.array([5] * 8, pa.int64()),
+                 "ts": self._ts(days)}, 8),
+            "u", "ts").to_pandas()
+        assert got["n_units"].tolist() == [2]
+        assert got["n_streaks"].tolist() == [1]
+        assert got["longest_streak"].tolist() == [2]
+
+    def test_null_ts_drops_null_key_one_group(self, ray_session):
+        got = longest_streaks(
+            _ds({"u": pa.array([None, None, 1, None], pa.int64()),
+                 "ts": self._ts([3, 4, None, 6])}, 2),
+            "u", "ts").to_pandas()
+        # user 1's only event has NULL ts -> user 1 disappears entirely;
+        # the two NULL keys form ONE SQL-style partition
+        assert len(got) == 1
+        assert pd.isna(got["u"].iloc[0])
+        assert got["n_units"].tolist() == [3]
+        assert got["n_streaks"].tolist() == [2]
+        assert got["longest_streak"].tolist() == [2]
+
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(59)
+        n = 30000
+        users = rng.integers(0, 200, n)
+        days = rng.integers(0, 120, n)
+        ts = days * self.US_DAY + rng.integers(0, self.US_DAY, n)
+        tsa = pa.array(ts, pa.int64()).cast(pa.timestamp("us"))
+        tsa = pa.compute.if_else(
+            pa.array(rng.random(n) < 0.02),
+            pa.scalar(None, pa.timestamp("us")), tsa)
+        got = longest_streaks(
+            _ds({"u": pa.array(users, pa.int64()), "ts": tsa}, 8),
+            "u", "ts").to_pandas().sort_values("u").reset_index(drop=True)
+        df = pd.DataFrame({"u": users, "ts": tsa.to_pandas()})
+        exp = duckdb.sql("""
+            WITH d AS (SELECT DISTINCT u,
+                              epoch_us(ts) // 86400000000 AS unit
+                       FROM df WHERE ts IS NOT NULL),
+            r AS (SELECT u, unit, unit - ROW_NUMBER() OVER (
+                      PARTITION BY u ORDER BY unit) AS grp FROM d),
+            s AS (SELECT u, grp, COUNT(*) AS len FROM r GROUP BY u, grp)
+            SELECT u, CAST(SUM(len) AS BIGINT) AS n_units,
+                   COUNT(*) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM s GROUP BY u ORDER BY u
+        """).df()
+        for c in ("u", "n_units", "n_streaks", "longest_streak"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+    def test_pre_1970_raises(self, ray_session):
+        with pytest.raises(Exception, match="non-negative"):
+            longest_streaks(
+                _ds({"u": pa.array([1], pa.int64()),
+                     "ts": pa.array([-5], pa.int64())}, 1),
+                "u", "ts").materialize()

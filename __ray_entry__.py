@@ -4548,6 +4548,33 @@ def q_longest_streaks(sf_dir: str):
     return longest_streaks(ds, "user_id", "ts").sort("user_id")
 
 
+def q_event_type_runs(sf_dir: str):
+    """Run-length / state-dwell audit (stages/windows.value_runs): per
+    user, maximal runs of UNCHANGED event_type under the (ts, event_id)
+    total order — row count, run count, longest run, all pure int64 and
+    bit-equal to the SQL islands idiom (cumulative SUM over a LAG
+    IS DISTINCT FROM change flag). NULL order/tiebreak rows drop first;
+    adjacent NULL types extend a run (IS DISTINCT FROM semantics)."""
+    from jsschema_ray.stages.windows import value_runs
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return value_runs(ds, "user_id", "ts", "event_id",
+                      "event_type").sort("user_id")
+
+
+def q_event_count_spikes(sf_dir: str):
+    """Volume-anomaly audit (stages/stats.count_spikes): per event_type,
+    the DAYS whose event count sits more than 2 population standard
+    deviations from that type's mean daily count — the ingest-monitoring
+    spike/drop detector. Counts and both moment sums are exact int64;
+    z = (n*n_days - sum_n) / sqrt(n_days*sum_n2 - sum_n^2) is two exact
+    casts + one sqrt + one division, bit-equal to the SQL mirror."""
+    from jsschema_ray.stages.stats import count_spikes
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return count_spikes(ds, "event_type", "ts").sort(["event_type", "day"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4599,8 +4626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,  # r5 NEW: corpus bigram statistic — replaces knn_ivf in-window
         "acctbal_percentile_cont": q_acctbal_percentile_cont,  # r5 NEW: PERCENTILE_CONT (bit-mirrored interpolation) — replaces hash_sample in-window
         "mixture_sample": q_mixture_sample,  # r5 NEW: per-stratum exact-n quotas — replaces stratified_sample in-window
-        "weighted_discount": q_weighted_discount,  # r5 NEW: weighted mean (bit-mirrored finish) — replaces cap_per_source in-window
-        "quantity_stddev": q_quantity_stddev,  # r5 NEW: grouped stddev/var (bit-mirrored float finish) — replaces multikey_join in-window
+        "event_count_spikes": q_event_count_spikes,  # r5f NEW operator: per-group daily-count z-score spike detection — replaces weighted_discount in-window (grouped-sums + bit-mirrored float-finish shape stays pinned by tpch_q1 + event_value_share; weighted mean stays locally mirrored)
+        "event_type_runs": q_event_type_runs,  # r5f NEW operator: run-length islands by value change — replaces quantity_stddev in-window (grouped-moments float-finish family keeps TWO reps in-window: quantity_skewness + quantity_price_moments; stddev stays locally mirrored)
         "tpch_q1": q_tpch_q1,  # r5 NEW: TPC-H Q1 pricing summary (bit-mirrored) — replaces approx_top_phash in-window
         "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
         "revenue_gini": q_revenue_gini,  # r5d NEW operator: grouped Gini coefficient (rank-weighted exact sums) — replaces price_winsorized in-window (same _grouped_value_counts + sorted-segments machinery; winsorize stays locally mirrored)
@@ -4635,6 +4662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in round 4 are all kept inside the window)
         "value_monotonicity": q_value_monotonicity,  # r5e NEW operator: per-key sequence-validity audit — replaces quantity_price_corr in-window (exact-moment float-finish family stays represented by quantity_stddev + quantity_skewness + revenue_gini; corr stays locally mirrored)
         "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
+        "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
+        "weighted_discount": q_weighted_discount,  # r5f: displaced past the window by event_count_spikes (grouped-sums float-finish family stays in-window via tpch_q1 + event_value_share; local mirror verifies the pair)
         "doc_split_assign": q_doc_split_assign,  # r5f: displaced past the window by benford_digits (mix32 split family stays in-window via mixture_sample + weighted_sample; local mirror verifies the pair)
         "price_decile": q_price_decile,  # r5f: displaced past the window by longest_streaks (composition of in-window value_cdf + join family; local mirror verifies the pair)
         "price_winsorized": q_price_winsorized,  # r5d: displaced past the window by revenue_gini (shared _grouped_value_counts machinery; local mirror verifies the pair)
@@ -6089,6 +6118,56 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_streaks,
                    CAST(MAX(len) AS BIGINT) AS longest_streak
             FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # run-length islands by value change: cumulative SUM over a LAG
+        # IS DISTINCT FROM flag; pure int64 counts — bit-equal
+        "event_type_runs": """
+            WITH f AS (SELECT user_id, ts, event_id, event_type
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+            l AS (SELECT user_id, event_type,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn,
+                         CASE WHEN LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+                                  IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM f),
+            g AS (SELECT user_id, SUM(chg) OVER (PARTITION BY user_id
+                                                 ORDER BY rn) AS grp
+                  FROM l),
+            s AS (SELECT user_id, grp, COUNT(*) AS len
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_runs,
+                   CAST(MAX(len) AS BIGINT) AS longest_run
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # daily-count spikes: exact int64 counts/sums; z is two exact
+        # casts + one correctly-rounded sqrt + one division — bit-equal
+        # (NULL groups drop on both sides: JOIN USING never matches NULL)
+        "event_count_spikes": """
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day,
+                              COUNT(*) AS n
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY event_type, day),
+            g AS (SELECT event_type, COUNT(*) AS n_days,
+                         CAST(SUM(n) AS BIGINT) AS sum_n,
+                         CAST(SUM(n*n) AS BIGINT) AS sum_n2
+                  FROM c GROUP BY event_type),
+            j AS (SELECT c.event_type, c.day, c.n,
+                         CAST(c.n * g.n_days - g.sum_n AS DOUBLE)
+                             / SQRT(CAST(g.n_days * g.sum_n2
+                                         - g.sum_n * g.sum_n AS DOUBLE))
+                             AS z
+                  FROM c JOIN g USING (event_type)
+                  WHERE g.n_days >= 2
+                    AND g.n_days * g.sum_n2 - g.sum_n * g.sum_n > 0)
+            SELECT event_type, day, n, z FROM j WHERE ABS(z) > 2.0
+            ORDER BY event_type, day
         """,
         # id gaps: LEAD over the distinct key set, pure int64 — bit-equal
         "orderkey_gaps": """

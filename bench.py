@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "fd_source_lang",
     "orderkey_gaps",
     "value_monotonicity",
+    "benford_digits",
+    "longest_streaks",
+    "event_type_runs",
+    "event_count_spikes",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

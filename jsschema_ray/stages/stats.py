@@ -754,3 +754,114 @@ def benford_digits(ds, column: str, scale: int = 100,
 
     return merged.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def count_spikes(ds, group_col: str, ts_col: str,
+                 unit_us: int = 86_400_000_000, z_thresh: float = 2.0,
+                 batch_size: int = 262144):
+    """VOLUME-ANOMALY audit (per-group daily-count spike detection): the
+    ingest-monitoring statistic every event pipeline runs — bucket events
+    into time units (days by default), then flag, per group, the units
+    whose count deviates from that group's mean by more than ``z_thresh``
+    population standard deviations. Extends SURVEY §2.C column statistics
+    with a temporal-distribution constraint the single-value reference
+    cannot express (/root/reference/validator/validator.go:57). Output
+    one row per flagged (group, unit):
+
+        (group, day int64, n int64, z float64)
+
+    Exactness contract (engine == SQL mirror bit-equal): day counts,
+    n_days, sum_n and sum_n2 are exact int64 (rows with a NULL ``ts_col``
+    OR a NULL ``group_col`` drop first — the mirror's JOIN USING(group)
+    never matches NULL; a pre-1970 epoch RAISES — numpy floors, SQL
+    truncates);
+    z = CAST(n*n_days - sum_n AS DOUBLE) / SQRT(CAST(n_days*sum_n2 -
+    sum_n*sum_n AS DOUBLE)) is two exact int64→double casts, ONE
+    correctly-rounded IEEE sqrt and ONE division, so it hashes bit-equal
+    cross-engine (the algebraic identity z = (n-mean)/sigma_pop with
+    both sides scaled by n_days — no intermediate mean/variance floats).
+    Groups with n_days < 2 or zero variance emit nothing. Guards RAISE
+    before any int64 product can wrap or any cast can round (> 2^53).
+
+    Scale shape: per-(group, unit) counts via map-side-combined
+    grouped_sums (raw events never shuffle — partials do), then ONE
+    groupby(group) over the width-3 count table (bounded by
+    |groups| x |units|, not by rows) with a vectorized per-group body.
+    NOTE: a zero-row upstream (every ts NULL) yields a schema-less
+    Dataset — Ray's groupby emits no blocks; callers feed real logs."""
+    import ray  # noqa: F401  (parity with module style)
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # NULL groups drop (not just NULL ts): the SQL mirror re-joins
+        # the per-group sums with JOIN USING(group), where NULL never
+        # matches NULL — keeping them engine-side would silently diverge
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(ts_col)),
+            pc.is_valid(batch.column(group_col))))
+        ts = batch.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            ts = ts.cast(pa.int64())
+        if len(ts) and pc.min(ts).as_py() < 0:
+            raise ValueError(
+                "count_spikes requires non-negative epochs (pre-1970 "
+                "timestamps floor-divide differently from SQL's //)")
+        return pa.table({
+            group_col: batch.column(group_col),
+            "day": pc.divide(ts, pa.scalar(unit_us, pa.int64())),
+        })
+
+    counts = grouped_sums(
+        ds.select_columns([group_col, ts_col]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ), [group_col, "day"], {}, count_alias="n")
+
+    def per_group(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        n_days = len(n)
+        empty = pa.table({
+            group_col: g.column(group_col).slice(0, 0),
+            "day": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if n_days < 2:
+            return empty
+        mx = int(n.max())
+        # stage 1: the numpy int64 reductions themselves must not wrap —
+        # n*n < 2^62 per unit, and both sums bounded by n_days * mx^k
+        # (python-int guard arithmetic, cannot wrap)
+        if mx >= 2**31 or n_days * mx * mx >= 2**62:
+            raise ValueError(
+                "count_spikes: counts too large — the int64 sum of "
+                "squares would wrap (n_days * max_n^2 reaches 2^62)")
+        sum_n = int(n.sum())
+        sum_n2 = int((n * n).sum())
+        num = n_days * sum_n2 - sum_n * sum_n
+        # stage 2: the ACTUAL int64->double casts must be exact — both
+        # the variance numerator and the largest |n*n_days - sum_n|
+        if num >= 2**53 or n_days * mx + sum_n >= 2**53:
+            raise ValueError(
+                "count_spikes: counts too large for the exact double "
+                "cast (variance numerator reaches 2^53)")
+        if num <= 0:  # zero variance: every unit has the same count
+            return empty
+        d = n * np.int64(n_days) - np.int64(sum_n)
+        z = d.astype(np.float64) / np.sqrt(np.float64(num))
+        keep = np.flatnonzero(np.abs(z) > z_thresh)
+        if not len(keep):
+            return empty
+        si = pa.array(keep)
+        return pa.table({
+            group_col: g.column(group_col).take(si),
+            "day": g.column("day").take(si),
+            "n": g.column("n").take(si),
+            "z": pa.array(z[keep], pa.float64()),
+        })
+
+    return counts.groupby(group_col).map_groups(
+        per_group, batch_format="pyarrow")

@@ -1185,19 +1185,100 @@ def longest_streaks(ds, key: str, ts_col: str,
         kstarts = _key_block_starts(g.column(key))
         # a run starts at every key start and wherever the unit step != 1
         breaks = np.flatnonzero(np.diff(units) != 1) + 1
-        rstarts = np.union1d(kstarts, breaks)
-        rlens = np.diff(np.r_[rstarts, n])
-        # index of each key's first run inside rstarts (kstarts ⊆ rstarts)
-        kfirst = np.searchsorted(rstarts, kstarts)
-        return pa.table({
-            key: g.column(key).take(pa.array(kstarts)),
-            "n_units": pa.array(np.diff(np.r_[kstarts, n])),
-            "n_streaks": pa.array(np.diff(np.r_[kfirst, len(rstarts)])),
-            "longest_streak": pa.array(
-                np.maximum.reduceat(rlens, kfirst)),
-        })
+        return _run_stats_table(
+            g.column(key), kstarts, np.union1d(kstarts, breaks), n,
+            key, ("n_units", "n_streaks", "longest_streak"))
 
     return ds.select_columns([key, ts_col]).map_batches(
+        add_part, batch_format="pyarrow", batch_size=262144,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def _run_stats_table(keycol, kstarts: np.ndarray, rstarts: np.ndarray,
+                     n: int, key_name: str, names: tuple) -> "pa.Table":
+    """Per-key run statistics over a key-sorted column: given the start
+    offsets of each key block (``kstarts``) and of each maximal run
+    (``rstarts``, a superset of ``kstarts``), emit one row per key with
+    (rows-in-key, runs-in-key, longest-run) under ``names`` — all
+    vectorized (np.diff / searchsorted / maximum.reduceat, no per-key
+    loop). Shared by longest_streaks (runs = consecutive units) and
+    value_runs (runs = equal adjacent values)."""
+    import pyarrow as pa
+
+    rlens = np.diff(np.r_[rstarts, n])
+    # index of each key's first run inside rstarts (kstarts ⊆ rstarts)
+    kfirst = np.searchsorted(rstarts, kstarts)
+    return pa.table({
+        key_name: keycol.take(pa.array(kstarts)),
+        names[0]: pa.array(np.diff(np.r_[kstarts, n])),
+        names[1]: pa.array(np.diff(np.r_[kfirst, len(rstarts)])),
+        names[2]: pa.array(np.maximum.reduceat(rlens, kfirst)),
+    })
+
+
+def value_runs(ds, key: str, order: str, tiebreak: str, value: str,
+               num_partitions: int = 64):
+    """RUN-LENGTH audit (gaps-and-islands by VALUE CHANGE): per key,
+    order the rows by the (order, tiebreak) total order and collapse
+    maximal runs of EQUAL adjacent ``value`` — emitting row count, run
+    count, and the longest run per key. The state-dwell / flapping
+    statistic of an event log (how long does a user stay on one event
+    type before switching), and the other classic SQL islands shape
+    (cumulative SUM over a LAG-change flag). A cross-row ordered
+    constraint the single-value reference cannot express
+    (/root/reference/validator/validator.go:57; completes the ordered-
+    sequence family alongside monotonicity_violations and
+    longest_streaks). Output one row per key:
+
+        (key, n_rows int64, n_runs int64, longest_run int64)
+
+    Semantics, mirrored bit-exactly by the SQL islands idiom: rows with
+    a NULL ``order`` or ``tiebreak`` drop FIRST (the mirror's WHERE);
+    NULL keys form ONE group (SQL PARTITION BY); NULL values compare by
+    IS DISTINCT FROM (adjacent NULLs extend a run — exactly DuckDB's
+    LAG(value) IS DISTINCT FROM value change flag). (order, tiebreak)
+    must be a total order within each key for the run structure to be
+    deterministic — same contract as monotonicity_violations. All
+    outputs are pure int64 counts, so engine == SQL bit-equal.
+
+    Scale shape: ONE hash(key) co-partition of the projected rows (the
+    ordering is per key, so raw rows must co-locate — the stated
+    assumption: one key-hash partition fits a worker), then per
+    partition one Arrow C sort by (key, order, tiebreak) and vectorized
+    run detection shared with longest_streaks (_run_stats_table). No
+    per-key loop; no driver-side state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsschema_ray.state.hll import hash64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(order)),
+                       pc.is_valid(batch.column(tiebreak)))
+        t = batch.select([key, order, tiebreak, value]).filter(keep)
+        part = (hash64(t.column(key).combine_chunks())
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        if not n:
+            e = pa.array([], pa.int64())
+            return pa.table({key: g.column(key), "n_rows": e,
+                             "n_runs": e, "longest_run": e})
+        g = _arrow_sorted(g, [key, order, tiebreak])
+        kstarts = _key_block_starts(g.column(key))
+        # a run starts at every key start and wherever the value IS
+        # DISTINCT FROM its predecessor (_key_block_starts is exactly
+        # that predicate: not_equal on valid pairs OR a validity flip)
+        vstarts = _key_block_starts(g.column(value))
+        return _run_stats_table(
+            g.column(key), kstarts, np.union1d(kstarts, vstarts), n,
+            key, ("n_rows", "n_runs", "longest_run"))
+
+    return ds.select_columns([key, order, tiebreak, value]).map_batches(
         add_part, batch_format="pyarrow", batch_size=262144,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(per_partition, batch_format="pyarrow")

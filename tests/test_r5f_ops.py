@@ -1,10 +1,12 @@
 """Round-5 final-session additions, part 4: benford_digits (leading-
-significant-digit distribution audit) and longest_streaks (gaps-and-
-islands per-key consecutive-day runs). SQL parity for the two oracled
-queries (benford_digits, longest_streaks) runs in test_oracle_parity;
-these pin edge cases, NULL/zero/negative semantics, the half-away
-rounding boundary, distributed batch-boundary merging, and the refusal
-guards."""
+significant-digit distribution audit), longest_streaks (gaps-and-islands
+per-key consecutive-day runs), value_runs (run-length islands by value
+change), and count_spikes (per-group daily-count z-score anomalies).
+SQL parity for the four oracled queries (benford_digits,
+longest_streaks, event_type_runs, event_count_spikes) runs in
+test_oracle_parity; these pin edge cases, NULL/zero/negative semantics,
+the half-away rounding boundary, distributed batch-boundary merging,
+and the refusal guards."""
 
 import duckdb
 import numpy as np
@@ -170,3 +172,171 @@ class TestLongestStreaks:
                 _ds({"u": pa.array([1], pa.int64()),
                      "ts": pa.array([-5], pa.int64())}, 1),
                 "u", "ts").materialize()
+
+
+from jsschema_ray.stages.stats import count_spikes
+from jsschema_ray.stages.windows import value_runs
+
+
+class TestValueRuns:
+    US = 1_000_000
+
+    def test_known_runs(self, ray_session):
+        # user 1 ordered by (ts, id): A A B B B A -> runs A(2) B(3) A(1)
+        got = value_runs(
+            _ds({"u": pa.array([1] * 6, pa.int64()),
+                 "ts": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                 "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                 "v": pa.array(["A", "A", "B", "B", "B", "A"])}, 3),
+            "u", "ts", "id", "v").to_pandas()
+        assert got["n_rows"].tolist() == [6]
+        assert got["n_runs"].tolist() == [3]
+        assert got["longest_run"].tolist() == [2 + 1]
+
+    def test_tiebreak_orders_equal_ts(self, ray_session):
+        # equal ts: id decides -> A B A = 3 runs, NOT A A B
+        got = value_runs(
+            _ds({"u": pa.array([1, 1, 1], pa.int64()),
+                 "ts": pa.array([9, 9, 9], pa.int64()),
+                 "id": pa.array([2, 1, 3], pa.int64()),
+                 "v": pa.array(["B", "A", "A"])}, 2),
+            "u", "ts", "id", "v").to_pandas()
+        assert got["n_runs"].tolist() == [3]
+
+    def test_adjacent_nulls_extend_a_run(self, ray_session):
+        # IS DISTINCT FROM: NULL, NULL is NOT a change -> runs A (N N) A
+        got = value_runs(
+            _ds({"u": pa.array([1, 1, 1, 1], pa.int64()),
+                 "ts": pa.array([1, 2, 3, 4], pa.int64()),
+                 "id": pa.array([1, 2, 3, 4], pa.int64()),
+                 "v": pa.array(["A", None, None, "A"])}, 2),
+            "u", "ts", "id", "v").to_pandas()
+        assert got["n_rows"].tolist() == [4]
+        assert got["n_runs"].tolist() == [3]
+        assert got["longest_run"].tolist() == [2]
+
+    def test_null_order_rows_drop_null_key_one_group(self, ray_session):
+        got = value_runs(
+            _ds({"u": pa.array([None, None, 1], pa.int64()),
+                 "ts": pa.array([1, 2, None], pa.int64()),
+                 "id": pa.array([1, 2, 3], pa.int64()),
+                 "v": pa.array(["A", "B", "C"])}, 2),
+            "u", "ts", "id", "v").to_pandas()
+        assert len(got) == 1 and pd.isna(got["u"].iloc[0])
+        assert got["n_rows"].tolist() == [2]
+        assert got["n_runs"].tolist() == [2]
+
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(61)
+        n = 20000
+        u = rng.integers(0, 100, n)
+        ts = rng.integers(0, 10**9, n)
+        ids = rng.permutation(n).astype(np.int64)
+        v = rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.25, 0.05])
+        got = value_runs(
+            _ds({"u": pa.array(u, pa.int64()),
+                 "ts": pa.array(ts, pa.int64()),
+                 "id": pa.array(ids, pa.int64()),
+                 "v": pa.array(v)}, 8),
+            "u", "ts", "id", "v").to_pandas() \
+            .sort_values("u").reset_index(drop=True)
+        df = pd.DataFrame({"u": u, "ts": ts, "id": ids, "v": v})
+        exp = duckdb.sql("""
+            WITH l AS (SELECT u, v,
+                     ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, id) AS rn,
+                     CASE WHEN LAG(v) OVER (PARTITION BY u ORDER BY ts, id)
+                              IS DISTINCT FROM v THEN 1 ELSE 0 END AS chg
+                  FROM df),
+            g AS (SELECT u, SUM(chg) OVER (PARTITION BY u ORDER BY rn)
+                         AS grp FROM l),
+            s AS (SELECT u, grp, COUNT(*) AS len FROM g GROUP BY u, grp)
+            SELECT u, CAST(SUM(len) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT)
+                       AS longest_run
+            FROM s GROUP BY u ORDER BY u
+        """).df()
+        for c in exp.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestCountSpikes:
+    US_DAY = 86_400_000_000
+
+    def _ts(self, days):
+        return pa.array([d * self.US_DAY + 7 for d in days],
+                        pa.timestamp("us"))
+
+    def test_flags_the_spike_day(self, ray_session):
+        # type X: 9 days of 1 event + 1 day of 20 -> only the 20 flags
+        days = list(range(9)) + [9] * 20
+        got = count_spikes(
+            _ds({"g": pa.array(["X"] * len(days)), "ts": self._ts(days)}, 4),
+            "g", "ts").to_pandas()
+        assert got["day"].tolist() == [9]
+        assert got["n"].tolist() == [20]
+        assert got["z"].iloc[0] > 2.0
+
+    def test_zero_variance_and_single_day_emit_nothing(self, ray_session):
+        days = [0, 1, 2, 0, 1, 2]          # type A: 2 events every day
+        got = count_spikes(
+            _ds({"g": pa.array(["A"] * 6 + ["B"]),
+                 "ts": self._ts(days + [5])}, 3),
+            "g", "ts").to_pandas()
+        assert len(got) == 0
+
+    def test_null_group_and_null_ts_drop(self, ray_session):
+        days = list(range(9)) + [9] * 20
+        tsa = self._ts(days)
+        got = count_spikes(
+            _ds({"g": pa.array(["X"] * len(days) + [None, "X"]),
+                 "ts": pa.concat_arrays(
+                     [tsa, pa.array([self.US_DAY, None],
+                                    pa.timestamp("us"))])}, 4),
+            "g", "ts").to_pandas()
+        assert got["day"].tolist() == [9]   # unchanged by the 2 bad rows
+
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(67)
+        n = 40000
+        g = rng.choice(["a", "b", "c", "d"], n)
+        day = rng.integers(0, 60, n)
+        # inject real spikes
+        g = np.r_[g, ["a"] * 900]; day = np.r_[day, [13] * 900]
+        ts = day * self.US_DAY + rng.integers(0, self.US_DAY, len(day))
+        got = count_spikes(
+            _ds({"g": pa.array(g), "ts": pa.array(ts, pa.int64())
+                 .cast(pa.timestamp("us"))}, 8),
+            "g", "ts").to_pandas() \
+            .sort_values(["g", "day"]).reset_index(drop=True)
+        df = pd.DataFrame({"g": g,
+                           "ts": pd.to_datetime(ts, unit="us")})
+        exp = duckdb.sql("""
+            WITH c AS (SELECT g, epoch_us(ts) // 86400000000 AS day,
+                              COUNT(*) AS n
+                       FROM df WHERE ts IS NOT NULL AND g IS NOT NULL
+                       GROUP BY g, day),
+            gg AS (SELECT g, COUNT(*) AS n_days,
+                          CAST(SUM(n) AS BIGINT) AS sum_n,
+                          CAST(SUM(n*n) AS BIGINT) AS sum_n2
+                   FROM c GROUP BY g),
+            j AS (SELECT c.g, c.day, c.n,
+                         CAST(c.n * gg.n_days - gg.sum_n AS DOUBLE)
+                             / SQRT(CAST(gg.n_days * gg.sum_n2
+                                    - gg.sum_n * gg.sum_n AS DOUBLE)) AS z
+                  FROM c JOIN gg USING (g)
+                  WHERE gg.n_days >= 2
+                    AND gg.n_days * gg.sum_n2 - gg.sum_n * gg.sum_n > 0)
+            SELECT g, day, n, z FROM j WHERE ABS(z) > 2.0
+            ORDER BY g, day
+        """).df()
+        assert len(got) == len(exp) > 0
+        for c in ("g", "day", "n"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert (got["z"].to_numpy() == exp["z"].to_numpy()).all()
+
+    def test_pre_1970_raises(self, ray_session):
+        with pytest.raises(Exception, match="non-negative"):
+            count_spikes(
+                _ds({"g": pa.array(["a"]),
+                     "ts": pa.array([-9], pa.int64())}, 1),
+                "g", "ts").materialize()

@@ -4575,6 +4575,34 @@ def q_event_count_spikes(sf_dir: str):
     return count_spikes(ds, "event_type", "ts").sort(["event_type", "day"])
 
 
+def q_null_profile(sf_dir: str):
+    """Whole-schema completeness profile (stages/stats.null_profile):
+    one row per events column with exact int64 null/row counts straight
+    off the Arrow validity bitmaps (no value scan) and a bit-mirrored
+    null_frac (one cast pair + one IEEE division). The shuffle carries
+    |columns| x |batches| partial rows, never data rows."""
+    from jsschema_ray.stages.stats import null_profile
+
+    ds = _read(sf_dir, "events")
+    return null_profile(ds).sort("col_name")
+
+
+def q_candidate_keys(sf_dir: str):
+    """Unique-key candidacy profile (stages/uniqueness.candidate_keys):
+    exact distinct-combination counts for three lineitem key candidates —
+    (l_orderkey) is NOT a key, (l_orderkey, l_linenumber) IS, and
+    (l_partkey, l_suppkey) is not. Each combo runs as one distributed
+    distinct_rows aggregate (map-side pre-trim, one hash co-partition);
+    pure int64 counts, bit-equal to the SQL mirror."""
+    from jsschema_ray.stages.uniqueness import candidate_keys
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    return candidate_keys(ds, [["l_orderkey"],
+                               ["l_orderkey", "l_linenumber"],
+                               ["l_partkey", "l_suppkey"]])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4619,7 +4647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_plan": q_image_resize_plan,  # r5 sweep: first driver row
         "user_coverage": q_user_coverage,  # r5c NEW operator: sweep-line interval-union coverage — replaces near_dedup_corpus in-window
         "quantity_skewness": q_quantity_skewness,  # r5c NEW operator: grouped third-moment skewness (bit-mirrored) — replaces group_quantiles in-window
-        "min_price_parts": q_min_price_parts,  # r5c NEW: ascending top_n_with_ties (min-join-back shape) — replaces simhash_recall in-window
+        "null_profile": q_null_profile,  # r5f NEW operator: whole-schema null/completeness profile — replaces min_price_parts in-window (min_price_parts is the ascending variant of the SAME top_n_with_ties operator pinned by top_quantity_ties; local mirror verifies the pair)
         "weighted_median": q_weighted_median,  # r5 NEW: grouped weighted median (exact selection) — replaces phash_near_dup in-window
         "name_typo_pairs": q_name_typo_pairs,  # r5 NEW: Levenshtein<=1 pair mining (FastSS banding) — replaces image_near_dup_components in-window
         "lang_source_chi2": q_lang_source_chi2,  # r5d NEW operator: chi-square independence cells (bit-mirrored window sums) — replaces lang_concentration in-window (same grouped-counts + window-sum-mirror shape; Simpson index stays locally mirrored)
@@ -4646,7 +4674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new round-4 hard-signal groundings for the sketch dedups
         "minhash_recall": q_minhash_recall,
         "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
-        "quantity_zscore": q_quantity_zscore,  # r5 NEW: per-row z-score (bit-mirrored) — replaces bloom_semi_orders in-window
+        "candidate_keys": q_candidate_keys,  # r5f NEW operator: exact unique-key candidacy profile — replaces quantity_zscore in-window (zscore's machinery stays doubly pinned: grouped moments via quantity_skewness + quantity_price_moments, z-score float finish via event_count_spikes; local mirror verifies the pair)
         "benford_digits": q_benford_digits,  # r5f NEW operator: leading-digit (Benford) distribution audit — replaces doc_split_assign in-window (doc_split is a composition of the mix32 machinery already pinned by mixture_sample + weighted_sample; benford's partial/bincount path has no other driver row)
         "longest_streaks": q_longest_streaks,  # r5f NEW operator: gaps-and-islands per-key streaks — replaces price_decile in-window (price_decile composes value_cdf [in-window] + hash_join [family in-window]; the run-detection reduceat path has no other driver row)
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
@@ -4662,6 +4690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in round 4 are all kept inside the window)
         "value_monotonicity": q_value_monotonicity,  # r5e NEW operator: per-key sequence-validity audit — replaces quantity_price_corr in-window (exact-moment float-finish family stays represented by quantity_stddev + quantity_skewness + revenue_gini; corr stays locally mirrored)
         "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
+        "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
+        "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
         "weighted_discount": q_weighted_discount,  # r5f: displaced past the window by event_count_spikes (grouped-sums float-finish family stays in-window via tpch_q1 + event_value_share; local mirror verifies the pair)
         "doc_split_assign": q_doc_split_assign,  # r5f: displaced past the window by benford_digits (mix32 split family stays in-window via mixture_sample + weighted_sample; local mirror verifies the pair)
@@ -6168,6 +6198,51 @@ def oracle_sql() -> dict[str, str]:
                     AND g.n_days * g.sum_n2 - g.sum_n * g.sum_n > 0)
             SELECT event_type, day, n, z FROM j WHERE ABS(z) > 2.0
             ORDER BY event_type, day
+        """,
+        # whole-schema null profile: exact int64 validity counts; frac is
+        # one cast pair + one division per row — bit-equal
+        "null_profile": """
+            WITH p AS (
+                SELECT 'event_id' AS col_name,
+                       COUNT(*) - COUNT(event_id) AS n_nulls,
+                       COUNT(*) AS n_rows FROM events
+                UNION ALL SELECT 'ts', COUNT(*) - COUNT(ts), COUNT(*)
+                    FROM events
+                UNION ALL SELECT 'user_id', COUNT(*) - COUNT(user_id),
+                    COUNT(*) FROM events
+                UNION ALL SELECT 'event_type',
+                    COUNT(*) - COUNT(event_type), COUNT(*) FROM events
+                UNION ALL SELECT 'value', COUNT(*) - COUNT(value),
+                    COUNT(*) FROM events
+                UNION ALL SELECT 'props', COUNT(*) - COUNT(props),
+                    COUNT(*) FROM events
+            )
+            SELECT col_name, n_nulls, n_rows,
+                   CAST(n_nulls AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                       AS null_frac
+            FROM p ORDER BY col_name
+        """,
+        # key candidacy: exact DISTINCT-combination counts (NULL tuples
+        # compare equal on both sides) — bit-equal int64 + bool
+        "candidate_keys": """
+            WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+            u AS (
+                SELECT 'l_orderkey' AS combo,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT l_orderkey FROM lineitem))
+                           AS n_distinct
+                UNION ALL SELECT 'l_orderkey,l_linenumber',
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT l_orderkey, l_linenumber
+                         FROM lineitem))
+                UNION ALL SELECT 'l_partkey,l_suppkey',
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT l_partkey, l_suppkey
+                         FROM lineitem))
+            )
+            SELECT u.combo, n.n_rows, u.n_distinct,
+                   u.n_distinct = n.n_rows AS is_key
+            FROM u CROSS JOIN n ORDER BY combo
         """,
         # id gaps: LEAD over the distinct key set, pure int64 — bit-equal
         "orderkey_gaps": """

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "longest_streaks",
     "event_type_runs",
     "event_count_spikes",
+    "null_profile",
+    "candidate_keys",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -756,6 +756,58 @@ def benford_digits(ds, column: str, scale: int = 100,
         finish, batch_format="pyarrow", batch_size=None)
 
 
+def null_profile(ds, columns: list[str] | None = None,
+                 batch_size: int = 262144):
+    """TABLE-WIDE NULL profile (the first page of every data-profiling
+    report — ydata-profiling / Metanome-style completeness scan): one
+    pass over the table, one output row per column:
+
+        (col_name utf8, n_nulls int64, n_rows int64, null_frac float64)
+
+    Counts are exact int64 straight off Arrow validity bitmaps
+    (``Array.null_count`` — no value scan at all); null_frac is ONE
+    int64→double cast pair + ONE IEEE division per row, bit-equal to the
+    SQL mirror's CAST(COUNT(*) - COUNT(col) AS DOUBLE) / CAST(COUNT(*)
+    AS DOUBLE). Extends SURVEY §2.C column statistics from single-column
+    to whole-schema form (the reference validates one value at a time —
+    /root/reference/validator/validator.go:57).
+
+    Scale shape: each batch emits a |columns|-row partial (validity-
+    bitmap popcounts, zero data movement), grouped_sums merges the
+    partials map-side, and the frac finish is a vectorized per-row
+    map_batches — the shuffle carries |columns| x |batches| rows, never
+    data rows. Guards RAISE if n_rows reaches 2^53 (exact double cast)."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = columns or batch.column_names
+        return pa.table({
+            "col_name": pa.array(cols, pa.string()),
+            "n_nulls_p": pa.array(
+                [batch.column(c).null_count for c in cols], pa.int64()),
+            "n_rows_p": pa.array([batch.num_rows] * len(cols),
+                                 pa.int64()),
+        })
+
+    merged = grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True),
+        ["col_name"], {"n_nulls": "n_nulls_p", "n_rows": "n_rows_p"},
+        count_alias=None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nr = t.column("n_rows").to_numpy(zero_copy_only=False)
+        if len(nr) and nr.max() >= 2**53:
+            raise ValueError("null_profile: row count reaches 2^53 — "
+                             "the exact double cast would round")
+        nn = t.column("n_nulls").to_numpy(zero_copy_only=False)
+        return t.append_column("null_frac", pa.array(
+            nn.astype(np.float64) / nr.astype(np.float64), pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
 def count_spikes(ds, group_col: str, ts_col: str,
                  unit_us: int = 86_400_000_000, z_thresh: float = 2.0,
                  batch_size: int = 262144):

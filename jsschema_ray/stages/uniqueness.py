@@ -350,6 +350,41 @@ def distinct_rows(ds, columns: Optional[list[str]] = None,
     ).groupby("__part").map_groups(finish, batch_format="pandas")
 
 
+def candidate_keys(ds, combos: list[list[str]],
+                   batch_size: int = 262144, num_parts: int = 64):
+    """UNIQUE-KEY candidacy profile (the key-discovery scan of classic
+    data-profiling systems — Metanome/HyUCC lineage, public literature):
+    for each candidate column combination, the exact distinct-combination
+    count versus the table row count, and whether the combo is a key.
+    One output row per combo:
+
+        (combo utf8, n_rows int64, n_distinct int64, is_key bool)
+
+    where ``combo`` is the comma-joined column list. NULLs compare equal
+    inside DISTINCT (Arrow group_by and SQL SELECT DISTINCT agree), so a
+    combo with duplicated NULL tuples is correctly NOT a key. All counts
+    are exact int64 — bit-equal to the SQL mirror by construction.
+
+    Scale shape: each combo runs as its own distributed aggregate —
+    distinct_rows (map-side drop_duplicates pre-trim, ONE hash
+    co-partition of the pre-trimmed tuples, per-partition dedup) counted
+    without materializing rows to the driver, plus one metadata-cheap
+    ds.count(). The driver-side loop is over the COMBO LIST (plan-level,
+    bounded by the caller), never over data rows. Returns a pandas
+    DataFrame (|combos| rows — a report, not a dataset)."""
+    import pandas as pd
+
+    n_rows = ds.count()
+    out = []
+    for combo in combos:
+        nd = distinct_rows(ds, list(combo), batch_size=batch_size,
+                           num_parts=num_parts).count()
+        out.append((",".join(combo), n_rows, nd, nd == n_rows))
+    return pd.DataFrame(out, columns=["combo", "n_rows", "n_distinct",
+                                      "is_key"]).sort_values("combo") \
+        .reset_index(drop=True)
+
+
 def _setop_rows(left, right, how: str, columns: Optional[list[str]] = None,
                 batch_size: int = 262144, num_parts: int = 64):
     """Shared engine for SQL EXCEPT / INTERSECT (both DISTINCT set ops):

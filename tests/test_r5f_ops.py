@@ -1,9 +1,11 @@
 """Round-5 final-session additions, part 4: benford_digits (leading-
 significant-digit distribution audit), longest_streaks (gaps-and-islands
 per-key consecutive-day runs), value_runs (run-length islands by value
-change), and count_spikes (per-group daily-count z-score anomalies).
-SQL parity for the four oracled queries (benford_digits,
-longest_streaks, event_type_runs, event_count_spikes) runs in
+change), count_spikes (per-group daily-count z-score anomalies),
+null_profile (whole-schema completeness scan), and candidate_keys
+(exact unique-key candidacy profile). SQL parity for the six oracled
+queries (benford_digits, longest_streaks, event_type_runs,
+event_count_spikes, null_profile, candidate_keys) runs in
 test_oracle_parity; these pin edge cases, NULL/zero/negative semantics,
 the half-away rounding boundary, distributed batch-boundary merging,
 and the refusal guards."""
@@ -340,3 +342,90 @@ class TestCountSpikes:
                 _ds({"g": pa.array(["a"]),
                      "ts": pa.array([-9], pa.int64())}, 1),
                 "g", "ts").materialize()
+
+
+from jsschema_ray.stages.stats import null_profile
+from jsschema_ray.stages.uniqueness import candidate_keys
+
+
+class TestNullProfile:
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(71)
+        n = 12000
+        a = rng.integers(0, 100, n).astype(object)
+        a[rng.random(n) < 0.15] = None
+        b = rng.choice(["x", "y", None], n, p=[0.5, 0.3, 0.2])
+        c = rng.random(n)
+        got = null_profile(
+            _ds({"a": pa.array(a, pa.int64()), "b": pa.array(b),
+                 "c": pa.array(c, pa.float64())}, 8)
+        ).to_pandas().sort_values("col_name").reset_index(drop=True)
+        df = pd.DataFrame({"a": pd.array([x for x in a], dtype="Int64"),
+                           "b": b, "c": c})
+        exp = duckdb.sql("""
+            WITH p AS (
+                SELECT 'a' AS col_name, COUNT(*)-COUNT(a) AS n_nulls,
+                       COUNT(*) AS n_rows FROM df
+                UNION ALL SELECT 'b', COUNT(*)-COUNT(b), COUNT(*) FROM df
+                UNION ALL SELECT 'c', COUNT(*)-COUNT(c), COUNT(*) FROM df)
+            SELECT col_name, n_nulls, n_rows,
+                   CAST(n_nulls AS DOUBLE)/CAST(n_rows AS DOUBLE)
+                       AS null_frac
+            FROM p ORDER BY col_name
+        """).df()
+        assert got["n_nulls"].tolist() == exp["n_nulls"].tolist()
+        assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+        assert (got["null_frac"].to_numpy()
+                == exp["null_frac"].to_numpy()).all()
+        assert got["n_nulls"].sum() > 0  # the synthetic nulls were seen
+
+    def test_column_subset_and_all_null(self, ray_session):
+        got = null_profile(
+            _ds({"x": pa.array([None, None, None], pa.int64()),
+                 "y": pa.array([1, 2, 3], pa.int64())}, 2),
+            columns=["x"]).to_pandas()
+        assert got["col_name"].tolist() == ["x"]
+        assert got["n_nulls"].tolist() == [3]
+        assert got["null_frac"].tolist() == [1.0]
+
+
+class TestCandidateKeys:
+    def test_key_vs_nonkey_with_null_tuples(self, ray_session):
+        # (a) alone duplicates; (a,b) is a key; (c) has two NULLs ->
+        # NULLs compare EQUAL inside DISTINCT, so c is NOT a key
+        got = candidate_keys(
+            _ds({"a": pa.array([1, 1, 2, 2], pa.int64()),
+                 "b": pa.array([1, 2, 1, 2], pa.int64()),
+                 "c": pa.array([10, None, None, 30], pa.int64())}, 2),
+            [["a"], ["a", "b"], ["c"]])
+        got = got.set_index("combo")
+        assert got.loc["a", "n_distinct"] == 2
+        assert not got.loc["a", "is_key"]
+        assert got.loc["a,b", "n_distinct"] == 4
+        assert bool(got.loc["a,b", "is_key"])
+        assert got.loc["c", "n_distinct"] == 3
+        assert not got.loc["c", "is_key"]
+        assert (got["n_rows"] == 4).all()
+
+    def test_matches_duckdb_on_random(self, ray_session):
+        rng = np.random.default_rng(73)
+        n = 15000
+        a = rng.integers(0, 500, n)
+        b = rng.integers(0, 40, n)
+        got = candidate_keys(
+            _ds({"a": pa.array(a, pa.int64()),
+                 "b": pa.array(b, pa.int64())}, 8),
+            [["a"], ["a", "b"]])
+        df = pd.DataFrame({"a": a, "b": b})
+        exp = duckdb.sql("""
+            WITH n AS (SELECT COUNT(*) AS n_rows FROM df),
+            u AS (SELECT 'a' AS combo, (SELECT COUNT(*) FROM
+                      (SELECT DISTINCT a FROM df)) AS n_distinct
+                  UNION ALL SELECT 'a,b', (SELECT COUNT(*) FROM
+                      (SELECT DISTINCT a, b FROM df)))
+            SELECT u.combo, n.n_rows, u.n_distinct,
+                   u.n_distinct = n.n_rows AS is_key
+            FROM u CROSS JOIN n ORDER BY combo
+        """).df()
+        for c in exp.columns:
+            assert got[c].tolist() == exp[c].tolist(), c

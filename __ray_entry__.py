@@ -4603,6 +4603,18 @@ def q_candidate_keys(sf_dir: str):
                                ["l_partkey", "l_suppkey"]])
 
 
+def q_price_trimmed_mean(sf_dir: str):
+    """Robust central tendency (stages/quantiles.grouped_trimmed_mean):
+    per return flag, the mean of l_extendedprice after dropping the 10%
+    smallest and largest values — exact int64 cents selection (tie-
+    permutation-invariant), bit-mirrored two-cast/two-division finish."""
+    from jsschema_ray.stages.quantiles import grouped_trimmed_mean
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_trimmed_mean(ds, "l_returnflag", "l_extendedprice",
+                                p=0.1).sort("l_returnflag")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4690,6 +4702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code changed in round 4 are all kept inside the window)
         "value_monotonicity": q_value_monotonicity,  # r5e NEW operator: per-key sequence-validity audit — replaces quantity_price_corr in-window (exact-moment float-finish family stays represented by quantity_stddev + quantity_skewness + revenue_gini; corr stays locally mirrored)
         "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
+        "price_trimmed_mean": q_price_trimmed_mean,  # r5f NEW tail operator (positions 51+): grouped trimmed mean — _grouped_value_counts machinery pinned in-window by revenue_gini; local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6198,6 +6211,29 @@ def oracle_sql() -> dict[str, str]:
                     AND g.n_days * g.sum_n2 - g.sum_n * g.sum_n > 0)
             SELECT event_type, day, n, z FROM j WHERE ABS(z) > 2.0
             ORDER BY event_type, day
+        """,
+        # trimmed mean: exact int64 cents selection (tie-permutation-
+        # invariant multiset trim), identical FLOOR(n*p) and two-cast/
+        # two-division finish — bit-equal
+        "price_trimmed_mean": """
+            WITH f AS (SELECT l_returnflag,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                                  AS c
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            r AS (SELECT l_returnflag, c,
+                         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                            ORDER BY c) AS rn,
+                         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                  FROM f),
+            k AS (SELECT *, CAST(FLOOR(CAST(n AS DOUBLE) * 0.1)
+                                 AS BIGINT) AS k FROM r)
+            SELECT l_returnflag, COUNT(*) AS n_kept,
+                   CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0
+                       AS trimmed_mean
+            FROM k WHERE rn > k AND rn <= n - k
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # whole-schema null profile: exact int64 validity counts; frac is
         # one cast pair + one division per row — bit-equal

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "event_count_spikes",
     "null_profile",
     "candidate_keys",
+    "price_trimmed_mean",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -710,6 +710,98 @@ def grouped_winsorize(ds, group_col: str, column: str, q_lo: float = 0.1,
                               batch_size=batch_size, zero_copy_batch=True)
 
 
+def grouped_trimmed_mean(ds, group_col: str, column: str, p: float = 0.1,
+                         scale: int = 100, num_parts: int = 32,
+                         batch_size: int = 262144):
+    """Per-group TRIMMED MEAN of a 2-decimal column: drop the
+    floor(n·p) smallest and floor(n·p) largest values of each group,
+    average the rest — the robust central-tendency statistic (the
+    winsorize sibling that EXCLUDES instead of clamping). Output one row
+    per group with at least one surviving value:
+
+        (group_col, n_kept int64, trimmed_mean float64)
+
+    Exactness contract (engine == SQL mirror bit-equal): values scale to
+    exact int64 cents via round-half-away (the repo-wide recipe), the
+    kept-range sum is exact int64 (tie-PERMUTATION-INVARIANT: trimming
+    removes the k smallest/largest as a MULTISET, so any ROW_NUMBER tie
+    order in the mirror keeps the same values), k = FLOOR(CAST(n AS
+    DOUBLE) * p) is the identical IEEE product+floor on both sides, and
+    the finish is exactly CAST(sum AS DOUBLE) / CAST(n_kept AS DOUBLE)
+    / <scale as float literal> — two casts and two divisions in one
+    spelled order. NULL values drop; groups with n − 2k ≤ 0 emit
+    NOTHING (the mirror's WHERE leaves them with no rows). Guards RAISE
+    on |v·scale| ≥ 2^62, on a potential int64 wrap of the weighted sum,
+    and on a kept-sum ≥ 2^53 (inexact double cast).
+
+    Scale shape: the shared _grouped_value_counts histogram trick —
+    batches collapse to (group, value, cnt) partials, ONE hash(group)
+    co-partition of count rows (raw rows never shuffle), then one
+    vectorized per-partition pass: per-row rank intervals from the
+    count cumsum, kept overlap with [k+1, n−k] via clip, per-group sums
+    via np.add.reduceat. No per-group loop."""
+    import pandas as pd
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    if not 0.0 <= p < 0.5:
+        raise ValueError(f"p must be in [0, 0.5), got {p}")
+
+    def finish(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["__part"])
+        if not len(gdf):
+            return pd.DataFrame({
+                group_col: gdf[group_col],
+                "n_kept": pd.Series([], dtype="int64"),
+                "trimmed_mean": pd.Series([], dtype="float64")})
+        gdf = gdf.sort_values([group_col, column], kind="stable")
+        codes, uniq = pd.factorize(gdf[group_col], use_na_sentinel=False)
+        cnt = gdf["cnt"].to_numpy(dtype=np.int64)
+        csum = np.cumsum(cnt)
+        starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        rows_per = np.diff(np.r_[starts, len(cnt)])
+        n_g = np.add.reduceat(cnt, starts)
+        # identical FLOOR(CAST(n AS DOUBLE) * p) on both engines
+        k_g = np.floor(n_g.astype(np.float64) * p).astype(np.int64)
+        lo_g, hi_g = k_g + 1, n_g - k_g
+        gi = np.repeat(np.arange(len(uniq)), rows_per)
+        end_rank = csum - base[gi]
+        start_rank = end_rank - cnt + 1
+        kept = np.clip(np.minimum(end_rank, hi_g[gi])
+                       - np.maximum(start_rank, lo_g[gi]) + 1, 0, None)
+        cents_f = round_half_away(
+            gdf[column].to_numpy(dtype=np.float64) * scale)
+        if len(cents_f) and np.abs(cents_f).max() >= 2.0**62:
+            raise ValueError(
+                f"grouped_trimmed_mean: |{column} * {scale}| reaches "
+                "2^62 — the int64 cents round-trip would lose exactness")
+        cents = cents_f.astype(np.int64)
+        n_kept_g = n_g - 2 * k_g
+        # int64-wrap guard for the per-group weighted sums (python ints)
+        if len(cents) and n_kept_g.max() > 0 and \
+                int(np.abs(cents).max()) * int(n_kept_g.max()) >= 2**62:
+            raise ValueError(
+                "grouped_trimmed_mean: kept-range sum could wrap int64 "
+                "(max |cents| * kept count reaches 2^62)")
+        sums = np.add.reduceat(kept * cents, starts)
+        if len(sums) and np.abs(sums).max() >= 2**53:
+            raise ValueError(
+                "grouped_trimmed_mean: kept-range sum reaches 2^53 — "
+                "the exact double cast would round")
+        keep_g = n_kept_g > 0
+        mean = (sums[keep_g].astype(np.float64)
+                / n_kept_g[keep_g].astype(np.float64)
+                / np.float64(scale))
+        return pd.DataFrame({group_col: np.asarray(uniq)[keep_g],
+                             "n_kept": n_kept_g[keep_g],
+                             "trimmed_mean": mean})
+
+    return _grouped_value_counts(
+        ds, group_col, column, num_parts, batch_size
+    ).groupby("__part").map_groups(finish, batch_format="pandas")
+
+
 def grouped_weighted_median(ds, group_col: str, column: str,
                             weight_col: str, scale: int = 100,
                             num_parts: int = 32, batch_size: int = 262144,

@@ -429,3 +429,83 @@ class TestCandidateKeys:
         """).df()
         for c in exp.columns:
             assert got[c].tolist() == exp[c].tolist(), c
+
+
+from jsschema_ray.stages.quantiles import grouped_trimmed_mean
+
+
+class TestGroupedTrimmedMean:
+    def test_known_trim(self, ray_session):
+        # group 'a': values 1..10, p=0.1 -> k=1, keep 2..9, mean 5.5
+        got = grouped_trimmed_mean(
+            _ds({"g": pa.array(["a"] * 10),
+                 "v": pa.array([float(i) for i in range(1, 11)],
+                               pa.float64())}, 4),
+            "g", "v", p=0.1).to_pandas()
+        assert got["n_kept"].tolist() == [8]
+        assert got["trimmed_mean"].tolist() == [5.5]
+
+    def test_small_group_fully_trimmed_emits_nothing(self, ray_session):
+        # n=2, p=0.5 is rejected; n=2, p=0.49 -> k=0 keeps both;
+        # a 3-row group at p=0.34 -> k=1 keeps 1
+        got = grouped_trimmed_mean(
+            _ds({"g": pa.array(["a", "a", "b", "b", "b"]),
+                 "v": pa.array([1.0, 9.0, 2.0, 4.0, 6.0], pa.float64())},
+                2),
+            "g", "v", p=0.34).to_pandas().sort_values("g") \
+            .reset_index(drop=True)
+        assert got["g"].tolist() == ["a", "b"]
+        assert got["n_kept"].tolist() == [2, 1]
+        assert got["trimmed_mean"].tolist() == [5.0, 4.0]
+
+    def test_ties_trim_as_multiset(self, ray_session):
+        # 1 1 1 5 9 9 9 with p=0.15 -> k=1: drop ONE 1 and ONE 9
+        got = grouped_trimmed_mean(
+            _ds({"g": pa.array(["x"] * 7),
+                 "v": pa.array([1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0],
+                               pa.float64())}, 3),
+            "g", "v", p=0.15).to_pandas()
+        assert got["n_kept"].tolist() == [5]
+        assert got["trimmed_mean"].tolist() == [(1 + 1 + 5 + 9 + 9) / 5]
+
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(79)
+        n = 25000
+        g = rng.choice(["p", "q", "r", "s"], n)
+        v = np.round(rng.normal(500, 200, n), 2)
+        v[rng.random(n) < 0.03] = np.nan
+        arr = pa.array(v, pa.float64())
+        got = grouped_trimmed_mean(
+            _ds({"g": pa.array(g), "v": arr}, 8), "g", "v", p=0.1
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        df = pd.DataFrame({"g": g, "v": arr.to_pandas()})
+        exp = duckdb.sql("""
+            WITH f AS (SELECT g, CAST(ROUND(v*100) AS BIGINT) AS c
+                       FROM df WHERE v IS NOT NULL),
+            r AS (SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g
+                                                  ORDER BY c) AS rn,
+                         COUNT(*) OVER (PARTITION BY g) AS n FROM f),
+            k AS (SELECT *, CAST(FLOOR(CAST(n AS DOUBLE) * 0.1)
+                                 AS BIGINT) AS k FROM r)
+            SELECT g, COUNT(*) AS n_kept,
+                   CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
+            FROM k WHERE rn > k AND rn <= n - k
+            GROUP BY g ORDER BY g
+        """).df()
+        assert got["n_kept"].tolist() == exp["n_kept"].tolist()
+        assert (got["trimmed_mean"].to_numpy()
+                == exp["trimmed_mean"].to_numpy()).all()
+
+    def test_p_range_and_overflow_guards(self, ray_session):
+        with pytest.raises(ValueError, match="p must be"):
+            grouped_trimmed_mean(
+                _ds({"g": pa.array(["a"]),
+                     "v": pa.array([1.0], pa.float64())}, 1),
+                "g", "v", p=0.5)
+        with pytest.raises(Exception, match="2\\^62"):
+            grouped_trimmed_mean(
+                _ds({"g": pa.array(["a", "a", "a"]),
+                     "v": pa.array([2.0 ** 61, 1.0, 2.0], pa.float64())},
+                    1),
+                "g", "v", p=0.1).materialize()

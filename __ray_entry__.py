@@ -4615,6 +4615,31 @@ def q_price_trimmed_mean(sf_dir: str):
                                 p=0.1).sort("l_returnflag")
 
 
+def q_price_histogram(sf_dir: str):
+    """Equi-width distribution histogram (stages/stats.
+    equiwidth_histogram): lineitem prices over [0, 120000) in 24 bins —
+    exact int64 cents binning (no float bin-edge drift), map-side
+    bincount partials; raw rows never shuffle. Pure int64 output."""
+    from jsschema_ray.stages.stats import equiwidth_histogram
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return equiwidth_histogram(ds, "l_extendedprice", 0.0, 120000.0,
+                               24).sort("bin")
+
+
+def q_price_ks_flags(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov (stages/drift.exact_ks):
+    D = max |F_A(v) - F_R(v)| between return-flag slices of
+    l_extendedprice from EXACT per-value counts — the no-sketch drift
+    statistic, with the argmax location (smallest cents achieving the
+    max). ks is bit-equal to the SQL window-sum mirror (two casts, two
+    divisions, one subtraction, one abs per value)."""
+    from jsschema_ray.stages.drift import exact_ks
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return exact_ks(ds, "l_returnflag", "l_extendedprice", "A", "R")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4703,6 +4728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_monotonicity": q_value_monotonicity,  # r5e NEW operator: per-key sequence-validity audit — replaces quantity_price_corr in-window (exact-moment float-finish family stays represented by quantity_stddev + quantity_skewness + revenue_gini; corr stays locally mirrored)
         "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
         "price_trimmed_mean": q_price_trimmed_mean,  # r5f NEW tail operator (positions 51+): grouped trimmed mean — _grouped_value_counts machinery pinned in-window by revenue_gini; local mirror verifies
+        "price_histogram": q_price_histogram,  # r5f NEW tail operator: exact equi-width histogram — bincount-partial machinery pinned in-window by benford_digits; local mirror verifies
+        "price_ks_flags": q_price_ks_flags,  # r5f NEW tail operator: exact two-sample KS — grouped_sums count machinery pinned in-window by event_count_spikes; local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6234,6 +6261,46 @@ def oracle_sql() -> dict[str, str]:
                        AS trimmed_mean
             FROM k WHERE rn > k AND rn <= n - k
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # equi-width histogram: exact int64 cents binning; numerator is
+        # non-negative (the WHERE), so SQL's truncating // == floor —
+        # bit-equal
+        "price_histogram": """
+            WITH f AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                              AS c
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            b AS (SELECT (c - 0) // 500000 AS bin FROM f
+                  WHERE c >= 0 AND c < 12000000)
+            SELECT bin, 0 + bin * 500000 AS bin_lo_cents, COUNT(*) AS n
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        # exact two-sample KS: per-value |ca/n1 - cb/n2| is two casts +
+        # two divisions + one sub + one abs in one spelled order, so the
+        # (ks DESC, at_cents) argmax picks the identical row — bit-equal
+        "price_ks_flags": """
+            WITH f AS (SELECT CASE WHEN l_returnflag = 'A' THEN 1
+                                   ELSE 2 END AS side,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                                  AS c
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL
+                         AND l_returnflag IN ('A','R')),
+            p AS (SELECT c,
+                         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS b
+                  FROM f GROUP BY c),
+            w AS (SELECT c,
+                         CAST(SUM(a) OVER (ORDER BY c) AS BIGINT) AS ca,
+                         CAST(SUM(b) OVER (ORDER BY c) AS BIGINT) AS cb,
+                         CAST(SUM(a) OVER () AS BIGINT) AS n1,
+                         CAST(SUM(b) OVER () AS BIGINT) AS n2
+                  FROM p)
+            SELECT n1, n2, c AS at_cents,
+                   ABS(CAST(ca AS DOUBLE)/CAST(n1 AS DOUBLE)
+                       - CAST(cb AS DOUBLE)/CAST(n2 AS DOUBLE)) AS ks
+            FROM w ORDER BY ks DESC, at_cents LIMIT 1
         """,
         # whole-schema null profile: exact int64 validity counts; frac is
         # one cast pair + one division per row — bit-equal

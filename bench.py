@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "null_profile",
     "candidate_keys",
     "price_trimmed_mean",
+    "price_histogram",
+    "price_ks_flags",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -304,3 +304,99 @@ def chi_square_cells(ds, row_col: str, col_col: str,
 
     return cells.map_batches(finish, batch_format="pyarrow",
                              batch_size=None)
+
+
+def exact_ks(ds, group_col: str, value_col: str, g1, g2,
+             scale: int = 100, batch_size: int = 262144):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two slices
+    of a 2-decimal column — the no-sketch companion to the t-digest KS
+    (build_profile/ks_drift): D = max over the merged value domain of
+    |F1(v) - F2(v)|, computed from EXACT per-value counts. Output ONE
+    row:
+
+        (n1 int64, n2 int64, at_cents int64, ks float64)
+
+    where at_cents is the SMALLEST scaled value achieving the maximum
+    (deterministic argmax tie-break), values scale to exact int64 cents
+    (round-half-away), NULL values and rows outside {g1, g2} drop.
+    Exactness contract: the per-value statistic is ABS(ca/n1 - cb/n2) —
+    two exact int64->double casts, two IEEE divisions, one subtraction,
+    one abs, in ONE spelled order — so every d is bit-equal to the SQL
+    window-sum mirror and the (ks DESC, at_cents ASC) argmax picks the
+    identical row. Guards RAISE on |v*scale| >= 2^62 and n >= 2^53;
+    an empty slice (n1 or n2 = 0) RAISES — KS is undefined.
+
+    Scale shape: per-(side, cents) counts via map-side-combined
+    grouped_sums (raw rows never shuffle; the shuffle carries distinct
+    (side, value) count rows), then ONE single-task finish over the
+    O(distinct-values) table — the same fits-one-worker contract as the
+    categorical-drift family (a 2-decimal domain is bounded by its
+    range). NOTE: a zero-row upstream yields a schema-less Dataset
+    (Ray's groupby emits no blocks); callers feed real slices."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.windows import round_half_away
+
+    def prep(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        keep = pc.and_(
+            pc.is_valid(batch.column(value_col)),
+            pc.is_in(gcol, value_set=pa.array([g1, g2])))
+        b = batch.select([group_col, value_col]).filter(keep)
+        v = np.asarray(b.column(value_col).combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        side = pc.if_else(pc.equal(b.column(group_col), pa.scalar(g1)),
+                          pa.scalar(1, pa.int64()),
+                          pa.scalar(2, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        # NaN drops like NULL (the repo-wide pandas-origin convention —
+        # _grouped_value_counts' notna; the mirror's IS NOT NULL)
+        ok = ~np.isnan(v)
+        v, side = v[ok], side[ok]
+        scaled = round_half_away(v * scale)
+        if len(scaled) and np.abs(scaled).max() >= 2.0**62:
+            raise ValueError(
+                f"exact_ks: |{value_col} * {scale}| reaches 2^62 — the "
+                "int64 cents round-trip would lose exactness")
+        return pa.table({"side": pa.array(side, pa.int64()),
+                         "c": pa.array(scaled.astype(np.int64))})
+
+    counts = grouped_sums(
+        ds.select_columns([group_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ), ["side", "c"], {}, count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        piv = df.pivot_table(index="c", columns="side", values="n",
+                             aggfunc="sum", fill_value=0)
+        a = piv[1].to_numpy(dtype=np.int64) if 1 in piv.columns \
+            else np.zeros(len(piv), np.int64)
+        b = piv[2].to_numpy(dtype=np.int64) if 2 in piv.columns \
+            else np.zeros(len(piv), np.int64)
+        ca, cb = np.cumsum(a), np.cumsum(b)
+        n1 = int(ca[-1]) if len(ca) else 0
+        n2 = int(cb[-1]) if len(cb) else 0
+        if n1 == 0 or n2 == 0:
+            raise ValueError(
+                f"exact_ks: slice {'g1' if n1 == 0 else 'g2'} is empty "
+                "— the KS statistic is undefined")
+        if n1 >= 2**53 or n2 >= 2**53:
+            raise ValueError("exact_ks: slice count reaches 2^53 — the "
+                             "exact double cast would round")
+        d = np.abs(ca.astype(np.float64) / np.float64(n1)
+                   - cb.astype(np.float64) / np.float64(n2))
+        i = int(np.argmax(d))  # first max == smallest c among maxima
+        return pa.table({
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "at_cents": pa.array([int(piv.index[i])], pa.int64()),
+            "ks": pa.array([float(d[i])], pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

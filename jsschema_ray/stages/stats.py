@@ -706,10 +706,10 @@ def benford_digits(ds, column: str, scale: int = 100,
     from jsschema_ray.stages.windows import round_half_away
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).combine_chunks().drop_null() \
-            .to_numpy(zero_copy_only=False)
-        scaled = np.abs(round_half_away(np.asarray(v, np.float64)
-                                        * scale))
+        v = np.asarray(batch.column(column).combine_chunks().drop_null()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        v = v[~np.isnan(v)]  # NaN drops like NULL (repo convention)
+        scaled = np.abs(round_half_away(v * scale))
         if len(scaled) and scaled.max() >= 2.0**62:
             raise ValueError(
                 f"benford_digits: |{column} * {scale}| reaches 2^62 — "
@@ -803,6 +803,78 @@ def null_profile(ds, columns: list[str] | None = None,
         nn = t.column("n_nulls").to_numpy(zero_copy_only=False)
         return t.append_column("null_frac", pa.array(
             nn.astype(np.float64) / nr.astype(np.float64), pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
+def equiwidth_histogram(ds, column: str, lo: float, hi: float,
+                        nbins: int, scale: int = 100,
+                        batch_size: int = 262144):
+    """EQUI-WIDTH histogram of a 2-decimal column over [lo, hi): the
+    distribution page of a profiling report, with EXACT integer binning
+    — no float bin-edge drift. Output one row per OBSERVED bin:
+
+        (bin int64, bin_lo_cents int64, n int64)
+
+    where values scale to exact int64 cents (round-half-away, the
+    repo-wide recipe), rows outside [lo_cents, hi_cents) and NULLs drop
+    (the mirror's WHERE — keeping the floor-division numerator
+    non-negative, where numpy's floor and SQL's truncating ``//``
+    agree), and bin = (cents − lo_cents) // width_cents in pure int64.
+    ``(hi−lo)·scale`` must divide evenly by nbins or the stage REFUSES
+    (a fractional width would bin differently between engines). All
+    outputs int64, so engine == SQL bit-equal by construction.
+
+    Scale shape: per-batch bincount-style partials via one Arrow
+    group_by inside grouped_sums (map-side combine — raw rows never
+    shuffle; the shuffle carries ≤ nbins × batches count rows)."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.windows import round_half_away
+
+    lo_cents = int(round_half_away(np.float64(lo) * scale))
+    hi_cents = int(round_half_away(np.float64(hi) * scale))
+    if hi_cents <= lo_cents or nbins <= 0:
+        raise ValueError("equiwidth_histogram: need lo < hi, nbins > 0")
+    if (hi_cents - lo_cents) % nbins:
+        raise ValueError(
+            f"equiwidth_histogram: ({hi} - {lo}) * {scale} = "
+            f"{hi_cents - lo_cents} cents does not divide evenly into "
+            f"{nbins} bins — a fractional width would bin differently "
+            "between engines")
+    width = (hi_cents - lo_cents) // nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(column).combine_chunks().drop_null()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        v = v[~np.isnan(v)]  # NaN drops like NULL (repo convention)
+        scaled = round_half_away(v * scale)
+        if len(scaled) and np.abs(scaled).max() >= 2.0**62:
+            raise ValueError(
+                f"equiwidth_histogram: |{column} * {scale}| reaches "
+                "2^62 — the int64 cents round-trip would lose exactness")
+        c = scaled.astype(np.int64)
+        c = c[(c >= lo_cents) & (c < hi_cents)]
+        b = (c - lo_cents) // width
+        cnt = np.bincount(b, minlength=nbins)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            "bin": pa.array(keep, pa.int64()),
+            "n_partial": pa.array(cnt[keep], pa.int64()),
+        })
+
+    merged = grouped_sums(ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ), ["bin"], {"n": "n_partial"}, count_alias=None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": t.column("bin"),
+            "bin_lo_cents": pa.array(lo_cents + b * width, pa.int64()),
+            "n": t.column("n"),
+        })
 
     return merged.map_batches(finish, batch_format="pyarrow",
                               batch_size=batch_size)

@@ -509,3 +509,125 @@ class TestGroupedTrimmedMean:
                      "v": pa.array([2.0 ** 61, 1.0, 2.0], pa.float64())},
                     1),
                 "g", "v", p=0.1).materialize()
+
+
+from jsschema_ray.stages.drift import exact_ks
+from jsschema_ray.stages.stats import equiwidth_histogram
+
+
+class TestEquiwidthHistogram:
+    def test_known_bins_and_boundaries(self, ray_session):
+        # [0, 10) in 5 bins of width 2.00 (200 cents); 9.99 -> bin 4,
+        # 10.0 -> outside (drops), -0.01 -> outside, 2.00 -> bin 1
+        got = equiwidth_histogram(
+            _ds({"v": pa.array([0.0, 1.99, 2.0, 9.99, 10.0, -0.01, None],
+                               pa.float64())}, 3),
+            "v", 0.0, 10.0, 5).to_pandas().sort_values("bin") \
+            .reset_index(drop=True)
+        assert got["bin"].tolist() == [0, 1, 4]
+        assert got["bin_lo_cents"].tolist() == [0, 200, 800]
+        assert got["n"].tolist() == [2, 1, 1]
+
+    def test_uneven_width_refuses(self, ray_session):
+        with pytest.raises(ValueError, match="divide evenly"):
+            equiwidth_histogram(
+                _ds({"v": pa.array([1.0], pa.float64())}, 1),
+                "v", 0.0, 10.0, 3)
+
+    def test_matches_duckdb_random(self, ray_session):
+        rng = np.random.default_rng(83)
+        v = np.round(rng.normal(50, 30, 20000), 2)
+        got = equiwidth_histogram(
+            _ds({"v": pa.array(v, pa.float64())}, 8),
+            "v", 0.0, 100.0, 20).to_pandas().sort_values("bin") \
+            .reset_index(drop=True)
+        df = pd.DataFrame({"v": v})
+        exp = duckdb.sql("""
+            WITH f AS (SELECT CAST(ROUND(v*100) AS BIGINT) AS c FROM df
+                       WHERE v IS NOT NULL),
+            b AS (SELECT (c - 0) // 500 AS bin FROM f
+                  WHERE c >= 0 AND c < 10000)
+            SELECT bin, 0 + bin * 500 AS bin_lo_cents, COUNT(*) AS n
+            FROM b GROUP BY bin ORDER BY bin
+        """).df()
+        for c in exp.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestExactKS:
+    def test_identical_slices_ks_zero(self, ray_session):
+        v = [1.0, 2.0, 3.0] * 4
+        g = ["a"] * 6 + ["b"] * 6
+        got = exact_ks(
+            _ds({"g": pa.array(g), "v": pa.array(v, pa.float64())}, 3),
+            "g", "v", "a", "b").to_pandas()
+        assert got["ks"].tolist() == [0.0]
+        assert got["n1"].tolist() == [6] and got["n2"].tolist() == [6]
+
+    def test_disjoint_slices_ks_one(self, ray_session):
+        got = exact_ks(
+            _ds({"g": pa.array(["a", "a", "b", "b"]),
+                 "v": pa.array([1.0, 2.0, 5.0, 6.0], pa.float64())}, 2),
+            "g", "v", "a", "b").to_pandas()
+        assert got["ks"].tolist() == [1.0]
+        assert got["at_cents"].tolist() == [200]  # smallest argmax
+
+    def test_empty_slice_raises(self, ray_session):
+        with pytest.raises(Exception, match="undefined"):
+            exact_ks(
+                _ds({"g": pa.array(["a", "a"]),
+                     "v": pa.array([1.0, 2.0], pa.float64())}, 1),
+                "g", "v", "a", "zzz").materialize()
+
+    def test_bit_identical_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(89)
+        n = 30000
+        g = rng.choice(["a", "b", "c"], n)       # 'c' rows must drop
+        v = np.round(np.where(g == "a",
+                              rng.normal(100, 20, n),
+                              rng.normal(104, 22, n)), 2)
+        v[rng.random(n) < 0.02] = np.nan
+        arr = pa.array(v, pa.float64())
+        got = exact_ks(
+            _ds({"g": pa.array(g), "v": arr}, 8),
+            "g", "v", "a", "b").to_pandas()
+        df = pd.DataFrame({"g": g, "v": arr.to_pandas()})
+        exp = duckdb.sql("""
+            WITH f AS (SELECT CASE WHEN g = 'a' THEN 1 ELSE 2 END AS side,
+                              CAST(ROUND(v*100) AS BIGINT) AS c
+                       FROM df WHERE v IS NOT NULL AND g IN ('a','b')),
+            p AS (SELECT c,
+                         CAST(SUM(CASE WHEN side=1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN side=2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS b
+                  FROM f GROUP BY c),
+            w AS (SELECT c,
+                         CAST(SUM(a) OVER (ORDER BY c) AS BIGINT) AS ca,
+                         CAST(SUM(b) OVER (ORDER BY c) AS BIGINT) AS cb,
+                         CAST(SUM(a) OVER () AS BIGINT) AS n1,
+                         CAST(SUM(b) OVER () AS BIGINT) AS n2
+                  FROM p)
+            SELECT n1, n2, c AS at_cents,
+                   ABS(CAST(ca AS DOUBLE)/CAST(n1 AS DOUBLE)
+                       - CAST(cb AS DOUBLE)/CAST(n2 AS DOUBLE)) AS ks
+            FROM w ORDER BY ks DESC, at_cents LIMIT 1
+        """).df()
+        for c in exp.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert (got["ks"].to_numpy() == exp["ks"].to_numpy()).all()
+
+
+class TestNaNDropsLikeNull:
+    """NaN (a VALUE in Arrow, but NULL once it round-trips through
+    pandas/DuckDB) must drop exactly like NULL in every cents-scaling
+    op — the _grouped_value_counts notna convention."""
+
+    def test_benford_and_histogram_ignore_nan(self, ray_session):
+        arr = pa.array([float("nan"), 3.21, float("nan")], pa.float64())
+        got = benford_digits(_ds({"v": arr}, 2), "v").to_pandas()
+        assert got["digit"].tolist() == [3]
+        assert got["n"].tolist() == [1]
+        h = equiwidth_histogram(_ds({"v": arr}, 2), "v",
+                                0.0, 10.0, 5).to_pandas()
+        assert h["n"].tolist() == [1]

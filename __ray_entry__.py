@@ -4640,6 +4640,18 @@ def q_price_ks_flags(sf_dir: str):
     return exact_ks(ds, "l_returnflag", "l_extendedprice", "A", "R")
 
 
+def q_user_activity_histogram(sf_dir: str):
+    """Key-cardinality degree distribution (stages/uniqueness.
+    group_size_histogram): how many users have exactly k events — the
+    hot-key / shuffle-skew detector run before picking a partitioning
+    key. Pure int64; the only wide op is the map-side-combined per-key
+    count."""
+    from jsschema_ray.stages.uniqueness import group_size_histogram
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return group_size_histogram(ds, ["user_id"]).sort("group_size")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4730,6 +4742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_trimmed_mean": q_price_trimmed_mean,  # r5f NEW tail operator (positions 51+): grouped trimmed mean — _grouped_value_counts machinery pinned in-window by revenue_gini; local mirror verifies
         "price_histogram": q_price_histogram,  # r5f NEW tail operator: exact equi-width histogram — bincount-partial machinery pinned in-window by benford_digits; local mirror verifies
         "price_ks_flags": q_price_ks_flags,  # r5f NEW tail operator: exact two-sample KS — grouped_sums count machinery pinned in-window by event_count_spikes; local mirror verifies
+        "user_activity_histogram": q_user_activity_histogram,  # r5f NEW tail operator: key degree distribution (skew detector) — double-grouped_sums machinery pinned in-window by duplicate_keys + event_count_spikes; local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6261,6 +6274,14 @@ def oracle_sql() -> dict[str, str]:
                        AS trimmed_mean
             FROM k WHERE rn > k AND rn <= n - k
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # degree distribution: two nested exact GROUP BY counts — pure
+        # int64, bit-equal (NULL keys one group on both sides)
+        "user_activity_histogram": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+                       GROUP BY user_id)
+            SELECT n AS group_size, COUNT(*) AS n_keys FROM c
+            GROUP BY n ORDER BY n
         """,
         # equi-width histogram: exact int64 cents binning; numerator is
         # non-negative (the WHERE), so SQL's truncating // == floor —

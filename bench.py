@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "price_trimmed_mean",
     "price_histogram",
     "price_ks_flags",
+    "user_activity_histogram",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -385,6 +385,43 @@ def candidate_keys(ds, combos: list[list[str]],
         .reset_index(drop=True)
 
 
+def group_size_histogram(ds, key_cols: list[str],
+                         batch_size: int = 262144):
+    """KEY-CARDINALITY degree distribution (the hot-key / skew
+    detector): how many distinct keys have exactly k rows — the
+    histogram every shuffle-planning decision wants BEFORE picking a
+    partitioning key (a heavy tail here predicts a straggler reducer at
+    100 TB; the repo's join salting and bucket strategies key off it).
+    Output one row per observed group size:
+
+        (group_size int64, n_keys int64)
+
+    Pure int64 counts — engine == SQL mirror (GROUP BY key → COUNT(*),
+    then GROUP BY that count) bit-equal. NULL keys form ONE group (SQL
+    GROUP BY semantics; Arrow group_by agrees).
+
+    Scale shape: stage 1 is the ONLY wide op — per-key counts via
+    map-side-combined grouped_sums (each batch collapses to its
+    distinct keys first, so the shuffle carries distinct-per-batch
+    partials, never raw rows); stage 2 re-aggregates the O(keys) count
+    table by count VALUE — output is O(distinct sizes), tiny by
+    construction. No driver-side data loop."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    per_key = grouped_sums(ds.select_columns(list(key_cols)),
+                           list(key_cols), {}, count_alias="__n",
+                           batch_size=batch_size)
+    out = grouped_sums(per_key.select_columns(["__n"]), ["__n"], {},
+                       count_alias="n_keys", batch_size=batch_size)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["group_size" if c == "__n" else c for c in t.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           batch_size=batch_size)
+
+
 def _setop_rows(left, right, how: str, columns: Optional[list[str]] = None,
                 batch_size: int = 262144, num_parts: int = 64):
     """Shared engine for SQL EXCEPT / INTERSECT (both DISTINCT set ops):

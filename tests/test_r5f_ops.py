@@ -631,3 +631,36 @@ class TestNaNDropsLikeNull:
         h = equiwidth_histogram(_ds({"v": arr}, 2), "v",
                                 0.0, 10.0, 5).to_pandas()
         assert h["n"].tolist() == [1]
+
+
+from jsschema_ray.stages.uniqueness import group_size_histogram
+
+
+class TestGroupSizeHistogram:
+    def test_known_degrees_with_null_key(self, ray_session):
+        # keys: a x3, b x1, NULL x2 -> sizes {3:1, 1:1, 2:1}
+        got = group_size_histogram(
+            _ds({"k": pa.array(["a", "a", "a", "b", None, None])}, 3),
+            ["k"]).to_pandas().sort_values("group_size") \
+            .reset_index(drop=True)
+        assert got["group_size"].tolist() == [1, 2, 3]
+        assert got["n_keys"].tolist() == [1, 1, 1]
+
+    def test_multi_key_and_duckdb(self, ray_session):
+        rng = np.random.default_rng(97)
+        n = 20000
+        a = rng.integers(0, 300, n)
+        b = rng.integers(0, 5, n)
+        got = group_size_histogram(
+            _ds({"a": pa.array(a, pa.int64()),
+                 "b": pa.array(b, pa.int64())}, 8),
+            ["a", "b"]).to_pandas().sort_values("group_size") \
+            .reset_index(drop=True)
+        df = pd.DataFrame({"a": a, "b": b})
+        exp = duckdb.sql("""
+            WITH c AS (SELECT a, b, COUNT(*) AS n FROM df GROUP BY a, b)
+            SELECT n AS group_size, COUNT(*) AS n_keys FROM c
+            GROUP BY n ORDER BY n
+        """).df()
+        for c in exp.columns:
+            assert got[c].tolist() == exp[c].tolist(), c

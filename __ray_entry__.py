@@ -4652,6 +4652,19 @@ def q_user_activity_histogram(sf_dir: str):
     return group_size_histogram(ds, ["user_id"]).sort("group_size")
 
 
+def q_revenue_pivot(sf_dir: str):
+    """Wide conditional-SUM pivot (stages/aggregates.pivot_sums): per
+    return flag, the exact int64 cents sum of l_extendedprice for each
+    line status as columns — SUM(CASE WHEN status = cat) crosstab. One
+    np.add.at fold per batch; only width-(K+1) partials shuffle."""
+    from jsschema_ray.stages.aggregates import pivot_sums
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    return pivot_sums(ds, "l_returnflag", "l_linestatus",
+                      "l_extendedprice", ["O", "F"]).sort("l_returnflag")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4743,6 +4756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": q_price_histogram,  # r5f NEW tail operator: exact equi-width histogram — bincount-partial machinery pinned in-window by benford_digits; local mirror verifies
         "price_ks_flags": q_price_ks_flags,  # r5f NEW tail operator: exact two-sample KS — grouped_sums count machinery pinned in-window by event_count_spikes; local mirror verifies
         "user_activity_histogram": q_user_activity_histogram,  # r5f NEW tail operator: key degree distribution (skew detector) — double-grouped_sums machinery pinned in-window by duplicate_keys + event_count_spikes; local mirror verifies
+        "revenue_pivot": q_revenue_pivot,  # r5f NEW tail operator: conditional-SUM crosstab (pivot_counts' exact-cents sibling) — wide-partial machinery pinned in-window by tpch_q1; local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6274,6 +6288,23 @@ def oracle_sql() -> dict[str, str]:
                        AS trimmed_mean
             FROM k WHERE rn > k AND rn <= n - k
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # conditional-SUM pivot: exact int64 cents, rows outside the
+        # category domain dropped BEFORE grouping on both sides —
+        # bit-equal
+        "revenue_pivot": """
+            WITH f AS (SELECT l_returnflag, l_linestatus,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                                  AS c
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL
+                         AND l_linestatus IN ('O', 'F'))
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O' THEN c
+                                 ELSE 0 END) AS BIGINT) AS sum_O_cents,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN c
+                                 ELSE 0 END) AS BIGINT) AS sum_F_cents
+            FROM f GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # degree distribution: two nested exact GROUP BY counts — pure
         # int64, bit-equal (NULL keys one group on both sides)

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "price_histogram",
     "price_ks_flags",
     "user_activity_histogram",
+    "revenue_pivot",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

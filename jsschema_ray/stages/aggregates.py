@@ -113,6 +113,79 @@ def pivot_counts(ds, row_key: str, col_key: str, categories: list,
     return grouped_sums(parts, [row_key], {c: c for c in out_cols},
                         count_alias=None)
 
+
+def pivot_sums(ds, row_key: str, col_key: str, value_col: str,
+               categories: list, scale: int = 100,
+               prefix: str = "sum_", suffix: str = "_cents",
+               batch_size: int = 65536):
+    """Crosstab / pivot with SUM payload: per ``row_key``, the exact
+    int64 cents sum of ``value_col`` for each ``col_key`` category as a
+    WIDE table (one column per category) — SQL conditional aggregation
+    ``SUM(CASE WHEN col = cat THEN cents ELSE 0 END)`` over rows WHERE
+    col IN categories (row_keys whose every row is out-of-domain emit
+    NOTHING on both sides — mirror with the same WHERE). Values scale
+    to exact int64 cents (round-half-away); NULL/NaN values drop like
+    the mirror's CASE ... IS NOT NULL. Pure int64 output → bit-equal.
+
+    Scale shape: identical to :func:`pivot_counts` — each batch folds
+    into ONE np.add.at over the combined (row_rank x K + cat) index
+    (int64-exact, unlike a float-weighted bincount) and emits one wide
+    partial row per distinct row_key in the batch; the only shuffle
+    moves width-(K+1) partials through grouped_sums. K is a SCHEMA
+    width — keep it small. Sums share grouped_sums' int64 range (same
+    contract as every x100-revenue query in this repo)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.windows import round_half_away
+
+    cats = list(categories)
+    k = len(cats)
+    if not k:
+        raise ValueError("categories must be non-empty")
+    if len(set(cats)) != k:
+        raise ValueError("categories must be distinct")
+    out_cols = [f"{prefix}{c}{suffix}" for c in cats]
+    cat_arr = pa.array(cats)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ci = pc.index_in(
+            batch.column(col_key).combine_chunks(), value_set=cat_arr)
+        keep = pc.and_(ci.is_valid(),
+                       pc.is_valid(batch.column(value_col)))
+        ci_np = pc.filter(ci, keep).to_numpy(zero_copy_only=False)
+        rows = pc.filter(batch.column(row_key).combine_chunks(),
+                         keep).to_numpy(zero_copy_only=False)
+        v = np.asarray(pc.filter(batch.column(value_col).combine_chunks(),
+                                 keep).to_numpy(zero_copy_only=False),
+                       np.float64)
+        ok = ~np.isnan(v)  # NaN drops like NULL (repo convention)
+        ci_np, rows, v = ci_np[ok], rows[ok], v[ok]
+        scaled = round_half_away(v * scale)
+        if len(scaled) and np.abs(scaled).max() >= 2.0**62:
+            raise ValueError(
+                f"pivot_sums: |{value_col} * {scale}| reaches 2^62 — "
+                "the int64 cents round-trip would lose exactness")
+        if not len(rows):
+            return pa.table(
+                {row_key: batch.column(row_key).slice(0, 0)}
+                | {c: pa.array([], pa.int64()) for c in out_cols})
+        uniq, rk = np.unique(rows, return_inverse=True)
+        acc = np.zeros(len(uniq) * k, dtype=np.int64)
+        np.add.at(acc, rk.astype(np.int64) * k + ci_np.astype(np.int64),
+                  scaled.astype(np.int64))
+        acc = acc.reshape(len(uniq), k)
+        return pa.table(
+            {row_key: pa.array(uniq)}
+            | {c: pa.array(acc[:, j]) for j, c in enumerate(out_cols)})
+
+    parts = ds.select_columns(
+        [row_key, col_key, value_col]
+    ).map_batches(partial, batch_format="pyarrow",
+                  batch_size=batch_size, zero_copy_batch=True)
+    return grouped_sums(parts, [row_key], {c: c for c in out_cols},
+                        count_alias=None)
+
 def grouped_count_distinct(ds, group: str, col: str,
                            num_partitions: int = 64,
                            batch_size: int = 65536):

@@ -664,3 +664,56 @@ class TestGroupSizeHistogram:
         """).df()
         for c in exp.columns:
             assert got[c].tolist() == exp[c].tolist(), c
+
+
+from jsschema_ray.stages.aggregates import pivot_sums
+
+
+class TestPivotSums:
+    def test_known_crosstab(self, ray_session):
+        got = pivot_sums(
+            _ds({"r": pa.array(["a", "a", "b", "a", "b"]),
+                 "c": pa.array(["x", "y", "x", "x", "z"]),
+                 "v": pa.array([1.0, 2.0, 3.0, 4.0, 99.0],
+                               pa.float64())}, 3),
+            "r", "c", "v", ["x", "y"]).to_pandas() \
+            .sort_values("r").reset_index(drop=True)
+        # 'z' rows drop entirely; b keeps only its x row
+        assert got["r"].tolist() == ["a", "b"]
+        assert got["sum_x_cents"].tolist() == [500, 300]
+        assert got["sum_y_cents"].tolist() == [200, 0]
+
+    def test_nan_null_drop_and_out_of_domain_only_key(self, ray_session):
+        got = pivot_sums(
+            _ds({"r": pa.array(["a", "a", "only_z"]),
+                 "c": pa.array(["x", "x", "z"]),
+                 "v": pa.array([1.5, None, 7.0], pa.float64())}, 2),
+            "r", "c", "v", ["x"]).to_pandas()
+        assert got["r"].tolist() == ["a"]       # only_z emits nothing
+        assert got["sum_x_cents"].tolist() == [150]
+
+    def test_matches_duckdb_random(self, ray_session):
+        rng = np.random.default_rng(101)
+        n = 20000
+        r = rng.choice(["p", "q", "r"], n)
+        c = rng.choice(["O", "F", "X"], n)
+        v = np.round(rng.normal(100, 40, n), 2)
+        got = pivot_sums(
+            _ds({"r": pa.array(r), "c": pa.array(c),
+                 "v": pa.array(v, pa.float64())}, 8),
+            "r", "c", "v", ["O", "F"]).to_pandas() \
+            .sort_values("r").reset_index(drop=True)
+        df = pd.DataFrame({"r": r, "c": c, "v": v})
+        exp = duckdb.sql("""
+            WITH f AS (SELECT r, c,
+                              CAST(ROUND(v*100) AS BIGINT) AS cents
+                       FROM df WHERE v IS NOT NULL AND c IN ('O','F'))
+            SELECT r,
+                   CAST(SUM(CASE WHEN c='O' THEN cents ELSE 0 END)
+                        AS BIGINT) AS sum_O_cents,
+                   CAST(SUM(CASE WHEN c='F' THEN cents ELSE 0 END)
+                        AS BIGINT) AS sum_F_cents
+            FROM f GROUP BY r ORDER BY r
+        """).df()
+        for col in exp.columns:
+            assert got[col].tolist() == exp[col].tolist(), col

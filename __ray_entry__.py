@@ -4665,6 +4665,151 @@ def q_revenue_pivot(sf_dir: str):
                       "l_extendedprice", ["O", "F"]).sort("l_returnflag")
 
 
+def q_user_first_seen(sf_dir: str):
+    """Per-day NEW-entity counts (the cohort / corpus-growth curve every
+    ingest dashboard wants): day of each user's FIRST event via
+    stages/aggregates.grouped_extrema — the id-cardinality grouped MIN
+    (map-side pyarrow partials, hash(user) co-partition, min-of-mins) —
+    re-aggregated to (first_day, new_users). Days are exact int64 epoch
+    days (ts_us // 86400000000), so both stages and the mirror compare
+    pure integers. Raw events never shuffle: the extrema partials do."""
+    from jsschema_ray.stages.aggregates import grouped_extrema, grouped_sums
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        d = pc.divide(b.column("ts").cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": b.column("user_id"), "day": d})
+
+    first = grouped_extrema(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=262144,
+                       zero_copy_batch=True),
+        ["user_id"], {"first_day": ("day", "min")})
+    out = grouped_sums(first, ["first_day"], {}, count_alias="new_users")
+    return out.sort("first_day")
+
+
+def q_orders_snapshot_diff(sf_dir: str):
+    """Cross-version snapshot diff (stages/transform.table_diff): orders
+    vs a deterministically derived v2 (keys %97 removed, priorities of
+    keys %101 mutated, key-shifted copies of keys %89 added) classified
+    added/removed/changed by FULL-OUTER-JOIN-with-IS-DISTINCT-FROM
+    semantics — the incremental-ingest regression audit. Only the 3
+    audit columns shuffle; unchanged keys emit nothing."""
+    from jsschema_ray.stages.transform import table_diff
+
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    v1 = _read(sf_dir, "orders", cols)
+
+    def v2(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        add = b.filter(pa.array(k % 89 == 0))
+        add = add.set_column(
+            0, "o_orderkey",
+            pc.add(add.column("o_orderkey"),
+                   pa.scalar(10_000_000_000, pa.int64())))
+        keep = b.filter(pa.array(k % 97 != 0))
+        kk = keep.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pr = pc.if_else(pa.array(kk % 101 == 0),
+                        pa.scalar("X-CHANGED"),
+                        keep.column("o_orderpriority").combine_chunks())
+        keep = keep.set_column(1, "o_orderpriority", pr)
+        return pa.concat_tables([keep, add])
+
+    snap2 = _read(sf_dir, "orders", cols).map_batches(
+        v2, batch_format="pyarrow", batch_size=262144)
+    out = table_diff(v1, snap2, "o_orderkey",
+                     ["o_orderpriority", "o_totalprice"])
+    return out.sort("o_orderkey")
+
+
+def q_pareto_parts(sf_dir: str):
+    """2-D skyline over part (stages/aggregates.pareto_front): the
+    (size, price) points where no other part is both smaller AND
+    cheaper, with the count of parts on each frontier point — the
+    quadratic NOT-EXISTS audit run as two linear passes (pair-count
+    collapse -> per-size min via top_n_with_ties -> value_cdf-shaped
+    block-prefix strict-min filter). Prices compare as exact x100 int64
+    cents (round-half-away, the repo-wide recipe)."""
+    from jsschema_ray.stages.aggregates import pareto_front
+    from jsschema_ray.stages.windows import round_half_away
+
+    ds = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        v = round_half_away(
+            b.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"p_size": b.column("p_size").cast(pa.int64()),
+                         "price_cents": pa.array(v)})
+
+    out = pareto_front(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=262144),
+        "p_size", "price_cents")
+    return out.sort("p_size")
+
+
+def q_orders_checksum(sf_dir: str):
+    """Order-independent table checksum (anti-entropy consistency audit:
+    did two runs / two clusters produce the SAME table without shipping
+    it?): one row of (n_rows, key_checksum, value_checksum) where each
+    checksum is the int64 SUM of the repo's SQL-mirrorable mix32 over
+    the key / the x100-cents value — layout-independent, so a re-write
+    with different block splits hashes identically. Scan-only partials
+    (one row per batch) + one tiny distributed sum; nothing but the
+    three counters ever leaves a worker."""
+    from jsschema_ray.stages.sampling import _mix32
+    from jsschema_ray.stages.windows import round_half_away
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = round_half_away(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+            "key_checksum": pa.array([int(_mix32(k, 1).sum())], pa.int64()),
+            "value_checksum": pa.array(
+                [int(_mix32(cents % (1 << 31), 2).sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144, zero_copy_batch=True)
+    s = parts.sum(["n_rows", "key_checksum", "value_checksum"])
+    return pa.table({
+        "n_rows": pa.array([int(s["sum(n_rows)"])], pa.int64()),
+        "key_checksum": pa.array([int(s["sum(key_checksum)"])], pa.int64()),
+        "value_checksum": pa.array([int(s["sum(value_checksum)"])],
+                                   pa.int64()),
+    })
+
+
+def q_top_langs_per_source(sf_dir: str):
+    """Top-2 most frequent languages per source with ranks — the exact
+    grouped heavy-hitter report (the per-source language mix a curation
+    run checks before sampling): grouped_sums_partitioned pair counts
+    -> top_n_per_group (ROW_NUMBER QUALIFY, count DESC, lang ASC
+    deterministic tiebreak). Raw docs collapse to O(source x lang)
+    partials before the only shuffle."""
+    from jsschema_ray.stages.aggregates import (grouped_sums_partitioned,
+                                                top_n_per_group)
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    counts = grouped_sums_partitioned(ds, ["source", "lang"], {},
+                                      count_alias="n_docs", num_parts=16)
+    out = top_n_per_group(counts, group="source", value="n_docs",
+                          tiebreak="lang", n=2)
+    return out.select_columns(["source", "lang", "n_docs", "rn"]).sort(
+        ["source", "rn"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -4757,6 +4902,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_ks_flags": q_price_ks_flags,  # r5f NEW tail operator: exact two-sample KS — grouped_sums count machinery pinned in-window by event_count_spikes; local mirror verifies
         "user_activity_histogram": q_user_activity_histogram,  # r5f NEW tail operator: key degree distribution (skew detector) — double-grouped_sums machinery pinned in-window by duplicate_keys + event_count_spikes; local mirror verifies
         "revenue_pivot": q_revenue_pivot,  # r5f NEW tail operator: conditional-SUM crosstab (pivot_counts' exact-cents sibling) — wide-partial machinery pinned in-window by tpch_q1; local mirror verifies
+        "user_first_seen": q_user_first_seen,  # r5g NEW tail operator: grouped_extrema (id-cardinality grouped MIN) — partitioned-merge machinery pinned in-window by user_activity_histogram; local mirror verifies
+        "orders_snapshot_diff": q_orders_snapshot_diff,  # r5g NEW tail operator: cross-version table diff — hash-co-partition + index_in machinery pinned in-window by except_customers/near_contamination; local mirror verifies
+        "pareto_parts": q_pareto_parts,  # r5g NEW tail operator: 2-D skyline — composes in-window top_quantity_ties (top_n_with_ties) + value_cdf (block-prefix); local mirror verifies
+        "orders_checksum": q_orders_checksum,  # r5g NEW tail operator: anti-entropy table checksum — mix32 family pinned in-window by mixture_sample/weighted_sample; local mirror verifies
+        "top_langs_per_source": q_top_langs_per_source,  # r5g NEW tail composition: exact grouped heavy hitters — grouped_sums_partitioned + top_n_per_group both pinned in-window (user_activity_histogram, top_events_per_user); local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6305,6 +6455,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN c
                                  ELSE 0 END) AS BIGINT) AS sum_F_cents
             FROM f GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # cohort growth: grouped MIN of exact epoch days re-counted —
+        # pure int64, bit-equal
+        "user_first_seen": """
+            SELECT first_day, COUNT(*) AS new_users
+            FROM (SELECT user_id,
+                         MIN(epoch_us(ts) // 86400000000) AS first_day
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  GROUP BY user_id)
+            GROUP BY first_day ORDER BY first_day
+        """,
+        # snapshot diff: FULL OUTER JOIN vs the deterministically derived
+        # v2, filtered to IS-DISTINCT-FROM disagreement rows — the engine
+        # derives v2 with the identical %97/%101/%89 rules
+        "orders_snapshot_diff": """
+            WITH v2 AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 101 = 0 THEN 'X-CHANGED'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000000, o_orderpriority,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 89 = 0)
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN b.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM orders a FULL OUTER JOIN v2 b
+              ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+               OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+               OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+            ORDER BY o_orderkey
+        """,
+        # skyline: the quadratic NOT-EXISTS dominance anti-join the
+        # engine answers in two linear passes — x100 int64 cents, exact
+        "pareto_parts": """
+            WITH p AS (SELECT CAST(p_size AS BIGINT) AS p_size,
+                              CAST(ROUND(p_retailprice*100) AS BIGINT)
+                                  AS price_cents
+                       FROM part
+                       WHERE p_size IS NOT NULL
+                         AND p_retailprice IS NOT NULL)
+            SELECT p_size, price_cents, COUNT(*) AS n
+            FROM p q
+            WHERE NOT EXISTS (SELECT 1 FROM p o
+                              WHERE o.p_size <= q.p_size
+                                AND o.price_cents <= q.price_cents
+                                AND (o.p_size < q.p_size
+                                     OR o.price_cents < q.price_cents))
+            GROUP BY p_size, price_cents ORDER BY p_size
+        """,
+        # anti-entropy checksum: the same SQL-mirrorable mix32
+        # ((k + seed) * 2654435761) % 2^32 the sampling family shares,
+        # summed — order/layout independent, int64-exact on both engines
+        "orders_checksum": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(((o_orderkey + 1) * 2654435761) % 4294967296)
+                        AS BIGINT) AS key_checksum,
+                   CAST(SUM(((CAST(ROUND(o_totalprice*100) AS BIGINT)
+                              % 2147483648 + 2) * 2654435761)
+                            % 4294967296) AS BIGINT) AS value_checksum
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        """,
+        # exact grouped heavy hitters: QUALIFY ROW_NUMBER over the pair
+        # counts, count DESC with the lang ASC deterministic tiebreak
+        "top_langs_per_source": """
+            SELECT source, lang, n_docs, rn FROM (
+                SELECT source, lang, n_docs,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_docs DESC, lang)
+                           AS rn
+                FROM (SELECT source, lang, COUNT(*) AS n_docs
+                      FROM documents GROUP BY source, lang))
+            WHERE rn <= 2 ORDER BY source, rn
         """,
         # degree distribution: two nested exact GROUP BY counts — pure
         # int64, bit-equal (NULL keys one group on both sides)

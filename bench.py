@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "price_ks_flags",
     "user_activity_histogram",
     "revenue_pivot",
+    "user_first_seen",
+    "orders_snapshot_diff",
+    "pareto_parts",
+    "orders_checksum",
+    "top_langs_per_source",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -1916,3 +1916,136 @@ def grouped_sums_partitioned(ds, keys: list[str], sum_cols: dict[str, str],
         partial, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+
+
+def grouped_extrema(ds, keys: list[str], cols: dict,
+                    num_parts: int = 32, batch_size: int = 65536):
+    """groupby(keys) with MIN/MAX payloads for UNBOUNDED key cardinality
+    — the extrema sibling of :func:`grouped_sums_partitioned` (identical
+    scale shape: map-side pyarrow partials, hash(keys) co-partition, a
+    per-partition pyarrow group_by merge — min-of-mins / max-of-maxes is
+    the same two-level decomposition SUM uses, so raw rows never
+    shuffle). ``cols`` maps ``out_name -> (in_col, "min"|"max")``. The
+    first-seen / last-seen curation primitive (per-user MIN(ts), per-key
+    MAX(version)) the id-cardinality grouped_sums family had no extrema
+    answer for. NULL values skip per SQL MIN/MAX (an all-NULL group
+    emits NULL); NULL keys one group; -0.0/0.0 keys merge.
+
+    No jsschema analogue (it validates one value at a time,
+    /root/reference/validator/validator.go:57); this extends the §2.C
+    column-statistics surface to grouped form."""
+    import numpy as np
+
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    for out, (c, fn) in cols.items():
+        if fn not in ("min", "max"):
+            raise ValueError(f"grouped_extrema: {out} wants {fn!r}; "
+                             "only min/max")
+    in_aggs = sorted({(c, fn) for c, fn in cols.values()})
+    in_cols = list(dict.fromkeys(c for c, _ in in_aggs))
+    renames = {f"{c}_{fn}": out for out, (c, fn) in cols.items()}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.select(keys + in_cols)
+        for k in keys:
+            kcol = b.column(k).combine_chunks()
+            norm = normalize_zeros(kcol)
+            if norm is not kcol:
+                b = b.set_column(b.column_names.index(k), k, norm)
+        g = b.group_by(keys).aggregate(list(in_aggs))
+        g = g.rename_columns(
+            [renames.get(name, name) for name in g.column_names])
+        h = None
+        for k in keys:
+            hk = hash64(g.column(k).combine_chunks())
+            with np.errstate(over="ignore"):
+                h = hk if h is None else h * np.uint64(1000003) + hk
+        part = (h % np.uint64(num_parts)).astype(np.int32)
+        return g.append_column("__part", pa.array(part))
+
+    merge_aggs = [(out, fn) for out, (_, fn) in cols.items()]
+    back = {f"{out}_{fn}": out for out, (_, fn) in cols.items()}
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__part"]).group_by(keys).aggregate(merge_aggs)
+        return g.rename_columns(
+            [back.get(n, n) for n in g.column_names])
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+
+
+def pareto_front(ds, x: str, y: str, num_parts: int = 32,
+                 batch_size: int = 262144):
+    """2-D skyline (Pareto frontier, minimize both): the distinct
+    ``(x, y)`` points no other row dominates — ``o`` dominates ``q``
+    when ``o.x <= q.x AND o.y <= q.y`` and at least one is strict —
+    plus ``n`` = how many rows sit exactly on each frontier point. The
+    "no other config is both smaller AND cheaper" audit; SQL mirror is
+    the quadratic NOT EXISTS anti-join, this runs in two linear passes.
+    Contract: x and y integer-exact (cents-scale floats upstream);
+    NULL x/y rows drop (SQL WHERE IS NOT NULL on both).
+
+    Scale shape: (1) raw rows collapse to distinct (x, y) pair counts
+    (grouped_sums_partitioned — map-side combine, one hash shuffle of
+    pairs); (2) per-x minimum y via top_n_with_ties ascending (batch
+    pre-trim, one co-partition); (3) the O(distinct x) per-x-min table
+    range-sorts by x and the frontier test (y strictly below every
+    smaller-x minimum) finishes with the value_cdf block-prefix shape:
+    one (first_x, min_y) partial per sorted BLOCK, a driver fold over
+    O(blocks) rows into exclusive prefix minima, and a per-block seeded
+    minimum.accumulate filter. The driver never sees value rows. No
+    jsschema analogue (single-value validator,
+    /root/reference/validator/validator.go:57)."""
+    import numpy as np
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        return b.select([x, y]).drop_null()
+
+    pairs = grouped_sums_partitioned(
+        ds.map_batches(drop_nulls, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True),
+        keys=[x, y], sum_cols={}, count_alias="n",
+        num_parts=num_parts, batch_size=batch_size)
+    mins = top_n_with_ties(pairs, group=x, value=y, n=1, ascending=True,
+                           num_partitions=num_parts,
+                           batch_size=batch_size).drop_columns(["rnk"])
+    srt = mins.sort(x).materialize()
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"first": pa.array([], t.schema.field(x).type),
+                             "ymin": pa.array([], pa.int64())})
+        yv = t.column(y).to_numpy(zero_copy_only=False)
+        return pa.table({"first": t.column(x).slice(0, 1),
+                         "ymin": pa.array([int(yv.min())], pa.int64())})
+
+    parts = srt.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None).take_all()
+    parts.sort(key=lambda r: r["first"])
+    ymins = np.array([r["ymin"] for r in parts], dtype=np.int64)
+    # exclusive prefix min per block (block 0 sees +inf = keep first x)
+    excl = np.empty(len(ymins), dtype=np.float64)
+    if len(ymins):
+        excl[0] = np.inf
+        np.minimum.accumulate(ymins[:-1].astype(np.float64), out=excl[1:])
+    base_by_first = {r["first"]: excl[i] for i, r in enumerate(parts)}
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        base = base_by_first[t.column(x)[0].as_py()]
+        yv = t.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        # running min of STRICTLY SMALLER x minima: shift by one, seed
+        # with the block's exclusive base (x unique per row here)
+        prev = np.empty(len(yv))
+        prev[0] = base
+        np.minimum.accumulate(yv[:-1], out=prev[1:])
+        np.minimum(prev[1:], base, out=prev[1:])
+        return t.filter(pa.array(yv < prev))
+
+    return srt.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)

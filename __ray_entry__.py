@@ -4791,6 +4791,46 @@ def q_orders_checksum(sf_dir: str):
     })
 
 
+def q_partition_checksums(sf_dir: str):
+    """Per-partition anti-entropy checksums (the partition-granular form
+    of orders_checksum, and the practical one at 100 TB: when two runs
+    disagree, THIS pinpoints which partition diverged so the resume
+    re-verifies one slice, not the table — the north-rule lineage +
+    metrics record made comparable across runs): per o_orderpriority,
+    (n_rows, key_checksum, value_checksum) over the same SQL-mirrorable
+    mix32 sums. Per-batch grouped partials (group cardinality is the
+    partition universe, tiny) through map-side-combined grouped_sums —
+    only width-4 partial rows shuffle."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.sampling import _mix32
+    from jsschema_ray.stages.windows import round_half_away
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def mixes(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = round_half_away(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "mk": pa.array(_mix32(k, 1)),
+            "mv": pa.array(_mix32(cents % (1 << 31), 2)),
+        })
+
+    out = grouped_sums(
+        ds.map_batches(mixes, batch_format="pyarrow", batch_size=262144,
+                       zero_copy_batch=True),
+        ["o_orderpriority"],
+        {"key_checksum": "mk", "value_checksum": "mv"},
+        count_alias="n_rows")
+    return out.select_columns(
+        ["o_orderpriority", "n_rows", "key_checksum", "value_checksum"]
+    ).sort("o_orderpriority")
+
+
 def q_top_langs_per_source(sf_dir: str):
     """Top-2 most frequent languages per source with ranks — the exact
     grouped heavy-hitter report (the per-source language mix a curation
@@ -4906,6 +4946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": q_orders_snapshot_diff,  # r5g NEW tail operator: cross-version table diff — hash-co-partition + index_in machinery pinned in-window by except_customers/near_contamination; local mirror verifies
         "pareto_parts": q_pareto_parts,  # r5g NEW tail operator: 2-D skyline — composes in-window top_quantity_ties (top_n_with_ties) + value_cdf (block-prefix); local mirror verifies
         "orders_checksum": q_orders_checksum,  # r5g NEW tail operator: anti-entropy table checksum — mix32 family pinned in-window by mixture_sample/weighted_sample; local mirror verifies
+        "partition_checksums": q_partition_checksums,  # r5g NEW tail operator: per-partition anti-entropy checksums (the north-rule lineage record made run-comparable) — grouped_sums + mix32 both window-pinned; local mirror verifies
         "top_langs_per_source": q_top_langs_per_source,  # r5g NEW tail composition: exact grouped heavy hitters — grouped_sums_partitioned + top_n_per_group both pinned in-window (user_activity_histogram, top_events_per_user); local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
@@ -6522,6 +6563,20 @@ def oracle_sql() -> dict[str, str]:
                             % 4294967296) AS BIGINT) AS value_checksum
             FROM orders
             WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        """,
+        # per-partition anti-entropy: same mix32 mirror, GROUP BY the
+        # partition column — int64-exact, layout-independent
+        "partition_checksums": """
+            SELECT o_orderpriority, COUNT(*) AS n_rows,
+                   CAST(SUM(((o_orderkey + 1) * 2654435761) % 4294967296)
+                        AS BIGINT) AS key_checksum,
+                   CAST(SUM(((CAST(ROUND(o_totalprice*100) AS BIGINT)
+                              % 2147483648 + 2) * 2654435761)
+                            % 4294967296) AS BIGINT) AS value_checksum
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # exact grouped heavy hitters: QUALIFY ROW_NUMBER over the pair
         # counts, count DESC with the lang ASC deterministic tiebreak

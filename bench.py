@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "pareto_parts",
     "orders_checksum",
+    "partition_checksums",
     "top_langs_per_source",
     "except_all_events",
     "intersect_all_events",

@@ -211,3 +211,19 @@ class TestOrdersChecksum:
         assert int(s["sum(key_checksum)"]) == int(a.key_checksum.iloc[0])
         assert int(s["sum(value_checksum)"]) == \
             int(a.value_checksum.iloc[0])
+
+
+class TestPartitionChecksums:
+    def test_partition_sums_equal_global(self, ray_session):
+        """The per-partition checksums FOLD to the global ones — the
+        property that lets a resume verify one slice against the whole."""
+        import __ray_entry__ as m
+
+        sf = "/root/testdata/sf0.001"
+        per = m.queries()["partition_checksums"](sf).to_pandas()
+        glob_ = m.queries()["orders_checksum"](sf).to_pandas()
+        assert int(per.n_rows.sum()) == int(glob_.n_rows.iloc[0])
+        assert int(per.key_checksum.sum()) == \
+            int(glob_.key_checksum.iloc[0])
+        assert int(per.value_checksum.sum()) == \
+            int(glob_.value_checksum.iloc[0])

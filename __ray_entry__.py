@@ -4831,6 +4831,119 @@ def q_partition_checksums(sf_dir: str):
     ).sort("o_orderpriority")
 
 
+def q_first_event_latency(sf_dir: str):
+    """Per-user conversion latency: microseconds between the FIRST
+    'view' and the FIRST 'purchase' (users with both; negative =
+    purchase-before-view, a genuine ordering signal kept, not
+    filtered) — the funnel-latency feature every conversion model
+    wants. ONE pass, ONE shuffle: each batch projects ts into
+    per-type nullable int64 columns and grouped_extrema's
+    null-skipping MIN folds both firsts per user simultaneously
+    (map-side partials; raw events never shuffle). Pure int64 epoch
+    micros — bit-equal."""
+    from jsschema_ray.stages.aggregates import grouped_extrema
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def split(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        us = b.column("ts").cast(pa.int64())
+        et = b.column("event_type")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "view_us": pc.if_else(pc.equal(et, "view"), us,
+                                  pa.scalar(None, pa.int64())),
+            "purchase_us": pc.if_else(pc.equal(et, "purchase"), us,
+                                      pa.scalar(None, pa.int64())),
+        })
+
+    firsts = grouped_extrema(
+        ds.map_batches(split, batch_format="pyarrow", batch_size=262144,
+                       zero_copy_batch=True),
+        ["user_id"], {"first_view_us": ("view_us", "min"),
+                      "first_purchase_us": ("purchase_us", "min")})
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        return b.append_column(
+            "latency_us", pc.subtract(b.column("first_purchase_us"),
+                                      b.column("first_view_us")))
+
+    return firsts.map_batches(
+        finish, batch_format="pyarrow").select_columns(
+        ["user_id", "first_view_us", "first_purchase_us", "latency_us"]
+    ).sort("user_id")
+
+
+def q_price_size_heatmap(sf_dir: str):
+    """2-D equi-width histogram (the profiling heatmap): part counts
+    per (size bucket of width 10, price bucket of 20.00) — exact
+    integer binning on both axes ((v - lo) // width with non-negative
+    numerators, so numpy floor-div == SQL truncating //); out-of-range
+    and NULL rows drop. Per-batch bin pairs collapse through
+    map-side-combined grouped_sums — only O(cells x batches) width-3
+    partials shuffle. Pure int64, bit-equal."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.windows import round_half_away
+
+    ds = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def bins(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        sz = b.column("p_size").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = round_half_away(
+            b.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = (sz >= 1) & (sz <= 50) & (cents >= 90000) & (cents < 100000)
+        return pa.table({
+            "size_bin": pa.array((sz[keep] - 1) // 10),
+            "price_bin": pa.array((cents[keep] - 90000) // 2000),
+        })
+
+    out = grouped_sums(
+        ds.map_batches(bins, batch_format="pyarrow", batch_size=262144,
+                       zero_copy_batch=True),
+        ["size_bin", "price_bin"], {}, count_alias="n")
+    return out.sort(["size_bin", "price_bin"])
+
+
+def q_dedup_rate_by_source(sf_dir: str):
+    """Per-source duplication pressure: (n_docs, n_distinct texts,
+    n_dup_docs) — the curation dashboard's first column (which source
+    is flooding the corpus with repeats decides where dedup budget
+    goes). Two exact aggregates — map-side-combined COUNT partials and
+    grouped_count_distinct's distinct-pair pre-trim (raw text never
+    shuffles twice: the distinct pass moves distinct (source, text)
+    pairs, the count pass moves width-2 partials) — joined on the tiny
+    per-source table via the partitioned hash_join. All int64,
+    bit-equal; NULL texts drop from the distinct count only (SQL
+    COUNT(DISTINCT) semantics)."""
+    from jsschema_ray.stages.aggregates import (grouped_count_distinct,
+                                                grouped_sums)
+    from jsschema_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    counts = grouped_sums(ds.select_columns(["source"]), ["source"], {},
+                          count_alias="n_docs")
+
+    def drop_null_text(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("text")))
+
+    distinct = grouped_count_distinct(
+        ds.map_batches(drop_null_text, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        "source", "text", num_partitions=8)
+    joined = hash_join(counts, distinct, "source", num_buckets=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_dup_docs", pc.subtract(b.column("n_docs"),
+                                      b.column("n_distinct")))
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
 def q_top_langs_per_source(sf_dir: str):
     """Top-2 most frequent languages per source with ranks — the exact
     grouped heavy-hitter report (the per-source language mix a curation
@@ -4948,6 +5061,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum": q_orders_checksum,  # r5g NEW tail operator: anti-entropy table checksum — mix32 family pinned in-window by mixture_sample/weighted_sample; local mirror verifies
         "partition_checksums": q_partition_checksums,  # r5g NEW tail operator: per-partition anti-entropy checksums (the north-rule lineage record made run-comparable) — grouped_sums + mix32 both window-pinned; local mirror verifies
         "top_langs_per_source": q_top_langs_per_source,  # r5g NEW tail composition: exact grouped heavy hitters — grouped_sums_partitioned + top_n_per_group both pinned in-window (user_activity_histogram, top_events_per_user); local mirror verifies
+        "first_event_latency": q_first_event_latency,  # r5h NEW tail operator: per-user first-A-to-first-B conversion latency — one-pass dual null-skipping grouped_extrema MIN; local mirror verifies
+        "price_size_heatmap": q_price_size_heatmap,  # r5h NEW tail operator: 2-D equi-width histogram (profiling heatmap) — bincount/grouped_sums family pinned in-window by benford_digits; local mirror verifies
+        "dedup_rate_by_source": q_dedup_rate_by_source,  # r5h NEW tail composition: per-source duplication pressure — grouped_count_distinct + hash_join both previously driver-green; local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6563,6 +6679,47 @@ def oracle_sql() -> dict[str, str]:
                             % 4294967296) AS BIGINT) AS value_checksum
             FROM orders
             WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        """,
+        # conversion latency: dual conditional MIN per user, both firsts
+        # present — int64 epoch micros, bit-equal
+        "first_event_latency": """
+            SELECT user_id, first_view_us, first_purchase_us,
+                   first_purchase_us - first_view_us AS latency_us
+            FROM (SELECT user_id,
+                         MIN(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END) AS first_view_us,
+                         MIN(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END)
+                             AS first_purchase_us
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                        AND event_type IS NOT NULL
+                  GROUP BY user_id)
+            WHERE first_view_us IS NOT NULL
+              AND first_purchase_us IS NOT NULL
+            ORDER BY user_id
+        """,
+        # 2-D histogram: integer floor-division binning on both axes
+        # (non-negative numerators), nested GROUP BY — int64, bit-equal
+        "price_size_heatmap": """
+            SELECT CAST((p_size - 1) // 10 AS BIGINT) AS size_bin,
+                   (CAST(ROUND(p_retailprice*100) AS BIGINT) - 90000)
+                       // 2000 AS price_bin,
+                   COUNT(*) AS n
+            FROM part
+            WHERE p_size BETWEEN 1 AND 50
+              AND p_retailprice IS NOT NULL
+              AND CAST(ROUND(p_retailprice*100) AS BIGINT) >= 90000
+              AND CAST(ROUND(p_retailprice*100) AS BIGINT) < 100000
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # duplication pressure: COUNT vs COUNT(DISTINCT) per source —
+        # NULL texts drop from the distinct count only, int64-exact
+        "dedup_rate_by_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_distinct,
+                   COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
+            FROM documents GROUP BY source ORDER BY source
         """,
         # per-partition anti-entropy: same mix32 mirror, GROUP BY the
         # partition column — int64-exact, layout-independent

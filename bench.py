@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "orders_checksum",
     "partition_checksums",
     "top_langs_per_source",
+    "first_event_latency",
+    "price_size_heatmap",
+    "dedup_rate_by_source",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

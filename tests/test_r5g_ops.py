@@ -227,3 +227,63 @@ class TestPartitionChecksums:
             int(glob_.key_checksum.iloc[0])
         assert int(per.value_checksum.sum()) == \
             int(glob_.value_checksum.iloc[0])
+
+
+class TestR5hQueries:
+    """Edge semantics for the r5h tail queries (SQL parity runs in
+    test_oracle_parity; these pin what parity can't see in the data)."""
+
+    def test_latency_keeps_negative_and_drops_partial_users(
+            self, ray_session):
+        import ray.data as rd
+
+        import __ray_entry__ as m
+        # build a tiny synthetic events parquet: u1 view->purchase,
+        # u2 purchase-before-view (negative latency KEPT), u3 view only
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        ts = pa.array([1_000_000, 5_000_000, 2_000_000, 9_000_000,
+                       3_000_000], pa.timestamp("us"))
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "ts": ts,
+            "event_type": pa.array(["view", "purchase", "purchase",
+                                    "view", "view"]),
+        })
+        d = tempfile.mkdtemp(prefix="r5h_")
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = m.queries()["first_event_latency"](d).to_pandas()
+        got = {int(r.user_id): int(r.latency_us) for r in out.itertuples()}
+        # u3 (view only) excluded; u2's purchase-first latency negative
+        assert got == {1: 4_000_000, 2: -7_000_000}
+
+    def test_heatmap_bins_exact_on_boundaries(self, ray_session):
+        import __ray_entry__ as m
+
+        sf = "/root/testdata/sf0.001"
+        out = m.queries()["price_size_heatmap"](sf).to_pandas()
+        assert (out.size_bin.between(0, 4)).all()
+        assert (out.price_bin.between(0, 4)).all()
+        # total count conserved vs the raw in-range row count
+        import duckdb
+
+        n = duckdb.sql(
+            f"""SELECT COUNT(*) FROM
+                read_parquet('{sf}/part.parquet')
+                WHERE p_size BETWEEN 1 AND 50
+                  AND p_retailprice IS NOT NULL
+                  AND CAST(ROUND(p_retailprice*100) AS BIGINT)
+                      BETWEEN 90000 AND 99999""").fetchone()[0]
+        assert int(out.n.sum()) == int(n)
+
+    def test_dedup_rate_identities(self, ray_session):
+        import __ray_entry__ as m
+
+        sf = "/root/testdata/sf0.001"
+        out = m.queries()["dedup_rate_by_source"](sf).to_pandas()
+        assert (out.n_dup_docs == out.n_docs - out.n_distinct).all()
+        assert (out.n_distinct <= out.n_docs).all()
+        assert (out.n_distinct > 0).all()

@@ -5029,22 +5029,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_orders_sketch": q_distinct_orders_sketch,  # r5: grouped HLL
         "hopping_distinct_users": q_hopping_distinct_users,  # r5 NEW: sliding-window distinct — replaces histogram_chars in-window
         "event_transitions": q_event_transitions,  # r5 NEW: Markov transition matrix — replaces tfidf_terms in-window
-        "top_events_per_user": q_top_events_per_user,  # r5b: top_n_per_group __part hoisted to arrow (changed code needs re-verification)
+        "price_ks_flags": q_price_ks_flags,  # r5h rotation: exact two-sample KS, count merge moved to grouped_sums_partitioned THIS session (changed code needs its first driver row) — replaces top_events_per_user in-window (driver-green r4; its r5b __part hoist stays pinned by the local mirror and the in-window arrow-hoist rep top_quantity_ties)
         "top_quantity_ties": q_top_quantity_ties,  # r5b NEW operator: RANK/DENSE_RANK WITH-TIES selection
         # --- new round-4 hard-signal groundings for the sketch dedups
         "minhash_recall": q_minhash_recall,
-        "near_contamination": q_near_contamination,  # r4: NEW fuzzy decontam
+        "partition_checksums": q_partition_checksums,  # r5h rotation: per-partition anti-entropy checksums — the north-rule lineage record made run-comparable; first driver row — replaces near_contamination in-window (driver-green r4; its r5 change is a corpus-side raise-guard only, valid-input behavior identical, local mirror verifies)
         "candidate_keys": q_candidate_keys,  # r5f NEW operator: exact unique-key candidacy profile — replaces quantity_zscore in-window (zscore's machinery stays doubly pinned: grouped moments via quantity_skewness + quantity_price_moments, z-score float finish via event_count_spikes; local mirror verifies the pair)
         "benford_digits": q_benford_digits,  # r5f NEW operator: leading-digit (Benford) distribution audit — replaces doc_split_assign in-window (doc_split is a composition of the mix32 machinery already pinned by mixture_sample + weighted_sample; benford's partial/bincount path has no other driver row)
         "longest_streaks": q_longest_streaks,  # r5f NEW operator: gaps-and-islands per-key streaks — replaces price_decile in-window (price_decile composes value_cdf [in-window] + hash_join [family in-window]; the run-detection reduceat path has no other driver row)
         "value_cdf": q_value_cdf,  # r4 NEW: exact global CDF
         "duplicate_keys": q_duplicate_keys,  # r5b: arrow-native bucket reduce (changed code needs re-verification)
-        "weighted_sample": q_weighted_sample,  # r4 NEW: weighted Bernoulli
+        "orders_snapshot_diff": q_orders_snapshot_diff,  # r5h rotation: cross-version table diff (IS-DISTINCT-FROM classification), brand-new family; first driver row — replaces weighted_sample in-window (driver-green r4; its r5 change is a negative-key raise-guard only, valid-input behavior identical, mix32 family stays pinned by mixture_sample)
         "except_all_events": q_except_all_events,  # r5b NEW operator: bag-semantics EXCEPT ALL
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,  # r5 NEW: resumable hive sink round-trip — replaces sample_n_docs in-window
         "normalize_docs": q_normalize_docs,  # r5 NEW: canonical text normalization (per-row string oracle) — replaces chunk_documents in-window (chunk_pack_pipeline keeps the chunking path)
         "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
-        "except_customers": q_except_customers,  # r5b: ArrowDtype set-op finish (changed code needs re-verification)
+        "pareto_parts": q_pareto_parts,  # r5h rotation: 2-D skyline, brand-new family; first driver row — replaces except_customers in-window (driver-green r2-r4; its r5b ArrowDtype finish stays pinned by the local mirror and the in-window set-op rep except_all_events)
         "fd_source_lang": q_fd_source_lang,  # r5e NEW operator: functional-dependency violations — replaces image_letterbox_plan in-window (integer-plan family stays represented by image_resize_plan + aspect_bucket_stats; letterbox stays locally mirrored)
         # --- driver-green representatives (one per family; families whose
         # --- code changed in round 4 are all kept inside the window)
@@ -5052,14 +5052,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_gaps": q_orderkey_gaps,  # r5e NEW operator: id-gap completeness audit — replaces brand_price_linreg in-window (grouped-moments float-finish family stays represented by quantity_stddev + quantity_skewness; linreg stays locally mirrored)
         "price_trimmed_mean": q_price_trimmed_mean,  # r5f NEW tail operator (positions 51+): grouped trimmed mean — _grouped_value_counts machinery pinned in-window by revenue_gini; local mirror verifies
         "price_histogram": q_price_histogram,  # r5f NEW tail operator: exact equi-width histogram — bincount-partial machinery pinned in-window by benford_digits; local mirror verifies
-        "price_ks_flags": q_price_ks_flags,  # r5f NEW tail operator: exact two-sample KS — grouped_sums count machinery pinned in-window by event_count_spikes; local mirror verifies
+        "top_events_per_user": q_top_events_per_user,  # r5h: displaced past the window by price_ks_flags (driver-green r4; the r5b arrow __part hoist is pinned by in-window top_quantity_ties + local mirror)
+        "near_contamination": q_near_contamination,  # r5h: displaced past the window by partition_checksums (driver-green r4; r5 change is a raise-guard only; local mirror verifies)
+        "weighted_sample": q_weighted_sample,  # r5h: displaced past the window by orders_snapshot_diff (driver-green r4; r5 change is a raise-guard only; mix32 family in-window via mixture_sample)
+        "except_customers": q_except_customers,  # r5h: displaced past the window by pareto_parts (driver-green r2-r4; set-op family in-window via except_all_events; local mirror verifies)
         "user_activity_histogram": q_user_activity_histogram,  # r5f NEW tail operator: key degree distribution (skew detector) — double-grouped_sums machinery pinned in-window by duplicate_keys + event_count_spikes; local mirror verifies
         "revenue_pivot": q_revenue_pivot,  # r5f NEW tail operator: conditional-SUM crosstab (pivot_counts' exact-cents sibling) — wide-partial machinery pinned in-window by tpch_q1; local mirror verifies
         "user_first_seen": q_user_first_seen,  # r5g NEW tail operator: grouped_extrema (id-cardinality grouped MIN) — partitioned-merge machinery pinned in-window by user_activity_histogram; local mirror verifies
-        "orders_snapshot_diff": q_orders_snapshot_diff,  # r5g NEW tail operator: cross-version table diff — hash-co-partition + index_in machinery pinned in-window by except_customers/near_contamination; local mirror verifies
-        "pareto_parts": q_pareto_parts,  # r5g NEW tail operator: 2-D skyline — composes in-window top_quantity_ties (top_n_with_ties) + value_cdf (block-prefix); local mirror verifies
-        "orders_checksum": q_orders_checksum,  # r5g NEW tail operator: anti-entropy table checksum — mix32 family pinned in-window by mixture_sample/weighted_sample; local mirror verifies
-        "partition_checksums": q_partition_checksums,  # r5g NEW tail operator: per-partition anti-entropy checksums (the north-rule lineage record made run-comparable) — grouped_sums + mix32 both window-pinned; local mirror verifies
+        "orders_checksum": q_orders_checksum,  # r5g NEW tail operator: anti-entropy table checksum — mix32 family pinned in-window by mixture_sample; same checksum machinery as in-window partition_checksums; local mirror verifies
         "top_langs_per_source": q_top_langs_per_source,  # r5g NEW tail composition: exact grouped heavy hitters — grouped_sums_partitioned + top_n_per_group both pinned in-window (user_activity_histogram, top_events_per_user); local mirror verifies
         "first_event_latency": q_first_event_latency,  # r5h NEW tail operator: per-user first-A-to-first-B conversion latency — one-pass dual null-skipping grouped_extrema MIN; local mirror verifies
         "price_size_heatmap": q_price_size_heatmap,  # r5h NEW tail operator: 2-D equi-width histogram (profiling heatmap) — bincount/grouped_sums family pinned in-window by benford_digits; local mirror verifies

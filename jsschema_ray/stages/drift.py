@@ -327,15 +327,19 @@ def exact_ks(ds, group_col: str, value_col: str, g1, g2,
     an empty slice (n1 or n2 = 0) RAISES — KS is undefined.
 
     Scale shape: per-(side, cents) counts via map-side-combined
-    grouped_sums (raw rows never shuffle; the shuffle carries distinct
-    (side, value) count rows), then ONE single-task finish over the
+    grouped_sums_partitioned (raw rows never shuffle; the shuffle
+    carries distinct (side, value) count rows through a hash
+    co-partition merge — NOT Ray's key-sorting Aggregate, which
+    collapses on the O(distinct-cents) key universe: swapping it here
+    took the sf0.1 price query 21.4 s -> ~1 s, the same landmine
+    value_cdf hit), then ONE single-task finish over the
     O(distinct-values) table — the same fits-one-worker contract as the
     categorical-drift family (a 2-decimal domain is bounded by its
     range). NOTE: a zero-row upstream yields a schema-less Dataset
     (Ray's groupby emits no blocks); callers feed real slices."""
     import pyarrow.compute as pc
 
-    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
     from jsschema_ray.stages.windows import round_half_away
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -362,7 +366,7 @@ def exact_ks(ds, group_col: str, value_col: str, g1, g2,
         return pa.table({"side": pa.array(side, pa.int64()),
                          "c": pa.array(scaled.astype(np.int64))})
 
-    counts = grouped_sums(
+    counts = grouped_sums_partitioned(
         ds.select_columns([group_col, value_col]).map_batches(
             prep, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True,

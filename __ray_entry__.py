@@ -4963,6 +4963,61 @@ def q_top_langs_per_source(sf_dir: str):
         ["source", "rn"])
 
 
+def q_price_iqr_outliers(sf_dir: str):
+    """Per-flag Tukey-fence (1.5 x IQR) outlier audit of
+    l_extendedprice (stages/quantiles.grouped_iqr_outliers): exact
+    int64-cents Q1/Q3 (QUANTILE_DISC selection) and the count of rows
+    outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR], fence test cleared of floats
+    (both sides x2: 2v < 5*q1 - 3*q3 / 2v > 5*q3 - 3*q1). One
+    histogram-trick pass — quantiles AND the violation count come out
+    of the same co-partition, no second shuffle. All-int64 output rows
+    hash against DuckDB without tolerance."""
+    from jsschema_ray.stages.quantiles import grouped_iqr_outliers
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_iqr_outliers(ds, "l_returnflag", "l_extendedprice",
+                                scale=100).sort("l_returnflag")
+
+
+def q_image_bpp_outliers(sf_dir: str):
+    """Per-FORMAT bytes-per-pixel outlier audit over the image table —
+    the suspicious-payload detector (a 'png' whose compression ratio
+    sits far outside its format's box is corrupt, mislabeled, or
+    adversarial): bpp_millis = octet_length(bytes)*1000 // (w*h) as
+    exact int64, then stages/quantiles.grouped_iqr_outliers per fmt
+    (integer fast path, scale=1). Valid rows only (bytes/w/h non-null,
+    w>0, h>0 — the x-image invariants); bytes are read ONCE, collapse
+    to the int64 metric inside the first map_batches, and never enter
+    the shuffle (only (fmt, bpp, count) histogram rows move)."""
+    from jsschema_ray.stages.quantiles import grouped_iqr_outliers
+
+    ds = rd.read_parquet(_image_dir(sf_dir),
+                         columns=["fmt", "w", "h", "bytes"])
+
+    def bpp(b: pa.Table) -> pa.Table:
+        # NULL-fmt rows drop: the audit is per-format (missing fmt is the
+        # validator's finding, not this one's) and a NULL group would
+        # need IS NOT DISTINCT FROM join semantics in the mirror
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b.column("fmt")),
+                    pc.and_(pc.is_valid(b.column("bytes")),
+                            pc.and_(pc.is_valid(b.column("w")),
+                                    pc.is_valid(b.column("h"))))),
+            pc.and_(pc.greater(b.column("w"), 0),
+                    pc.greater(b.column("h"), 0)))
+        b = b.filter(keep)
+        n = pc.cast(pc.binary_length(b.column("bytes")), pa.int64())
+        px = pc.multiply(pc.cast(b.column("w"), pa.int64()),
+                         pc.cast(b.column("h"), pa.int64()))
+        millis = pc.divide(pc.multiply(n, pa.scalar(1000, pa.int64())), px)
+        return pa.table({"fmt": b.column("fmt"), "bpp_millis": millis})
+
+    metric = ds.map_batches(bpp, batch_format="pyarrow",
+                            batch_size=4096, zero_copy_batch=True)
+    return grouped_iqr_outliers(metric, "fmt", "bpp_millis",
+                                scale=1).sort("fmt")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5064,6 +5119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_latency": q_first_event_latency,  # r5h NEW tail operator: per-user first-A-to-first-B conversion latency — one-pass dual null-skipping grouped_extrema MIN; local mirror verifies
         "price_size_heatmap": q_price_size_heatmap,  # r5h NEW tail operator: 2-D equi-width histogram (profiling heatmap) — bincount/grouped_sums family pinned in-window by benford_digits; local mirror verifies
         "dedup_rate_by_source": q_dedup_rate_by_source,  # r5h NEW tail composition: per-source duplication pressure — grouped_count_distinct + hash_join both previously driver-green; local mirror verifies
+        "price_iqr_outliers": q_price_iqr_outliers,  # r5h NEW tail operator: Tukey-fence outlier audit (all-int64 fences) — _grouped_value_counts machinery pinned in-window by revenue_gini; local mirror verifies
+        "image_bpp_outliers": q_image_bpp_outliers,  # r5h NEW tail operator: per-format bytes-per-pixel outlier audit (the suspicious-payload detector) — same IQR machinery; local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6720,6 +6777,53 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT text) AS n_distinct,
                    COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # Tukey-fence outlier audit: QUANTILE_DISC Q1/Q3 in exact int64
+        # cents, fence test x2 so it stays integer end-to-end
+        "price_iqr_outliers": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                                  AS v
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            q AS (SELECT l_returnflag,
+                         quantile_disc(v, 0.25) AS q1,
+                         quantile_disc(v, 0.75) AS q3,
+                         COUNT(*) AS n
+                  FROM c GROUP BY l_returnflag)
+            SELECT q.l_returnflag, q.q1 AS q1_cents, q.q3 AS q3_cents,
+                   q.n AS n,
+                   CAST(SUM(CASE WHEN 2*c.v < 5*q.q1 - 3*q.q3
+                                   OR 2*c.v > 5*q.q3 - 3*q.q1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM q JOIN c ON c.l_returnflag = q.l_returnflag
+            GROUP BY q.l_returnflag, q.q1, q.q3, q.n
+            ORDER BY q.l_returnflag
+        """,
+        # bytes-per-pixel fence audit over the sharded image dir (the
+        # one oracle family that needs the payload column): same
+        # integer fences, metric = octet_length*1000 // (w*h)
+        "image_bpp_outliers": f"""
+            WITH c AS (SELECT fmt,
+                              (octet_length(bytes) * 1000)
+                                  // (CAST(w AS BIGINT) * CAST(h AS BIGINT))
+                                  AS v
+                       FROM read_parquet('{img}/*.parquet')
+                       WHERE fmt IS NOT NULL AND bytes IS NOT NULL
+                         AND w IS NOT NULL AND h IS NOT NULL
+                         AND w > 0 AND h > 0),
+            q AS (SELECT fmt, quantile_disc(v, 0.25) AS q1,
+                         quantile_disc(v, 0.75) AS q3, COUNT(*) AS n
+                  FROM c GROUP BY fmt)
+            SELECT q.fmt, q.q1 AS q1_cents, q.q3 AS q3_cents, q.n AS n,
+                   CAST(SUM(CASE WHEN 2*c.v < 5*q.q1 - 3*q.q3
+                                   OR 2*c.v > 5*q.q3 - 3*q.q1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM q JOIN c ON c.fmt = q.fmt
+            GROUP BY q.fmt, q.q1, q.q3, q.n
+            ORDER BY q.fmt
         """,
         # per-partition anti-entropy: same mix32 mirror, GROUP BY the
         # partition column — int64-exact, layout-independent

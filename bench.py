@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "first_event_latency",
     "price_size_heatmap",
     "dedup_rate_by_source",
+    "price_iqr_outliers",
+    "image_bpp_outliers",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -998,3 +998,111 @@ def grouped_gini(ds, group_col: str, column: str, scale: int = 100,
         pre, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).groupby("__part").map_groups(gini_part, batch_format="pandas")
+
+
+def grouped_iqr_outliers(ds, group_col: str, column: str, scale: int = 100,
+                         k_num: int = 3, k_den: int = 2,
+                         num_parts: int = 32, batch_size: int = 262144):
+    """Per-group TUKEY-FENCE outlier audit in PURE int64 arithmetic —
+    the box-plot data-quality constraint (how many rows sit outside
+    [Q1 - k*IQR, Q3 + k*IQR], default k = 3/2): output one row per
+    group,
+
+        (group_col, q1_cents int64, q3_cents int64, n int64,
+         n_outliers int64)
+
+    Q1/Q3 use DuckDB QUANTILE_DISC rank semantics (actual data values,
+    k-th smallest at k = max(1, ceil(q*n)) — the grouped_quantile_disc
+    contract), values scale to exact int64 at x``scale``
+    (round-half-away), NULL values drop. Exactness: with k = k_num/k_den
+    the fences are rational, so the violation test is cleared of floats
+    entirely —
+
+        v is an outlier iff  k_den*2*v < (2*k_den + 2*k_num)*q1 - 2*k_num*q3
+                          or k_den*2*v > (2*k_den + 2*k_num)*q3 - 2*k_num*q1
+
+    (both sides x(2*k_den); for the default 1.5 this is 2v < 5*q1 - 3*q3
+    or 2v > 5*q3 - 3*q1). Every output column is int64, so the row
+    hashes against the SQL mirror without tolerance. Overflow guard:
+    RAISE when |cents| reaches 2^57 (the fence arithmetic then stays
+    below 2^62 for k_num+k_den <= 16).
+
+    Scale shape: ONE _grouped_value_counts histogram pass — batches
+    collapse to (group, value, cnt) rows, only count rows hash(group)
+    co-partition — then each partition computes ALL its groups' Q1/Q3
+    with the batched-searchsorted selection AND counts fence violations
+    in the same pass: per-group fences np.repeat over the sorted
+    distinct-value segments, one boolean mask, one np.add.reduceat. No
+    per-group loop, no second shuffle, raw rows never move.
+
+    No reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57); extends §2.C column
+    statistics with the robust-outlier companion of grouped_mad /
+    quantity_zscore."""
+    import pandas as pd
+
+    from jsschema_ray.stages.windows import round_half_away
+    from jsschema_ray.state.hll import hash64, normalize_zeros
+
+    if k_num <= 0 or k_den <= 0 or k_num + k_den > 16:
+        raise ValueError(
+            f"grouped_iqr_outliers needs 0 < k_num/k_den with "
+            f"k_num + k_den <= 16, got {k_num}/{k_den}")
+    # fence coefficients, both sides scaled x(2*k_den) to stay integer
+    a = 2 * k_den + 2 * k_num   # coefficient of the near quartile
+    b = 2 * k_num               # coefficient of the far quartile
+    v2 = 2 * k_den              # coefficient of the value
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        df = df[df[column].notna()]
+        col = df[column]
+        if pd.api.types.is_integer_dtype(col) and scale == 1:
+            v = col.to_numpy(dtype=np.int64)   # exact, no float round-trip
+        else:
+            v = round_half_away(
+                col.to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        if len(v) and np.abs(v).max() >= 2**57:
+            raise ValueError(
+                f"grouped_iqr_outliers: |{column} * {scale}| reaches "
+                "2^57 — the integer fence arithmetic would overflow")
+        g = (df.assign(__v=v)
+             .groupby([group_col, "__v"], sort=False, dropna=False)
+             .size().reset_index(name="cnt"))
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        gcol = normalize_zeros(tbl.column(group_col).combine_chunks())
+        part = (hash64(gcol) % np.uint64(num_parts)).astype(np.int32)
+        return tbl.replace_schema_metadata(None).append_column(
+            "__part", pa.array(part))
+
+    def fence_part(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["__part"])
+        if not len(gdf):
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame({group_col: gdf[group_col], "q1_cents": z,
+                                 "q3_cents": z, "n": z, "n_outliers": z})
+        gdf, uniq, csum, base, n_g = _sorted_segments(gdf, group_col, "__v")
+        vals = gdf["__v"].to_numpy(dtype=np.int64)
+        cnt = gdf["cnt"].to_numpy(dtype=np.int64)
+        k1 = np.maximum(1, np.ceil(0.25 * n_g.astype(np.float64))
+                        ).astype(np.int64)
+        k3 = np.maximum(1, np.ceil(0.75 * n_g.astype(np.float64))
+                        ).astype(np.int64)
+        q1 = vals[np.searchsorted(csum, base + k1, side="left")]
+        q3 = vals[np.searchsorted(csum, base + k3, side="left")]
+        lo = a * q1 - b * q3   # = 2*k_den*(Q1 - (k_num/k_den)*IQR)
+        hi = a * q3 - b * q1
+        codes, _ = pd.factorize(gdf[group_col], use_na_sentinel=False)
+        starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1]
+        seg = np.diff(np.r_[starts, len(vals)])
+        vv = v2 * vals
+        out_mask = (vv < np.repeat(lo, seg)) | (vv > np.repeat(hi, seg))
+        n_out = np.add.reduceat(np.where(out_mask, cnt, 0), starts)
+        return pd.DataFrame({group_col: uniq, "q1_cents": q1,
+                             "q3_cents": q3, "n": n_g,
+                             "n_outliers": n_out.astype(np.int64)})
+
+    return ds.select_columns([group_col, column]).map_batches(
+        pre, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).groupby("__part").map_groups(fence_part, batch_format="pandas")

@@ -1,0 +1,148 @@
+"""Round-5 final-session additions, part 6: grouped_iqr_outliers (the
+Tukey-fence / box-plot outlier audit, all-int64 fences) and its
+image-table composition (bytes-per-pixel per format). SQL parity for
+the two oracled queries runs in test_oracle_parity; these pin the
+fence arithmetic against a brute-force reference, the integer fast
+path, NULL semantics, the overflow/parameter guards, and batch
+independence."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from jsschema_ray.stages.quantiles import grouped_iqr_outliers
+
+
+def _ds(table, n_blocks=4):
+    import ray.data as rd
+
+    t = table if isinstance(table, pa.Table) else pa.table(table)
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+def _brute(df, scale=100, k_num=3, k_den=2):
+    """Row-at-a-time reference with DuckDB quantile_disc selection."""
+    out = []
+    for g, sub in df.dropna(subset=["v"]).groupby("g", dropna=False):
+        v = np.array(
+            [int(np.floor(abs(x) * scale + 0.5)) * (1 if x >= 0 else -1)
+             for x in sub["v"]], dtype=np.int64)
+        v.sort()
+        n = len(v)
+        q1 = v[max(1, int(np.ceil(0.25 * n))) - 1]
+        q3 = v[max(1, int(np.ceil(0.75 * n))) - 1]
+        a, b, s = 2 * k_den + 2 * k_num, 2 * k_num, 2 * k_den
+        n_out = int(np.sum((s * v < a * q1 - b * q3)
+                           | (s * v > a * q3 - b * q1)))
+        out.append((g, q1, q3, n, n_out))
+    return pd.DataFrame(out, columns=["g", "q1_cents", "q3_cents", "n",
+                                      "n_outliers"]).sort_values(
+        "g").reset_index(drop=True)
+
+
+class TestGroupedIqrOutliers:
+    def test_vs_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 30000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 7, n),
+            "v": np.round(rng.normal(100, 30, n), 2),
+        })
+        # salt in hard outliers + ties + a NULL
+        df.loc[:20, "v"] = 9999.99
+        df.loc[21:40, "v"] = -500.0
+        df.loc[41, "v"] = np.nan
+        got = (grouped_iqr_outliers(_ds(pa.Table.from_pandas(df)), "g", "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        want = _brute(df)
+        pd.testing.assert_frame_equal(
+            got.astype({"g": np.int64}), want.astype({"g": np.int64}),
+            check_dtype=False)
+
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        rng = np.random.default_rng(5)
+        n = 20000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": np.round(rng.exponential(50, n), 2),
+        })
+        got = (grouped_iqr_outliers(_ds(pa.Table.from_pandas(df)), "g", "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        want = duckdb.sql("""
+            WITH c AS (SELECT g, CAST(ROUND(v*100) AS BIGINT) AS v
+                       FROM df WHERE v IS NOT NULL),
+            q AS (SELECT g, quantile_disc(v, 0.25) AS q1,
+                         quantile_disc(v, 0.75) AS q3, COUNT(*) AS n
+                  FROM c GROUP BY g)
+            SELECT q.g, q.q1 AS q1_cents, q.q3 AS q3_cents, q.n AS n,
+                   CAST(SUM(CASE WHEN 2*c.v < 5*q.q1 - 3*q.q3
+                                   OR 2*c.v > 5*q.q3 - 3*q.q1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM q JOIN c ON c.g = q.g
+            GROUP BY q.g, q.q1, q.q3, q.n ORDER BY q.g
+        """).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_integer_fast_path_no_float_roundtrip(self, ray_session):
+        # 2^53 + small offsets: a float64 round-trip would collapse these
+        base = 2**53
+        t = pa.table({
+            "g": pa.array([1] * 8, pa.int64()),
+            "v": pa.array([base + i for i in range(6)]
+                          + [base + 10**6, base - 10**6], pa.int64()),
+        })
+        # |v| >= 2^57 guard not hit (2^53 << 2^57); scale=1 int path
+        got = grouped_iqr_outliers(_ds(t, 2), "g", "v",
+                                   scale=1).to_pandas()
+        v = sorted([base + i for i in range(6)]
+                   + [base + 10**6, base - 10**6])
+        q1, q3 = v[max(1, int(np.ceil(0.25 * 8))) - 1], \
+            v[max(1, int(np.ceil(0.75 * 8))) - 1]
+        n_out = sum(1 for x in v
+                    if 2 * x < 5 * q1 - 3 * q3 or 2 * x > 5 * q3 - 3 * q1)
+        assert got.q1_cents[0] == q1 and got.q3_cents[0] == q3
+        assert got.n[0] == 8 and got.n_outliers[0] == n_out
+
+    def test_custom_k_and_guards(self, ray_session):
+        t = pa.table({"g": [1, 1, 1, 1], "v": [1.0, 2.0, 3.0, 100.0]})
+        # k = 3 (3/1): wider fences than 1.5 -> fewer-or-equal outliers
+        wide = grouped_iqr_outliers(_ds(t, 1), "g", "v", k_num=3,
+                                    k_den=1).to_pandas()
+        tight = grouped_iqr_outliers(_ds(t, 1), "g", "v").to_pandas()
+        assert wide.n_outliers[0] <= tight.n_outliers[0]
+        with pytest.raises(ValueError, match="k_num"):
+            grouped_iqr_outliers(_ds(t, 1), "g", "v", k_num=0)
+        with pytest.raises(ValueError, match="k_num"):
+            grouped_iqr_outliers(_ds(t, 1), "g", "v", k_num=20, k_den=1)
+        big = pa.table({"g": [1], "v": [float(2**57)]})
+        with pytest.raises(Exception, match="2\\^57"):
+            grouped_iqr_outliers(_ds(big, 1), "g", "v",
+                                 scale=1).to_pandas()
+
+    def test_batch_layout_independence(self, ray_session):
+        rng = np.random.default_rng(3)
+        n = 5000
+        df = pd.DataFrame({"g": rng.integers(0, 4, n),
+                           "v": np.round(rng.normal(0, 10, n), 2)})
+        t = pa.Table.from_pandas(df)
+        a = (grouped_iqr_outliers(_ds(t, 1), "g", "v").to_pandas()
+             .sort_values("g").reset_index(drop=True))
+        b = (grouped_iqr_outliers(_ds(t, 13), "g", "v").to_pandas()
+             .sort_values("g").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestImageBppOutliers:
+    def test_counts_and_fences_consistent(self, ray_session):
+        import __ray_entry__ as m
+
+        sf = "/root/testdata/sf0.001"
+        out = m.queries()["image_bpp_outliers"](sf).to_pandas()
+        assert len(out) >= 1
+        assert (out.q1_cents <= out.q3_cents).all()
+        assert (out.n_outliers <= out.n).all()
+        assert (out.n_outliers >= 0).all()
+        assert out.fmt.notna().all()

@@ -5018,6 +5018,50 @@ def q_image_bpp_outliers(sf_dir: str):
                                 scale=1).sort("fmt")
 
 
+def q_caption_spam(sf_dir: str):
+    """Duplicate-caption spam detection over the image table: captions
+    attached to MORE THAN 2 images, with counts — boilerplate/spam
+    captions ('image', alt-text templates) poison caption-conditioned
+    training and are invisible to byte dedup (the images differ). One
+    grouped_sums_partitioned over the caption key (captions collapse to
+    distinct (caption, count) partials before the only shuffle; the
+    spam set is tiny so the final sort is O(spam)). NULL captions drop
+    (the validator's finding). Deterministic order: count DESC, caption
+    ASC, LIMIT 50."""
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["caption"])
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("caption")))
+
+    counts = grouped_sums_partitioned(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        ["caption"], {}, count_alias="n_images", num_parts=16)
+    def spam_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("n_images"), 2))
+
+    spam = counts.map_batches(spam_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return spam.sort(["n_images", "caption"],
+                     descending=[True, False]).limit(50)
+
+
+def q_phash_bit_balance(sf_dir: str):
+    """Per-bit ones-share of the image phash column
+    (stages/stats.bit_balance): the degenerate-hash audit — any bit far
+    from ~50% ones means the perceptual hash is stuck/truncated, which
+    silently breaks the banding near-dup stages built on it
+    (dedup.hamming_pairs). Batches collapse to 64-row partials
+    (np.unpackbits over the byte view); only those shuffle. All-int64
+    output."""
+    from jsschema_ray.stages.stats import bit_balance
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
+    return bit_balance(ds, "phash").sort("bit")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5121,6 +5165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,  # r5h NEW tail composition: per-source duplication pressure — grouped_count_distinct + hash_join both previously driver-green; local mirror verifies
         "price_iqr_outliers": q_price_iqr_outliers,  # r5h NEW tail operator: Tukey-fence outlier audit (all-int64 fences) — _grouped_value_counts machinery pinned in-window by revenue_gini; local mirror verifies
         "image_bpp_outliers": q_image_bpp_outliers,  # r5h NEW tail operator: per-format bytes-per-pixel outlier audit (the suspicious-payload detector) — same IQR machinery; local mirror verifies
+        "caption_spam": q_caption_spam,  # r5h NEW tail composition: duplicate-caption spam detection — grouped_sums_partitioned pinned in-window; local mirror verifies
+        "phash_bit_balance": q_phash_bit_balance,  # r5h NEW tail operator: per-bit hash-health audit (stats.bit_balance) — local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6824,6 +6870,26 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN c ON c.fmt = q.fmt
             GROUP BY q.fmt, q.q1, q.q3, q.n
             ORDER BY q.fmt
+        """,
+        # duplicate-caption spam: plain grouped counts over the metadata
+        # mirror, HAVING > 2, deterministic (count DESC, caption ASC)
+        "caption_spam": f"""
+            SELECT caption, COUNT(*) AS n_images
+            FROM read_parquet('{meta}')
+            WHERE caption IS NOT NULL
+            GROUP BY caption HAVING COUNT(*) > 2
+            ORDER BY n_images DESC, caption LIMIT 50
+        """,
+        # per-bit hash health: SUM((phash >> bit) & 1) against a 64-row
+        # bits relation — phash is non-negative so shifts agree
+        "phash_bit_balance": f"""
+            SELECT b.bit, CAST(SUM((m.phash >> b.bit) & 1) AS BIGINT)
+                       AS n_ones,
+                   COUNT(*) AS n
+            FROM read_parquet('{meta}') m
+            CROSS JOIN (SELECT UNNEST(range(64)) AS bit) b
+            WHERE m.phash IS NOT NULL
+            GROUP BY b.bit ORDER BY b.bit
         """,
         # per-partition anti-entropy: same mix32 mirror, GROUP BY the
         # partition column — int64-exact, layout-independent

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "price_iqr_outliers",
     "image_bpp_outliers",
+    "caption_spam",
+    "phash_bit_balance",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

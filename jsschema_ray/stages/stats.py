@@ -989,3 +989,59 @@ def count_spikes(ds, group_col: str, ts_col: str,
 
     return counts.groupby(group_col).map_groups(
         per_group, batch_format="pyarrow")
+
+
+def bit_balance(ds, column: str, bits: int = 64,
+                batch_size: int = 262144):
+    """Per-bit ones-count of a NON-NEGATIVE int64 column — the
+    degenerate-hash detector (a healthy 64-bit content hash / phash has
+    every bit near 50% ones; a stuck or truncated hash shows up as a
+    bit pinned at ~0% or ~100%, which silently breaks banding dedup and
+    hash partitioning). Output ``bits`` rows:
+
+        (bit int64, n_ones int64, n int64)
+
+    NULL values drop; NEGATIVE values RAISE (arithmetic-vs-logical
+    shift semantics diverge across engines, so a silent pass would be
+    a portability bug). All-int64 output hashes against the SQL mirror
+    (SUM((x >> bit) & 1)) without tolerance.
+
+    Scale shape: each batch collapses to ONE ``bits``-row partial via
+    np.unpackbits over the little-endian byte view (no n x bits
+    materialization beyond the batch), and only those width-3 partials
+    shuffle through a ``bits``-key grouped_sums. Raw values never
+    move.
+
+    No reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57); extends §2.C column
+    statistics with the hash-health audit every LSH/banding stage
+    (stages/dedup.py) implicitly depends on."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False)
+        if len(v) and v.min() < 0:
+            raise ValueError(
+                f"bit_balance needs non-negative {column} (shift "
+                f"semantics on negatives are engine-specific), got "
+                f"min {v.min()}")
+        # little-endian byte view: unpacked column j IS value bit j
+        u = v.astype("<u8").view(np.uint8).reshape(-1, 8)
+        ones = np.unpackbits(u, axis=1, bitorder="little").sum(
+            axis=0, dtype=np.int64)[:bits]
+        return pa.table({
+            "bit": pa.array(np.arange(bits, dtype=np.int64)),
+            "ones": pa.array(ones),
+            "cnt": pa.array(np.full(bits, len(v), dtype=np.int64)),
+        })
+
+    partials = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    return grouped_sums(partials, ["bit"],
+                        {"n_ones": "ones", "n": "cnt"},
+                        count_alias=None)

@@ -146,3 +146,47 @@ class TestImageBppOutliers:
         assert (out.n_outliers <= out.n).all()
         assert (out.n_outliers >= 0).all()
         assert out.fmt.notna().all()
+
+
+class TestBitBalance:
+    def test_known_values(self, ray_session):
+        from jsschema_ray.stages.stats import bit_balance
+
+        # 0b1011 x3, 0b0100 x1, one NULL
+        t = pa.table({"h": pa.array([11, 11, 11, 4, None], pa.int64())})
+        out = (bit_balance(_ds(t, 2), "h", bits=4).to_pandas()
+               .sort_values("bit").reset_index(drop=True))
+        assert out.bit.tolist() == [0, 1, 2, 3]
+        assert out.n_ones.tolist() == [3, 3, 1, 3]
+        assert (out.n == 4).all()
+
+    def test_vs_numpy_random_and_layout(self, ray_session):
+        from jsschema_ray.stages.stats import bit_balance
+
+        rng = np.random.default_rng(9)
+        v = rng.integers(0, 2**63 - 1, 50000, dtype=np.int64)
+        want = [int(((v >> b) & 1).sum()) for b in range(64)]
+        t = pa.table({"h": pa.array(v)})
+        for blocks in (1, 7):
+            out = (bit_balance(_ds(t, blocks), "h").to_pandas()
+                   .sort_values("bit").reset_index(drop=True))
+            assert out.n_ones.tolist() == want
+            assert (out.n == 50000).all()
+
+    def test_negative_raises(self, ray_session):
+        from jsschema_ray.stages.stats import bit_balance
+
+        t = pa.table({"h": pa.array([1, -2], pa.int64())})
+        with pytest.raises(Exception, match="non-negative"):
+            bit_balance(_ds(t, 1), "h").to_pandas()
+
+
+class TestCaptionSpam:
+    def test_threshold_and_order(self, ray_session):
+        import __ray_entry__ as m
+
+        out = m.queries()["caption_spam"]("/root/testdata/sf0.001").to_pandas()
+        assert (out.n_images > 2).all()
+        assert out.caption.notna().all()
+        # deterministic: count DESC then caption ASC
+        assert (out.n_images.is_monotonic_decreasing)

@@ -5062,6 +5062,60 @@ def q_phash_bit_balance(sf_dir: str):
     return bit_balance(ds, "phash").sort("bit")
 
 
+def q_order_totals_reconcile(sf_dir: str):
+    """Cross-table aggregate reconciliation
+    (stages/referential.reconcile_sums): the 20 orders whose declared
+    o_totalprice diverges MOST from the exact-cents SUM of their
+    lineitem extended prices — the ledger-vs-entries consistency audit
+    referential integrity doesn't cover (headers with no lines
+    reconcile against 0 and surface as mismatches). Detail rows
+    collapse to per-order cents partials map-side; one partitioned
+    left join; sort-free top-k cut. All int64."""
+    from jsschema_ray.stages.referential import reconcile_sums
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return reconcile_sums(li, orders, "l_orderkey", "o_orderkey",
+                          "l_extendedprice", "o_totalprice", k=20,
+                          num_parts=_fanout(sf_dir, "orders"))
+
+
+def q_orders_upsert(sf_dir: str):
+    """Keyed MERGE apply (stages/transform.upsert): orders merged with a
+    deterministically derived update set — priorities of keys %101
+    rewritten (+1.00 on the total, one spelled IEEE add so the float
+    column stays bit-equal) plus brand-new key-shifted rows for keys
+    %89 — updates win their key, untouched base rows pass through
+    untouched. The APPLY companion of orders_snapshot_diff's audit. One
+    hash(key) co-partition moves every row exactly once."""
+    from jsschema_ray.stages.transform import upsert
+
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    base = _read(sf_dir, "orders", cols)
+
+    def derive_updates(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        chg = b.filter(pa.array(k % 101 == 0))
+        chg = pa.table({
+            "o_orderkey": chg.column("o_orderkey"),
+            "o_orderpriority": pa.array(["X-CHANGED"] * chg.num_rows),
+            "o_totalprice": pc.add(chg.column("o_totalprice"),
+                                   pa.scalar(1.0, pa.float64())),
+        })
+        new = b.filter(pa.array(k % 89 == 0))
+        new = new.set_column(
+            0, "o_orderkey",
+            pc.add(new.column("o_orderkey"),
+                   pa.scalar(10_000_000_000, pa.int64())))
+        return pa.concat_tables([chg, new.select(chg.column_names)])
+
+    updates = _read(sf_dir, "orders", cols).map_batches(
+        derive_updates, batch_format="pyarrow", batch_size=262144)
+    return upsert(base, updates, "o_orderkey",
+                  num_parts=_fanout(sf_dir, "orders")).sort("o_orderkey")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5167,6 +5221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_bpp_outliers": q_image_bpp_outliers,  # r5h NEW tail operator: per-format bytes-per-pixel outlier audit (the suspicious-payload detector) — same IQR machinery; local mirror verifies
         "caption_spam": q_caption_spam,  # r5h NEW tail composition: duplicate-caption spam detection — grouped_sums_partitioned pinned in-window; local mirror verifies
         "phash_bit_balance": q_phash_bit_balance,  # r5h NEW tail operator: per-bit hash-health audit (stats.bit_balance) — local mirror verifies
+        "order_totals_reconcile": q_order_totals_reconcile,  # r5h NEW tail operator: cross-table aggregate reconciliation (referential.reconcile_sums) — local mirror verifies
+        "orders_upsert": q_orders_upsert,  # r5h NEW tail operator: keyed MERGE apply (transform.upsert), the diff->apply completion — local mirror verifies per-row
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6870,6 +6926,51 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN c ON c.fmt = q.fmt
             GROUP BY q.fmt, q.q1, q.q3, q.n
             ORDER BY q.fmt
+        """,
+        # aggregate reconciliation: exact-cents LEFT JOIN + COALESCE(0),
+        # worst-20 by |header - sum(detail)| with key tiebreak
+        "order_totals_reconcile": """
+            WITH d AS (SELECT l_orderkey,
+                              CAST(SUM(CAST(ROUND(l_extendedprice*100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS detail_cents
+                       FROM lineitem
+                       WHERE l_orderkey IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                       GROUP BY l_orderkey),
+            h AS (SELECT o_orderkey,
+                         CAST(ROUND(o_totalprice*100) AS BIGINT)
+                             AS header_cents
+                  FROM orders
+                  WHERE o_orderkey IS NOT NULL
+                    AND o_totalprice IS NOT NULL)
+            SELECT h.o_orderkey, h.header_cents,
+                   COALESCE(d.detail_cents, 0) AS detail_cents,
+                   h.header_cents - COALESCE(d.detail_cents, 0)
+                       AS diff_cents,
+                   ABS(h.header_cents - COALESCE(d.detail_cents, 0))
+                       AS abs_diff
+            FROM h LEFT JOIN d ON d.l_orderkey = h.o_orderkey
+            ORDER BY abs_diff DESC, h.o_orderkey LIMIT 20
+        """,
+        # keyed MERGE apply: updates win, NOT-EXISTS survivors pass
+        # through; the +1.0 is one IEEE add spelled on both sides
+        "orders_upsert": """
+            WITH u AS (
+                SELECT o_orderkey, 'X-CHANGED' AS o_orderpriority,
+                       o_totalprice + 1.0 AS o_totalprice
+                FROM orders WHERE o_orderkey % 101 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000000, o_orderpriority,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 89 = 0)
+            SELECT * FROM u
+            UNION ALL
+            SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice
+            FROM orders b
+            WHERE NOT EXISTS (SELECT 1 FROM u
+                              WHERE u.o_orderkey = b.o_orderkey)
+            ORDER BY o_orderkey
         """,
         # duplicate-caption spam: plain grouped counts over the metadata
         # mirror, HAVING > 2, deterministic (count DESC, caption ASC)

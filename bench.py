@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "image_bpp_outliers",
     "caption_spam",
     "phash_bit_balance",
+    "order_totals_reconcile",
+    "orders_upsert",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -352,3 +352,107 @@ def id_gaps(ds, col: str, num_parts: int = 32,
     intra = sorted_ids.map_batches(intra_gaps, batch_format="pyarrow",
                                    batch_size=None)
     return intra.union(boundary)
+
+
+def reconcile_sums(detail, header, detail_key: str, header_key: str,
+                   detail_col: str, header_col: str, scale: int = 100,
+                   k: int = 20, num_parts: int = 32,
+                   batch_size: int = 262144):
+    """Cross-table AGGREGATE reconciliation — the data-quality
+    constraint referential integrity does NOT cover: does each header
+    row's declared total equal the SUM of its detail rows (order total
+    vs line sums, account balance vs ledger entries, shard manifest
+    row-counts vs shards)? Returns the k WORST mismatches,
+
+        (header_key, header_cents int64, detail_cents int64,
+         diff_cents int64, abs_diff int64)
+
+    ordered (abs_diff DESC, header_key ASC). Both sides scale to exact
+    int64 at x``scale`` (round-half-away); headers with NO detail rows
+    reconcile against 0 (SQL LEFT JOIN + COALESCE — they ARE mismatches
+    unless the header total is 0); detail rows with no header are the
+    referential_violations operator's finding, not this one's. NULL
+    keys and NULL values drop on the side they appear (SQL join +
+    aggregate semantics). All-int64 output hashes against the SQL
+    mirror without tolerance. Guards: RAISE on |value*scale| >= 2^62
+    per row, and a float-shadow check RAISES if a per-key int64 SUM
+    wrapped (the grouped_moments recipe).
+
+    Scale shape: detail rows collapse to per-key exact-cents partials
+    map-side (grouped_sums_partitioned — raw detail rows never
+    shuffle), ONE partitioned hash join against the header keys, and
+    the k-worst cut is the sort-free top_k_rows gather (<= k rows per
+    batch cross the wire). No reference analogue (single-value
+    validator, /root/reference/validator/validator.go:57); extends the
+    §2.C referential-integrity family to aggregate consistency."""
+    import numpy as np
+
+    from jsschema_ray.stages.aggregates import grouped_sums_partitioned
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.stats import top_k_rows
+    from jsschema_ray.stages.windows import round_half_away
+
+    def cents(col_in: str, key_in: str, out: str, shadow: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.select([key_in, col_in]).filter(
+                pc.and_(pc.is_valid(b.column(key_in)),
+                        pc.is_valid(b.column(col_in))))
+            import numpy as _np
+            v = _np.asarray(b.column(col_in).combine_chunks()
+                            .to_numpy(zero_copy_only=False), _np.float64)
+            c = round_half_away(v * scale)
+            if len(c) and _np.abs(c).max() >= 2.0**62:
+                raise ValueError(
+                    f"reconcile_sums: |{col_in} * {scale}| reaches 2^62 "
+                    "— the int64 cents round-trip would lose exactness")
+            cols = {key_in: b.column(key_in),
+                    out: pa.array(c.astype(_np.int64))}
+            if shadow:
+                cols["__shadow"] = pa.array(c)  # float64 wrap detector
+            return pa.table(cols)
+        return fn
+
+    d_sums = grouped_sums_partitioned(
+        detail.select_columns([detail_key, detail_col]).map_batches(
+            cents(detail_col, detail_key, "detail_cents", True),
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True),
+        [detail_key], {"detail_cents": "detail_cents",
+                       "__shadow": "__shadow"},
+        num_parts=num_parts)
+
+    def wrap_check(b: pa.Table) -> pa.Table:
+        ic = b.column("detail_cents").to_numpy(zero_copy_only=False)
+        fc = b.column("__shadow").to_numpy(zero_copy_only=False)
+        if len(ic) and np.any(
+                np.abs(ic.astype(np.float64) - fc) > 2.0**62):
+            raise ValueError(
+                "reconcile_sums: a per-key int64 cents SUM wrapped "
+                "(exceeds 2^63) — reduce scale or split the key domain")
+        return b.drop_columns(["__shadow"])
+
+    d_sums = d_sums.map_batches(wrap_check, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    h = header.select_columns([header_key, header_col]).map_batches(
+        cents(header_col, header_key, "header_cents", False),
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    j = hash_join(h, d_sums, key=header_key, right_key=detail_key,
+                  how="left", num_buckets=num_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        det = pc.coalesce(b.column("detail_cents"),
+                          pa.scalar(0, pa.int64()))
+        diff = pc.subtract(b.column("header_cents"), det)
+        return pa.table({
+            header_key: b.column(header_key),
+            "header_cents": b.column("header_cents"),
+            "detail_cents": det,
+            "diff_cents": diff,
+            "abs_diff": pc.abs(diff),
+        })
+
+    out = j.map_batches(finish, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return top_k_rows(out, value="abs_diff", tiebreak=header_key, k=k,
+                      descending=True)

@@ -545,8 +545,12 @@ def top_k_rows(ds, value: str, tiebreak: str, k: int = 10,
         raise ValueError(f"k must be >= 1, got {k}")
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) <= k:
+        if len(df) <= 1:
             return df
+        # <= k rows still SORT (no trim needed): the final replay block
+        # must honor the documented ORDER BY even when the whole input
+        # fits under k (an early-return here silently emitted gather
+        # order for small inputs — r5h fix)
         # rank on the RAW dtype (r3 ADVICE fix: a float64 cast collapses
         # int64 values above 2^53, letting the tiebreak order rows whose
         # values actually differ); floats keep the negate/raw key so NaN

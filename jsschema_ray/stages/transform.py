@@ -216,3 +216,89 @@ def table_diff(ds_a, ds_b, key: str, compare_cols: list[str],
 
     return a.union(b).groupby("__part").map_groups(
         classify, batch_format="pyarrow")
+
+
+def upsert(base, updates, key: str, num_parts: int = 32,
+           batch_size: int = 65536):
+    """Keyed MERGE (upsert): every ``updates`` row wins its key; every
+    ``base`` row whose key has NO update passes through — the
+    incremental-ingest APPLY step (table_diff audits what changed;
+    this produces the new version). Output rows = updates ∪ (base ⋉̸
+    updates), exactly the SQL
+
+        SELECT * FROM updates
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.key = b.key)
+
+    Contract: identical column sets on both sides (raised); ``key``
+    non-null on both sides and UNIQUE within ``updates`` (raised — a
+    duplicate update makes last-writer ambiguous; duplicate BASE keys
+    are allowed and replaced/kept as a group). Row values are pure
+    selection — no arithmetic — so per-row hashes match the mirror.
+
+    Scale shape: both sides tag a side bit and hash(key) co-partition
+    ONCE (a full merge inherently moves every row exactly once); each
+    partition drops shadowed base rows with one C-level
+    ``pc.index_in`` anti-probe against its update keys. No driver
+    state, output streams. No reference analogue (single-value
+    validator, /root/reference/validator/validator.go:57); completes
+    the §2.C cross-version family (diff -> apply)."""
+    import numpy as np
+
+    from jsschema_ray.state.hll import hash64
+
+    # an all-empty side reports schema() None (Ray emits no blocks):
+    # treat it as "no rows on that side" instead of crashing the check
+    bs, us = base.schema(), updates.schema()
+    base_cols = list(bs.names) if bs is not None else None
+    upd_cols = list(us.names) if us is not None else None
+    if base_cols is not None and upd_cols is not None \
+            and set(base_cols) != set(upd_cols):
+        raise ValueError(
+            f"upsert: column sets differ — base {sorted(base_cols)} vs "
+            f"updates {sorted(upd_cols)}")
+    cols = base_cols if base_cols is not None else upd_cols
+    if cols is None:
+        return base  # both sides empty: nothing to merge
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.select(cols)
+            k = b.column(key).combine_chunks()
+            if k.null_count:
+                raise ValueError(
+                    f"upsert: NULL {key} on side "
+                    f"{'updates' if side else 'base'}")
+            part = (hash64(k) % np.uint64(num_parts)).astype(np.int32)
+            return b.append_column("__part", pa.array(part)) \
+                    .append_column("__side", pa.array(
+                        np.full(b.num_rows, side, dtype=np.int8)))
+        return fn
+
+    tagged = base.map_batches(
+        tag(0), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).union(updates.map_batches(
+        tag(1), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True))
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        tb = t.filter(pa.array(side == 0)).drop_columns(
+            ["__part", "__side"])
+        tu = t.filter(pa.array(side == 1)).drop_columns(
+            ["__part", "__side"])
+        ku = tu.column(key).combine_chunks()
+        # same key always lands in the same partition, so per-partition
+        # distinctness IS global distinctness (the table_diff argument)
+        if len(ku) and pc.count_distinct(ku).as_py() != len(ku):
+            raise ValueError(f"upsert: duplicate {key} in updates")
+        shadowed = pc.index_in(tb.column(key).combine_chunks(),
+                               value_set=ku)
+        keep = tb.filter(shadowed.is_null())
+        return pa.concat_tables([tu, keep])
+
+    return tagged.groupby("__part").map_groups(
+        merge_part, batch_format="pyarrow")

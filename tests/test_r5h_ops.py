@@ -190,3 +190,111 @@ class TestCaptionSpam:
         assert out.caption.notna().all()
         # deterministic: count DESC then caption ASC
         assert (out.n_images.is_monotonic_decreasing)
+
+
+class TestReconcileSums:
+    def test_known_mismatches_and_missing_details(self, ray_session):
+        from jsschema_ray.stages.referential import reconcile_sums
+
+        detail = pa.table({
+            "k": pa.array([1, 1, 2, 2, 2, None, 4], pa.int64()),
+            "v": pa.array([10.00, 5.25, 7.00, None, 3.00, 99.0, 1.0]),
+        })
+        header = pa.table({
+            "hk": pa.array([1, 2, 3, None], pa.int64()),
+            "total": pa.array([15.25, 11.00, 2.50, 8.0]),
+        })
+        out = (reconcile_sums(_ds(detail, 3), _ds(header, 2), "k", "hk",
+                              "v", "total", k=10, num_parts=4)
+               .to_pandas().set_index("hk"))
+        # header 1: 1525 vs 1525 -> diff 0; header 2: 1100 vs 1000 -> 100
+        # header 3: no details -> 250 vs 0; NULL-key rows drop both sides
+        assert out.loc[1, "diff_cents"] == 0
+        assert out.loc[2, "diff_cents"] == 100
+        assert out.loc[3, "detail_cents"] == 0
+        assert out.loc[3, "diff_cents"] == 250
+        assert len(out) == 3           # NULL header key dropped
+        # worst-first order
+        assert out.abs_diff.is_monotonic_decreasing
+
+    def test_detail_orphans_excluded(self, ray_session):
+        from jsschema_ray.stages.referential import reconcile_sums
+
+        detail = pa.table({"k": pa.array([9], pa.int64()),
+                           "v": pa.array([5.0])})
+        header = pa.table({"hk": pa.array([1], pa.int64()),
+                           "total": pa.array([5.0])})
+        out = reconcile_sums(_ds(detail, 1), _ds(header, 1), "k", "hk",
+                             "v", "total", k=5, num_parts=2).to_pandas()
+        assert out.hk.tolist() == [1]  # orphan detail key 9 not reported
+
+    def test_overflow_guard(self, ray_session):
+        from jsschema_ray.stages.referential import reconcile_sums
+
+        detail = pa.table({"k": pa.array([1], pa.int64()),
+                           "v": pa.array([float(2**61)])})
+        header = pa.table({"hk": pa.array([1], pa.int64()),
+                           "total": pa.array([1.0])})
+        with pytest.raises(Exception, match="2\\^62"):
+            reconcile_sums(_ds(detail, 1), _ds(header, 1), "k", "hk",
+                           "v", "total").to_pandas()
+
+
+class TestUpsert:
+    def test_semantics_with_updates_inserts_and_dup_base(self, ray_session):
+        from jsschema_ray.stages.transform import upsert
+
+        base = pa.table({
+            "k": pa.array([1, 2, 2, 3], pa.int64()),   # dup base key 2
+            "v": pa.array(["a", "b1", "b2", "c"]),
+        })
+        updates = pa.table({
+            "k": pa.array([2, 9], pa.int64()),          # replace 2, insert 9
+            "v": pa.array(["B", "new"]),
+        })
+        out = (upsert(_ds(base, 3), _ds(updates, 2), "k", num_parts=4)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        assert out.k.tolist() == [1, 2, 3, 9]   # BOTH dup-base rows replaced
+        assert out.v.tolist() == ["a", "B", "c", "new"]
+
+    def test_guards(self, ray_session):
+        from jsschema_ray.stages.transform import upsert
+
+        base = pa.table({"k": pa.array([1], pa.int64()), "v": ["a"]})
+        dup_updates = pa.table({"k": pa.array([2, 2], pa.int64()),
+                                "v": ["x", "y"]})
+        with pytest.raises(Exception, match="duplicate"):
+            upsert(_ds(base, 1), _ds(dup_updates, 1), "k").to_pandas()
+        null_updates = pa.table({"k": pa.array([None], pa.int64()),
+                                 "v": ["x"]})
+        with pytest.raises(Exception, match="NULL"):
+            upsert(_ds(base, 1), _ds(null_updates, 1), "k").to_pandas()
+        wrong_cols = pa.table({"k": pa.array([2], pa.int64()),
+                               "w": ["x"]})
+        with pytest.raises(ValueError, match="column sets"):
+            upsert(_ds(base, 1), _ds(wrong_cols, 1), "k")
+
+    def test_empty_updates_identity(self, ray_session):
+        from jsschema_ray.stages.transform import upsert
+
+        base = pa.table({"k": pa.array([5, 6], pa.int64()),
+                         "v": ["p", "q"]})
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.string())})
+        out = (upsert(_ds(base, 2), _ds(empty, 1), "k", num_parts=2)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out.k.tolist() == [5, 6] and out.v.tolist() == ["p", "q"]
+
+
+class TestTopKRowsSmallInputOrder:
+    def test_sorted_even_when_rows_below_k(self, ray_session):
+        from jsschema_ray.stages.stats import top_k_rows
+
+        t = pa.table({"v": pa.array([3, 1, 2], pa.int64()),
+                      "id": pa.array([30, 10, 20], pa.int64())})
+        out = top_k_rows(_ds(t, 3), value="v", tiebreak="id",
+                         k=10).to_pandas()
+        assert out.v.tolist() == [3, 2, 1]   # r5h fix: ORDER BY holds
+        asc = top_k_rows(_ds(t, 3), value="v", tiebreak="id", k=10,
+                         descending=False).to_pandas()
+        assert asc.v.tolist() == [1, 2, 3]

@@ -5116,6 +5116,22 @@ def q_orders_upsert(sf_dir: str):
                   num_parts=_fanout(sf_dir, "orders")).sort("o_orderkey")
 
 
+def q_events_join_fanout(sf_dir: str):
+    """EXACT pre-join fan-out audit (stages/join.join_cardinality): how
+    many rows would an events-user_id self-join emit, and which user
+    dominates — the pre-flight every 100 TB equi-join should run before
+    committing to the shuffle (Zipf-keyed events make the answer
+    non-obvious: the top user's count^2 can dwarf the median's). Raw
+    rows never shuffle: per-key COUNT partials meet in one O(keys)
+    join; int64-exact with overflow refusal."""
+    from jsschema_ray.stages.join import join_cardinality
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    ev2 = _read(sf_dir, "events", ["user_id"])
+    return join_cardinality(ev, ev2, "user_id",
+                            num_parts=_fanout(sf_dir, "events"))
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5223,6 +5239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_bit_balance": q_phash_bit_balance,  # r5h NEW tail operator: per-bit hash-health audit (stats.bit_balance) — local mirror verifies
         "order_totals_reconcile": q_order_totals_reconcile,  # r5h NEW tail operator: cross-table aggregate reconciliation (referential.reconcile_sums) — local mirror verifies
         "orders_upsert": q_orders_upsert,  # r5h NEW tail operator: keyed MERGE apply (transform.upsert), the diff->apply completion — local mirror verifies per-row
+        "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6952,6 +6969,23 @@ def oracle_sql() -> dict[str, str]:
                        AS abs_diff
             FROM h LEFT JOIN d ON d.l_orderkey = h.o_orderkey
             ORDER BY abs_diff DESC, h.o_orderkey LIMIT 20
+        """,
+        # exact pre-join fan-out audit: per-key count join, SUM of
+        # products, deterministic (product DESC, key ASC) hot key
+        "events_join_fanout": """
+            WITH l AS (SELECT user_id AS k, COUNT(*) AS lc
+                       FROM events WHERE user_id IS NOT NULL
+                       GROUP BY user_id),
+            m AS (SELECT a.k, a.lc * r.lc AS p
+                  FROM l a JOIN l r ON a.k = r.k)
+            SELECT (SELECT COUNT(user_id) FROM events) AS n_left,
+                   (SELECT COUNT(user_id) FROM events) AS n_right,
+                   CAST(SUM(p) AS BIGINT) AS n_join_rows,
+                   COUNT(*) AS n_join_keys,
+                   (SELECT k FROM m ORDER BY p DESC, k LIMIT 1)
+                       AS top_key,
+                   CAST(MAX(p) AS BIGINT) AS top_key_rows
+            FROM m
         """,
         # keyed MERGE apply: updates win, NOT-EXISTS survivors pass
         # through; the +1.0 is one IEEE add spelled on both sides

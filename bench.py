@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "phash_bit_balance",
     "order_totals_reconcile",
     "orders_upsert",
+    "events_join_fanout",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -298,3 +298,41 @@ class TestTopKRowsSmallInputOrder:
         asc = top_k_rows(_ds(t, 3), value="v", tiebreak="id", k=10,
                          descending=False).to_pandas()
         assert asc.v.tolist() == [1, 2, 3]
+
+
+class TestJoinCardinality:
+    def test_exact_products_and_hot_key(self, ray_session):
+        from jsschema_ray.stages.join import join_cardinality
+
+        left = pa.table({"k": pa.array(
+            [1] * 5 + [2] * 3 + [3] * 1 + [None], pa.int64())})
+        right = pa.table({"k": pa.array(
+            [1] * 2 + [2] * 4 + [9] * 7 + [None], pa.int64())})
+        out = join_cardinality(_ds(left, 3), _ds(right, 3), "k",
+                               num_parts=4).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        # matched: k=1 -> 5*2=10, k=2 -> 3*4=12; k=3/9 unmatched
+        assert r.n_join_rows == 22 and r.n_join_keys == 2
+        assert r.top_key == 2 and r.top_key_rows == 12
+        assert r.n_left == 9 and r.n_right == 13   # non-null key rows
+
+    def test_no_matches(self, ray_session):
+        from jsschema_ray.stages.join import join_cardinality
+
+        left = pa.table({"k": pa.array([1, 2], pa.int64())})
+        right = pa.table({"k": pa.array([8, 9], pa.int64())})
+        out = join_cardinality(_ds(left, 1), _ds(right, 1), "k",
+                               num_parts=2).to_pandas()
+        r = out.iloc[0]
+        assert r.n_join_rows == 0 and r.n_join_keys == 0
+        assert r.top_key_rows == 0 and pd.isna(r.top_key)
+
+    def test_tie_breaks_to_smallest_key(self, ray_session):
+        from jsschema_ray.stages.join import join_cardinality
+
+        left = pa.table({"k": pa.array([5, 5, 7, 7], pa.int64())})
+        right = pa.table({"k": pa.array([5, 7], pa.int64())})
+        out = join_cardinality(_ds(left, 2), _ds(right, 1), "k",
+                               num_parts=3).to_pandas()
+        assert out.iloc[0].top_key == 5   # equal products 2 and 2

@@ -5132,6 +5132,41 @@ def q_events_join_fanout(sf_dir: str):
                             num_parts=_fanout(sf_dir, "events"))
 
 
+def q_dup_cluster_histogram(sf_dir: str):
+    """Duplicate-CLUSTER size distribution over image captions: how many
+    exact-duplicate clusters have exactly k copies — the dup-storm
+    SHAPE detector (a fat tail here says dedup output will be dominated
+    by a few megaclusters; caption_spam lists the offenders, this says
+    how duplication is distributed). Stage 1 collapses per-batch to
+    distinct captions and merges per-caption counts through the hash
+    co-partition (grouped_sums_partitioned — NOT the key-sorting
+    aggregate, which would sort ~O(corpus) strings); stage 2
+    re-aggregates the O(captions) count table by count VALUE (tiny
+    universe). Pure int64."""
+    from jsschema_ray.stages.aggregates import (grouped_sums,
+                                                grouped_sums_partitioned)
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["caption"])
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("caption")))
+
+    per_text = grouped_sums_partitioned(
+        ds.map_batches(drop_null, batch_format="pyarrow",
+                       batch_size=65536, zero_copy_batch=True),
+        ["caption"], {}, count_alias="__n",
+        num_parts=_fanout(sf_dir, "documents"))
+    out = grouped_sums(per_text.select_columns(["__n"]), ["__n"], {},
+                       count_alias="n_clusters")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["cluster_size" if c == "__n" else c for c in t.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("cluster_size")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5240,6 +5275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_reconcile": q_order_totals_reconcile,  # r5h NEW tail operator: cross-table aggregate reconciliation (referential.reconcile_sums) — local mirror verifies
         "orders_upsert": q_orders_upsert,  # r5h NEW tail operator: keyed MERGE apply (transform.upsert), the diff->apply completion — local mirror verifies per-row
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
+        "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -6969,6 +7005,14 @@ def oracle_sql() -> dict[str, str]:
                        AS abs_diff
             FROM h LEFT JOIN d ON d.l_orderkey = h.o_orderkey
             ORDER BY abs_diff DESC, h.o_orderkey LIMIT 20
+        """,
+        # duplicate-cluster size distribution: GROUP BY text -> COUNT,
+        # then GROUP BY that count — pure int64
+        "dup_cluster_histogram": f"""
+            WITH c AS (SELECT COUNT(*) AS sz FROM read_parquet('{meta}')
+                       WHERE caption IS NOT NULL GROUP BY caption)
+            SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM c
+            GROUP BY sz ORDER BY sz
         """,
         # exact pre-join fan-out audit: per-key count join, SUM of
         # products, deterministic (product DESC, key ASC) hot key

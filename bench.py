@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "order_totals_reconcile",
     "orders_upsert",
     "events_join_fanout",
+    "dup_cluster_histogram",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -336,3 +336,20 @@ class TestJoinCardinality:
         out = join_cardinality(_ds(left, 2), _ds(right, 1), "k",
                                num_parts=3).to_pandas()
         assert out.iloc[0].top_key == 5   # equal products 2 and 2
+
+
+class TestDupClusterHistogram:
+    def test_conservation_and_shape(self, ray_session):
+        import __ray_entry__ as m
+
+        out = m.queries()["dup_cluster_histogram"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert (out.cluster_size >= 1).all()
+        assert (out.n_clusters >= 1).all()
+        # conservation: sum(size * clusters) == non-null caption rows
+        import duckdb
+
+        meta = m._image_meta_path("/root/testdata/sf0.001")
+        n = duckdb.sql(f"SELECT COUNT(caption) FROM "
+                       f"read_parquet('{meta}')").fetchone()[0]
+        assert int((out.cluster_size * out.n_clusters).sum()) == int(n)

@@ -5167,6 +5167,52 @@ def q_dup_cluster_histogram(sf_dir: str):
                            zero_copy_batch=True).sort("cluster_size")
 
 
+def q_image_magic_audit(sf_dir: str):
+    """Declared-vs-DETECTED format audit over the raw payload bytes:
+    per (fmt, detected_fmt) counts, where detected_fmt comes from the
+    payload's magic prefix (PNG 89504E47, JPEG FFD8FF, GIF 474946,
+    WEBP RIFF....WEBP, else 'unknown') — the container-integrity check
+    a decode stage runs BEFORE wasting GPU/CPU on a mislabeled or
+    truncated payload (this corpus deliberately carries PNG bytes
+    under lossy labels — the driver-mandated codec stubs — and the
+    audit surfaces exactly that). Bytes collapse to a detected label in
+    the first map stage and never shuffle; NULL fmt/bytes drop (the
+    validator's findings). Pure int64 counts."""
+    from jsschema_ray.stages.aggregates import grouped_sums
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["fmt", "bytes"])
+
+    def detect(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("fmt")),
+                             pc.is_valid(b.column("bytes"))))
+        raw = b.column("bytes")
+        p4 = pc.binary_slice(raw, 0, 4)
+        p3 = pc.binary_slice(raw, 0, 3)
+        w4 = pc.binary_slice(raw, 8, 12)
+        det = pc.if_else(
+            pc.equal(p4, pa.scalar(b"\x89PNG", pa.binary())),
+            pa.scalar("png"),
+            pc.if_else(
+                pc.equal(p3, pa.scalar(b"\xff\xd8\xff", pa.binary())),
+                pa.scalar("jpeg"),
+                pc.if_else(
+                    pc.equal(p3, pa.scalar(b"GIF", pa.binary())),
+                    pa.scalar("gif"),
+                    pc.if_else(
+                        pc.and_(pc.equal(p4, pa.scalar(b"RIFF",
+                                                       pa.binary())),
+                                pc.equal(w4, pa.scalar(b"WEBP",
+                                                       pa.binary()))),
+                        pa.scalar("webp"), pa.scalar("unknown")))))
+        return pa.table({"fmt": b.column("fmt"), "detected_fmt": det})
+
+    counts = grouped_sums(
+        ds.map_batches(detect, batch_format="pyarrow", batch_size=4096,
+                       zero_copy_batch=True),
+        ["fmt", "detected_fmt"], {}, count_alias="n")
+    return counts.sort(["fmt", "detected_fmt"])
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5276,6 +5322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert": q_orders_upsert,  # r5h NEW tail operator: keyed MERGE apply (transform.upsert), the diff->apply completion — local mirror verifies per-row
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
+        "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -7013,6 +7060,26 @@ def oracle_sql() -> dict[str, str]:
                        WHERE caption IS NOT NULL GROUP BY caption)
             SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM c
             GROUP BY sz ORDER BY sz
+        """,
+        # declared-vs-detected format: magic prefixes via hex-substring
+        # (DuckDB blobs have no binary substring; 2 hex chars per byte)
+        "image_magic_audit": f"""
+            WITH b AS (SELECT fmt,
+                              substring(hex(bytes), 1, 8) AS h4,
+                              substring(hex(bytes), 1, 6) AS h3,
+                              substring(hex(bytes), 17, 8) AS hw
+                       FROM read_parquet('{img}/*.parquet')
+                       WHERE fmt IS NOT NULL AND bytes IS NOT NULL)
+            SELECT fmt,
+                   CASE WHEN h4 = '89504E47' THEN 'png'
+                        WHEN h3 = 'FFD8FF' THEN 'jpeg'
+                        WHEN h3 = '474946' THEN 'gif'
+                        WHEN h4 = '52494646' AND hw = '57454250'
+                            THEN 'webp'
+                        ELSE 'unknown' END AS detected_fmt,
+                   COUNT(*) AS n
+            FROM b GROUP BY fmt, detected_fmt
+            ORDER BY fmt, detected_fmt
         """,
         # exact pre-join fan-out audit: per-key count join, SUM of
         # products, deterministic (product DESC, key ASC) hot key

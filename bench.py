@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "orders_upsert",
     "events_join_fanout",
     "dup_cluster_histogram",
+    "image_magic_audit",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

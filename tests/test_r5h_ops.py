@@ -353,3 +353,16 @@ class TestDupClusterHistogram:
         n = duckdb.sql(f"SELECT COUNT(caption) FROM "
                        f"read_parquet('{meta}')").fetchone()[0]
         assert int((out.cluster_size * out.n_clusters).sum()) == int(n)
+
+
+class TestImageMagicAudit:
+    def test_detects_png_under_lossy_labels(self, ray_session):
+        import __ray_entry__ as m
+
+        out = m.queries()["image_magic_audit"](
+            "/root/testdata/sf0.001").to_pandas()
+        # this corpus carries PNG payloads under every declared fmt
+        # (the driver-mandated codec stubs) — the audit must surface it
+        assert set(out.detected_fmt) == {"png"}
+        assert (out.n > 0).all()
+        assert "png" in set(out.fmt) and len(out.fmt) >= 2

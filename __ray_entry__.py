@@ -5213,6 +5213,51 @@ def q_image_magic_audit(sf_dir: str):
     return counts.sort(["fmt", "detected_fmt"])
 
 
+def q_image_partition_verdicts(sf_dir: str):
+    """Per-PARTITION pass/fail verdicts over the image table — the
+    north-star report shape in query form: for each partition (fmt as
+    the partition-key proxy, the partition_checksums convention) the
+    row count, the count of rows failing ANY compiled-DAG constraint,
+    and the boolean verdict (pass = zero invalid rows). One annotate
+    pass (validate mode='annotate' appends the per-row valid mask — the
+    same compiled ConstraintDAG image_validate uses) + one
+    map-side-combined grouped_sums over (fmt, invalid). The mirror
+    spells the identical row-validity predicate, so counts and the
+    BOOLEAN verdict hash exactly."""
+    from jsschema_ray.pipelines.image_schema import IMAGE_SCHEMA
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.validate import validate
+
+    schema = {k: v for k, v in IMAGE_SCHEMA.items() if not k.startswith("x-")}
+    schema["required"] = [r for r in schema["required"] if r != "bytes"]
+    ds = rd.read_parquet(
+        _image_dir(sf_dir),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+    annotated = validate(ds, schema, mode="annotate")
+
+    def to_counts(b: pa.Table) -> pa.Table:
+        inv = pc.cast(pc.invert(b.column("valid")), pa.int64())
+        return pa.table({"fmt": b.column("fmt"), "invalid": inv})
+
+    counts = grouped_sums(
+        annotated.map_batches(to_counts, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True),
+        ["fmt"], {"n_invalid": "invalid"}, count_alias="n_rows")
+
+    def verdict(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": b.column("fmt"),
+            "n_rows": b.column("n_rows"),
+            "n_invalid": b.column("n_invalid"),
+            "pass": pc.equal(b.column("n_invalid"),
+                             pa.scalar(0, pa.int64())),
+        })
+
+    return counts.map_batches(verdict, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("fmt")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5323,6 +5368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
+        "image_partition_verdicts": q_image_partition_verdicts,  # r5h NEW tail composition: per-partition pass/fail verdicts (the north-star report shape, oracled) — local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -7060,6 +7106,26 @@ def oracle_sql() -> dict[str, str]:
                        WHERE caption IS NOT NULL GROUP BY caption)
             SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM c
             GROUP BY sz ORDER BY sz
+        """,
+        # per-partition pass/fail verdicts: the mirror spells the same
+        # any-constraint-fails row predicate the compiled DAG evaluates
+        "image_partition_verdicts": f"""
+            WITH m AS (SELECT * FROM read_parquet('{meta}')),
+            r AS (SELECT fmt,
+                         CASE WHEN NOT regexp_matches(image_id,
+                                       '^img-[0-9]{{12}}$')
+                                OR w < 16 OR w > 4096
+                                OR h < 16 OR h > 4096
+                                OR fmt NOT IN ('png', 'jpeg', 'webp')
+                                OR caption IS NULL
+                                OR LENGTH(caption) < 5
+                                OR LENGTH(caption) > 200
+                              THEN 1 ELSE 0 END AS invalid
+                  FROM m)
+            SELECT fmt, COUNT(*) AS n_rows,
+                   CAST(SUM(invalid) AS BIGINT) AS n_invalid,
+                   SUM(invalid) = 0 AS pass
+            FROM r GROUP BY fmt ORDER BY fmt
         """,
         # declared-vs-detected format: magic prefixes via hex-substring
         # (DuckDB blobs have no binary substring; 2 hex chars per byte)

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "events_join_fanout",
     "dup_cluster_histogram",
     "image_magic_audit",
+    "image_partition_verdicts",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

@@ -366,3 +366,30 @@ class TestImageMagicAudit:
         assert set(out.detected_fmt) == {"png"}
         assert (out.n > 0).all()
         assert "png" in set(out.fmt) and len(out.fmt) >= 2
+
+
+class TestImagePartitionVerdicts:
+    def test_verdict_consistency_with_validate(self, ray_session):
+        import __ray_entry__ as m
+
+        out = m.queries()["image_partition_verdicts"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert (out["pass"] == (out.n_invalid == 0)).all()
+        assert (out.n_invalid <= out.n_rows).all()
+        # total invalid rows equals the distinct offending keys only if
+        # ids were unique; the row-count identity always holds:
+        viol = m.queries()["image_validate"](
+            "/root/testdata/sf0.001").to_pandas()
+        # every fmt partition with a violation row must read pass=False
+        # (fmt of a violating row: look it up in the meta mirror)
+        import duckdb
+
+        meta = m._image_meta_path("/root/testdata/sf0.001")
+        n_invalid_total = duckdb.sql(f"""
+            SELECT COUNT(*) FROM read_parquet('{meta}')
+            WHERE NOT regexp_matches(image_id, '^img-[0-9]{{12}}$')
+               OR w < 16 OR w > 4096 OR h < 16 OR h > 4096
+               OR fmt NOT IN ('png','jpeg','webp')
+               OR caption IS NULL OR LENGTH(caption) < 5
+               OR LENGTH(caption) > 200""").fetchone()[0]
+        assert int(out.n_invalid.sum()) == int(n_invalid_total)

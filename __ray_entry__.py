@@ -5292,7 +5292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # mirror tests/test_oracle_parity.py still verifies every pair).
     return {
         # --- r5 window: flagship + the last never-driver-verified six
-        "fuzzy_name_join": q_fuzzy_name_join,  # r5 NEW: cross-table edit-distance join (new _emit_cross_pairs code) — replaces image_validate in-window (driver-green r1-r4, validate.py unchanged, and entry() independently drives the validator path every round)
+        "image_partition_verdicts": q_image_partition_verdicts,  # r5h rotation: per-partition pass/fail verdicts — the north-star report shape, first driver row — replaces fuzzy_name_join in-window (its Levenshtein banding machinery stays pinned by in-window name_typo_pairs; local mirror verifies the pair)
         "source_vocab_overlap": q_source_vocab_overlap,  # r5 NEW: slice-vocabulary Jaccard — replaces violation_summary in-window
         "similarity_join": q_similarity_join,  # r5 sweep: first driver row
         "event_type_mode": q_event_type_mode,  # r5 sweep: first driver row
@@ -5368,7 +5368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
-        "image_partition_verdicts": q_image_partition_verdicts,  # r5h NEW tail composition: per-partition pass/fail verdicts (the north-star report shape, oracled) — local mirror verifies
+        "fuzzy_name_join": q_fuzzy_name_join,  # r5h: displaced past the window by image_partition_verdicts (Levenshtein banding machinery in-window via name_typo_pairs; local mirror verifies)
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)

@@ -5258,6 +5258,19 @@ def q_image_partition_verdicts(sf_dir: str):
                               zero_copy_batch=True).sort("fmt")
 
 
+def q_embedding_health(sf_dir: str):
+    """Embedding-column health audit (stages/stats.embedding_health):
+    exact counts of NULL vectors, wrong-dimension vectors, vectors with
+    NULL elements, vectors with NaNs, and all-zero vectors — the
+    pre-flight every knn/dedup/similarity stage needs (one NaN poisons
+    every cosine it touches). Each batch folds to one width-6 partial
+    off the flat Arrow value buffer; O(batches) rows reach the fold."""
+    from jsschema_ray.stages.stats import embedding_health
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_health(ds, "embedding", expected_dim=64)
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5369,6 +5382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
         "fuzzy_name_join": q_fuzzy_name_join,  # r5h: displaced past the window by image_partition_verdicts (Levenshtein banding machinery in-window via name_typo_pairs; local mirror verifies)
+        "embedding_health": q_embedding_health,  # r5h NEW tail operator: exact list<float> health audit (stats.embedding_health) — local mirror verifies
         "min_price_parts": q_min_price_parts,  # r5f: displaced past the window by null_profile (same top_n_with_ties operator as in-window top_quantity_ties; local mirror verifies the pair)
         "quantity_zscore": q_quantity_zscore,  # r5f: displaced past the window by candidate_keys (machinery doubly pinned in-window; local mirror verifies the pair)
         "quantity_stddev": q_quantity_stddev,  # r5f: displaced past the window by event_type_runs (two grouped-moments reps stay in-window; local mirror verifies the pair)
@@ -7106,6 +7120,37 @@ def oracle_sql() -> dict[str, str]:
                        WHERE caption IS NOT NULL GROUP BY caption)
             SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM c
             GROUP BY sz ORDER BY sz
+        """,
+        # embedding health: exact row-predicate counts over list<float>
+        # (isnan(NULL) is NULL in SQL -> NULL elements never count as
+        # NaN; the engine separates them the same way)
+        "embedding_health": """
+            SELECT COUNT(*) AS n_vectors,
+                   CAST(SUM(CASE WHEN embedding IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null_vec,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(embedding) <> 64
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_wrong_dim,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(list_filter(embedding,
+                                          x -> x IS NULL)) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null_elem,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(list_filter(embedding,
+                                          x -> isnan(x))) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_with_nan,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(embedding) > 0
+                                  AND len(list_filter(embedding,
+                                          x -> x = 0.0))
+                                      = len(embedding)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_all_zero
+            FROM embeddings
         """,
         # per-partition pass/fail verdicts: the mirror spells the same
         # any-constraint-fails row predicate the compiled DAG evaluates

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "dup_cluster_histogram",
     "image_magic_audit",
     "image_partition_verdicts",
+    "embedding_health",
     "except_all_events",
     "intersect_all_events",
     "quantity_price_corr",

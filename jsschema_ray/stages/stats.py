@@ -1049,3 +1049,88 @@ def bit_balance(ds, column: str, bits: int = 64,
     return grouped_sums(partials, ["bit"],
                         {"n_ones": "ones", "n": "cnt"},
                         count_alias=None)
+
+
+def embedding_health(ds, column: str, expected_dim: int,
+                     batch_size: int = 65536):
+    """Embedding-column health audit — the exact-count pre-flight every
+    vector stage (knn, embedding_dedup, similarity_join) should run
+    first, because one NaN poisons every cosine it touches and
+    all-zero vectors make similarity undefined. Output ONE row of
+    exact int64 counts:
+
+        (n_vectors, n_null_vec, n_wrong_dim, n_null_elem,
+         n_with_nan, n_all_zero)
+
+    Row predicates (computed over non-null vectors): wrong_dim =
+    len != expected_dim; null_elem = any NULL element; with_nan = any
+    NaN element (NULL elements are NOT NaN — the two are counted
+    separately, matching SQL's isnan(NULL) = NULL semantics);
+    all_zero = len > 0 and every element == 0.0 (so -0.0 counts as
+    zero, and empty lists do NOT count). All counts exact — the row
+    hashes against the SQL mirror without tolerance.
+
+    Scale shape: each batch folds to ONE width-6 partial row (flat
+    Arrow value buffer + np.add.reduceat over the list offsets — no
+    per-row loop, no row materialization); the finish sums O(batches)
+    partials. No reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57); extends §2.C column
+    statistics to the list<float> payload the input_hint's similarity
+    stages depend on."""
+    import ray.data as _rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        n = len(col)
+        n_null_vec = col.null_count
+        valid = col.drop_null()
+        if len(valid):
+            lengths = np.asarray(pc.list_value_length(valid)
+                                 .to_numpy(zero_copy_only=False),
+                                 np.int64)
+            flat = valid.flatten()  # element validity preserved
+            nan_f = pc.fill_null(pc.is_nan(flat), False) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            null_f = pc.is_null(flat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            zero_f = pc.fill_null(pc.equal(flat, 0.0), False) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.r_[0, np.cumsum(lengths)[:-1]]
+            nonempty = lengths > 0
+            def seg_sum(x):
+                out = np.zeros(len(lengths), np.int64)
+                if x.size and nonempty.any():
+                    out[nonempty] = np.add.reduceat(
+                        x, starts[nonempty])
+                    # reduceat over-collects when a later segment is
+                    # empty mid-array; with starts limited to nonempty
+                    # segments each reduce runs to the NEXT nonempty
+                    # start — correct because empty segments contribute
+                    # no elements between them
+                return out
+            nan_c = seg_sum(nan_f)
+            null_c = seg_sum(null_f)
+            zero_c = seg_sum(zero_f)
+            n_wrong = int((lengths != expected_dim).sum())
+            n_nan = int((nan_c > 0).sum())
+            n_nullel = int((null_c > 0).sum())
+            n_zero = int(((zero_c == lengths) & nonempty).sum())
+        else:
+            n_wrong = n_nan = n_nullel = n_zero = 0
+        return pa.table({
+            "n_vectors": pa.array([n], pa.int64()),
+            "n_null_vec": pa.array([n_null_vec], pa.int64()),
+            "n_wrong_dim": pa.array([n_wrong], pa.int64()),
+            "n_null_elem": pa.array([n_nullel], pa.int64()),
+            "n_with_nan": pa.array([n_nan], pa.int64()),
+            "n_all_zero": pa.array([n_zero], pa.int64()),
+        })
+
+    cols = ["n_vectors", "n_null_vec", "n_wrong_dim", "n_null_elem",
+            "n_with_nan", "n_all_zero"]
+    partials = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True).take_all()   # O(batches) width-6 rows
+    sums = {c: sum(int(r[c]) for r in partials) for c in cols}
+    return _rd.from_arrow(pa.table(
+        {c: pa.array([sums[c]], pa.int64()) for c in cols}))

@@ -393,3 +393,63 @@ class TestImagePartitionVerdicts:
                OR caption IS NULL OR LENGTH(caption) < 5
                OR LENGTH(caption) > 200""").fetchone()[0]
         assert int(out.n_invalid.sum()) == int(n_invalid_total)
+
+
+class TestEmbeddingHealth:
+    def test_dirty_vectors_vs_duckdb(self, ray_session):
+        from jsschema_ray.stages.stats import embedding_health
+
+        vecs = [
+            [1.0, 2.0, 3.0],          # healthy
+            [0.0, 0.0, 0.0],          # all zero
+            [0.0, -0.0, 0.0],         # all zero (-0.0 counts)
+            [float("nan"), 1.0, 2.0], # NaN
+            [1.0, None, 2.0],         # NULL element (not NaN)
+            [1.0, 2.0],               # wrong dim
+            None,                     # NULL vector
+            [],                       # wrong dim, NOT all-zero (empty)
+        ]
+        t = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32()))})
+        out = embedding_health(_ds(t, 3), "embedding",
+                               expected_dim=3).to_pandas().iloc[0]
+        assert out.n_vectors == 8 and out.n_null_vec == 1
+        assert out.n_wrong_dim == 2      # [1,2] and []
+        assert out.n_null_elem == 1
+        assert out.n_with_nan == 1       # the NULL element is not NaN
+        assert out.n_all_zero == 2
+        # DuckDB mirror over the same rows — via parquet, because the
+        # pandas scan coerces NaN list elements to NULL and would
+        # conflate the two predicates this audit separates
+        import duckdb
+        import pyarrow.parquet as pq
+
+        path = "/tmp/jsschema_ray_test_embhealth.parquet"
+        pq.write_table(t, path)
+        want = duckdb.sql(f"""
+            SELECT COUNT(*) AS n_vectors,
+                   CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_null_vec,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(embedding) <> 3
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_wrong_dim,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(list_filter(embedding,
+                                          x -> x IS NULL)) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null_elem,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(list_filter(embedding,
+                                          x -> isnan(x))) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_with_nan,
+                   CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                  AND len(embedding) > 0
+                                  AND len(list_filter(embedding,
+                                          x -> x = 0.0))
+                                      = len(embedding)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_all_zero
+            FROM read_parquet('{path}')""").fetchdf().iloc[0]
+        for c in want.index:
+            assert int(out[c]) == int(want[c]), c

@@ -5282,6 +5282,18 @@ def entry():
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness verifies the FIRST 50
     # entries of this dict.
+    # r5h FINAL rotation: 46 of the 50 in-window entries have never had a
+    # driver row (the maximum-new-coverage window for the final round);
+    # the other 4 are changed-code re-confirmations (minhash_recall —
+    # distributed cluster assembly; value_cdf — hash-co-partition finish;
+    # duplicate_keys — arrow-native reduce; chunk_pack_pipeline — packing
+    # scan-2 ranged partitions). Swapped IN this session:
+    # image_partition_verdicts (north-star report shape), price_ks_flags
+    # (count merge rewritten), partition_checksums, orders_snapshot_diff,
+    # pareto_parts. Swapped OUT (all driver-green in earlier rounds, all
+    # still verified by the local mirror): fuzzy_name_join,
+    # top_events_per_user, near_contamination, weighted_sample,
+    # except_customers.
     # r5 CONTINUATION rotation (r5b): five seats swapped for the new
     # operators and the code changed in the continuation session —
     # top_quantity_ties + except_all_events (brand-new operators),

@@ -5271,6 +5271,33 @@ def q_embedding_health(sf_dir: str):
     return embedding_health(ds, "embedding", expected_dim=64)
 
 
+def q_doc_quality_blend(sf_dir: str):
+    """Rank-ensemble curation score (stages/quantiles.rank_blend): per
+    document the PERCENT_RANK of n_chars and of n_tokens (whitespace
+    tokens, the token_counts kernel) plus their equal-weight mean — the
+    FineWeb-style multi-signal quality gate that makes incommensurable
+    signals comparable before a percentile cut. Ranks are exact int64
+    counts (value_cdf); every float column is ONE spelled division /
+    two-term mean, so even the floats hash bit-exact against the
+    PERCENT_RANK() OVER (ORDER BY ...) mirror. Scale shape: one
+    value_cdf + one partitioned hash_join per signal; raw text never
+    shuffles (only the narrow (doc_id, int, int) projection does)."""
+    from jsschema_ray.stages.quantiles import rank_blend
+    from jsschema_ray.stages.text import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = TextStats("text")
+
+    def feats(batch: pa.Table) -> pa.Table:
+        return stage(batch).select(["doc_id", "n_chars", "n_tokens"])
+
+    feats_ds = ds.map_batches(feats, batch_format="pyarrow",
+                              batch_size=_doc_batch(sf_dir, "documents"))
+    return rank_blend(feats_ds, ["doc_id"], ["n_chars", "n_tokens"],
+                      num_buckets=_fanout(sf_dir, "documents")
+                      ).sort("doc_id")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5514,6 +5541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "percentile_filter": q_percentile_filter,
         "top_doc_frequency": q_top_doc_frequency,
+        "doc_quality_blend": q_doc_quality_blend,
     }
 
 
@@ -8780,5 +8808,28 @@ def oracle_sql() -> dict[str, str]:
                          regexp_replace(TRIM(text), '\\S+', 'x', 'g'),
                          'x', '')) AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # rank-ensemble quality blend: PERCENT_RANK = n_lt/(n-1) with the
+        # min-rank tie rule — exactly rank_blend's spelled division; the
+        # two-term mean is spelled left-to-right in both engines
+        "doc_quality_blend": """
+            WITH t AS (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars,
+                       LENGTH(regexp_replace(TRIM(text), '\\S+', 'x', 'g'))
+                         - LENGTH(REPLACE(
+                             regexp_replace(TRIM(text), '\\S+', 'x', 'g'),
+                             'x', '')) AS n_tokens
+                FROM documents),
+            r AS (
+                SELECT doc_id,
+                       PERCENT_RANK() OVER (ORDER BY n_chars)
+                           AS pr_n_chars,
+                       PERCENT_RANK() OVER (ORDER BY n_tokens)
+                           AS pr_n_tokens
+                FROM t)
+            SELECT doc_id, pr_n_chars, pr_n_tokens,
+                   (pr_n_chars + pr_n_tokens) / 2.0 AS blend
+            FROM r ORDER BY doc_id
         """,
     }

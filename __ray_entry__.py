@@ -5298,6 +5298,37 @@ def q_doc_quality_blend(sf_dir: str):
                       ).sort("doc_id")
 
 
+def q_event_gap_quantiles(sf_dir: str):
+    """Per-user inter-arrival-time quantiles (p50/p90 of the LAG gap in
+    exact int64 microseconds) — the burst/bot-detection and
+    rate-profile primitive, composing stages/windows.event_deltas (one
+    hash(user) shuffle, C-sort + adjacent diff per partition) with
+    stages/quantiles.grouped_quantile_disc (histogram-trick count
+    partials, one batched searchsorted selection for ALL users — no
+    per-group loop). Every output value is an EXACT int64 gap that
+    exists in the data (QUANTILE_DISC selection, never interpolation),
+    so the oracle row-hash needs no tolerance. Users with a single
+    event have no gaps and drop from both engines (WHERE delta IS NOT
+    NULL before the GROUP BY)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.quantiles import grouped_quantile_disc
+    from jsschema_ray.stages.windows import event_deltas
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gaps = event_deltas(ds, key="user_id", ts="ts", tiebreak="event_id",
+                        num_partitions=_fanout(sf_dir, "events"))
+
+    def non_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("delta_us")))
+
+    gaps = gaps.map_batches(non_null, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_quantile_disc(
+        gaps, "user_id", "delta_us", 0.5, qs=(0.5, 0.9),
+        num_parts=_fanout(sf_dir, "events")).sort("user_id")
+
+
 def entry():
     """Flagship: full validation over sf0.001 lineitem (row-local DAG +
     uniqueness + referential + stats happen in queries; here the violations
@@ -5542,6 +5573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_filter": q_percentile_filter,
         "top_doc_frequency": q_top_doc_frequency,
         "doc_quality_blend": q_doc_quality_blend,
+        "event_gap_quantiles": q_event_gap_quantiles,
     }
 
 
@@ -8831,5 +8863,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pr_n_chars, pr_n_tokens,
                    (pr_n_chars + pr_n_tokens) / 2.0 AS blend
             FROM r ORDER BY doc_id
+        """,
+        # inter-arrival quantiles: exact int64 microsecond gaps; the
+        # engine's ceil(q*n) selection rank equals QUANTILE_DISC's
+        "event_gap_quantiles": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) AS delta_us
+                FROM events)
+            SELECT user_id,
+                   QUANTILE_DISC(delta_us, 0.5) AS q50_disc,
+                   QUANTILE_DISC(delta_us, 0.9) AS q90_disc
+            FROM g WHERE delta_us IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
     }

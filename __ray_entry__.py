@@ -5298,6 +5298,85 @@ def q_doc_quality_blend(sf_dir: str):
                       ).sort("doc_id")
 
 
+def q_canonical_docs(sf_dir: str):
+    """Dedup SURVIVORSHIP (golden-record selection): within each
+    normalized-duplicate cluster keep the HIGHEST-QUALITY original —
+    longest raw text, smallest doc_id on ties — and report it with the
+    cluster size. Complements normalized_dedup (which reports the
+    MIN-id keeper): survivorship is the rule real curation uses when
+    near-identical crawls differ in completeness. The corpus unions
+    with the same messy twin construction ('  ' || UPPER(text) || ' ',
+    ids + 10^6, spelled identically in both engines), so every cluster
+    has a longer twin that must win. Exact integers only.
+
+    Scale shape: row-local normalize (Arrow C kernels), then TWO narrow
+    passes over (doc_id, norm_text, n_chars): cluster sizes via
+    per-batch count partials + one hash(norm) co-partition
+    (normalized_dedup's shape), winners via
+    stages/aggregates.argmax_per_group (per-batch pre-trim to one row
+    per cluster per batch, then one hash(norm) partition), met by ONE
+    partitioned hash_join on the cluster key. Raw text never shuffles;
+    at 100 TB swap the string cluster key for add_content_hash's int64
+    (documented in normalized_dedup)."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import argmax_per_group
+    from jsschema_ray.stages.join import hash_join
+    from jsschema_ray.stages.text import normalize_text
+    from jsschema_ray.state.hll import hash64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_twin(b: pa.Table) -> pa.Table:
+        twin = pc.binary_join_element_wise(
+            "  ", pc.utf8_upper(b.column("text")), " ", "")
+        return pa.table({
+            "doc_id": pc.add(b.column("doc_id"), pa.scalar(1_000_000)),
+            "text": twin})
+
+    both = docs.union(docs.map_batches(mk_twin, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    norm = normalize_text(both, "text", "doc_id")
+
+    def with_chars(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "norm_text": b.column("norm_text"),
+            "n_chars": pc.add(b.column("norm_len"),
+                              b.column("n_collapsed")),
+        })
+
+    narrow = norm.map_batches(with_chars, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    num_parts = 4 * _fanout(sf_dir, "documents")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["norm_text"]).group_by(["norm_text"]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(["norm_text", "n_dups"])
+        part = (hash64(g.column("norm_text").combine_chunks())
+                % np.uint64(num_parts)).astype(np.int32)
+        return g.append_column("__part", pa.array(part))
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__part"]).group_by(["norm_text"]).aggregate(
+            [("n_dups", "sum")])
+        g = g.rename_columns(["norm_text", "n_dups"])
+        return g.filter(pc.greater(g.column("n_dups"), 1))
+
+    clusters = narrow.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("__part").map_groups(count_merge, batch_format="pyarrow")
+
+    winners = argmax_per_group(narrow, group="norm_text",
+                               value="n_chars", tiebreak="doc_id",
+                               num_partitions=num_parts)
+    out = hash_join(winners, clusters, key="norm_text", how="inner",
+                    num_buckets=_fanout(sf_dir, "documents"))
+    return out.select_columns(["doc_id", "n_chars", "n_dups"]).sort(
+        "doc_id")
+
+
 def q_event_gap_quantiles(sf_dir: str):
     """Per-user inter-arrival-time quantiles (p50/p90 of the LAG gap in
     exact int64 microseconds) — the burst/bot-detection and
@@ -5574,6 +5653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_frequency": q_top_doc_frequency,
         "doc_quality_blend": q_doc_quality_blend,
         "event_gap_quantiles": q_event_gap_quantiles,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -8879,5 +8959,31 @@ def oracle_sql() -> dict[str, str]:
                    QUANTILE_DISC(delta_us, 0.9) AS q90_disc
             FROM g WHERE delta_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        # survivorship: longest-raw-text winner per normalized cluster,
+        # min doc_id on ties; the messy twin guarantees every cluster
+        # has a longer variant that must win
+        "canonical_docs": r"""
+            WITH unioned AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, '  ' || UPPER(text) || ' '
+                FROM documents),
+            n AS (
+                SELECT doc_id, LENGTH(text) AS n_chars,
+                       trim(regexp_replace(lower(text),
+                                           '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ') AS norm
+                FROM unioned),
+            c AS (SELECT norm, COUNT(*) AS n_dups FROM n
+                  GROUP BY norm HAVING COUNT(*) > 1),
+            w AS (SELECT doc_id, n_chars, norm,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY norm
+                             ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM n)
+            SELECT w.doc_id, w.n_chars, c.n_dups
+            FROM w JOIN c USING (norm) WHERE rn = 1
+            ORDER BY w.doc_id
         """,
     }

@@ -5298,6 +5298,22 @@ def q_doc_quality_blend(sf_dir: str):
                       ).sort("doc_id")
 
 
+def q_phash_distance_histogram(sf_dir: str):
+    """Pairwise Hamming-distance distribution over the image table's
+    DISTINCT phash values (stages/dedup.hamming_histogram) — the radius
+    calibrator that tells you where near-duplicate ends before
+    committing hamming_pairs' max_distance or an LSH band plan. One
+    distributed distinct pass, a deterministic masked-mix32 sample
+    (fraction 1.0 here — the synthesized corpus has ~300 distinct
+    values; the knob is the scale path), blockwise popcount(xor)
+    against the ray.put-broadcast sorted sample, 65-bin partials into
+    one tiny merge. Exact int64 counts; pairs counted once (a < b)."""
+    from jsschema_ray.stages.dedup import hamming_histogram
+
+    ds = rd.read_parquet(_image_dir(sf_dir), columns=["phash"])
+    return hamming_histogram(ds, "phash", fraction=1.0)
+
+
 def q_canonical_docs(sf_dir: str):
     """Dedup SURVIVORSHIP (golden-record selection): within each
     normalized-duplicate cluster keep the HIGHEST-QUALITY original —
@@ -5654,6 +5670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_blend": q_doc_quality_blend,
         "event_gap_quantiles": q_event_gap_quantiles,
         "canonical_docs": q_canonical_docs,
+        "phash_distance_histogram": q_phash_distance_histogram,
     }
 
 
@@ -8232,6 +8249,21 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.phash < b.phash
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
             ORDER BY phash_a, phash_b
+        """,
+        # pairwise Hamming-distance distribution over sampled DISTINCT
+        # phashes: the masked-mix32 sample predicate is spelled exactly
+        # as the engine computes it (fraction 1.0 -> threshold 2^32)
+        "phash_distance_histogram": f"""
+            WITH v AS (SELECT DISTINCT phash
+                       FROM read_parquet('{meta}')),
+                 s AS (SELECT phash FROM v
+                       WHERE ((phash & 2147483647) + 1) * 2654435761
+                             % 4294967296 < 4294967296)
+            SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS dist,
+                   COUNT(*) AS n_pairs
+            FROM s a JOIN s b ON a.phash < b.phash
+            GROUP BY dist ORDER BY dist
         """,
         # composed image curation: validity = NOT IN the image_validate
         # violation keys (consistent by construction), exact byte dedup

@@ -1891,3 +1891,110 @@ def edit1_join(left, right, left_col: str, right_col: str,
 
     return candidates.map_batches(verify, batch_format="pyarrow",
                                   batch_size=batch_size)
+
+
+def hamming_histogram(ds, column: str = "phash", fraction: float = 1.0,
+                      seed: int = 1, max_sample: int = 16384,
+                      num_blocks: int = 32, num_parts: int = 32,
+                      batch_size: int = 65536):
+    """Pairwise Hamming-DISTANCE DISTRIBUTION over a deterministic
+    sample of the DISTINCT values of an int64 hash column — the radius
+    calibrator for every banded near-dup pass (hamming_pairs'
+    max_distance, LSH band counts): the histogram's low-distance mass
+    tells you where "near duplicate" ends and "unrelated" begins before
+    committing to a threshold. Returns (dist int64, n_pairs int64),
+    one row per occurring distance, ordered by dist; pairs counted once
+    with a < b in signed int64 order.
+
+    Determinism/mirror: sampling keeps distinct values with
+    ``((v & 0x7fffffff) + seed) * 2654435761 % 2^32 < floor(fraction *
+    2^32)`` — the mix32 family masked to the low 31 bits so the product
+    stays < 2^63 for ANY int64 input (phash uses the full non-negative
+    range), spelled identically in the SQL mirror. Same (fraction,
+    seed) → same sample on any layout, any day.
+
+    Scale shape: ONE distributed distinct pass (per-batch np.unique +
+    hash(value) co-partition — duplicate-heavy columns collapse before
+    anything quadratic); the sampled distinct set is the ONLY
+    driver-held structure and is hard-capped (RAISE past
+    ``max_sample`` — C(n,2) refusal, the hamming_pairs /
+    exact_jaccard_pairs contract); the O(sample^2 / 2) distance work
+    fans out as ``num_blocks`` tasks, each popcount(xor)-ing its row
+    block against the ray.put-broadcast sorted array (read zero-copy
+    per node, never re-shipped per task) with an i<j mask; each task
+    folds to a <=65-bin bincount partial and ONE tiny groupby sums the
+    O(blocks x 65) partial rows. No reference analogue (single-value
+    validator, /root/reference/validator/validator.go:57)."""
+    import ray
+
+    from jsschema_ray.stages.sampling import sample_threshold
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    thr = sample_threshold(fraction)
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = np.unique(v)
+        m = ((u & np.int64(0x7FFFFFFF)) + np.int64(seed)) \
+            * np.int64(2654435761) % np.int64(2**32)
+        u = u[m < thr]
+        part = (u.astype(np.uint64) % np.uint64(num_parts)).astype(
+            np.int32)
+        return pa.table({"val": pa.array(u), "vpart": pa.array(part)})
+
+    def part_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"val": np.unique(g["val"].to_numpy(dtype=np.int64))})
+
+    uniq = ds.select_columns([column]).map_batches(
+        local_unique, batch_format="pyarrow", batch_size=batch_size,
+    ).groupby("vpart").map_groups(part_unique, batch_format="pandas")
+
+    vals_parts = uniq.take_all()  # O(sampled distinct), cap-guarded below
+    vals = np.sort(np.asarray([r["val"] for r in vals_parts],
+                              dtype=np.int64))
+    n = len(vals)
+    if n > max_sample:
+        raise ValueError(
+            f"hamming_histogram: {n} sampled distinct values exceed "
+            f"max_sample={max_sample} (C(n,2) = {n*(n-1)//2} pairs) — "
+            "lower `fraction` or raise the cap deliberately")
+    import ray.data as rd
+
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "dist": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64())}))
+
+    vals_ref = ray.put(vals)
+    starts = np.linspace(0, n, min(num_blocks, n) + 1, dtype=np.int64)
+    blocks = rd.from_arrow(pa.table({
+        "lo": pa.array(starts[:-1]), "hi": pa.array(starts[1:])}))
+
+    def block_hist(b: pa.Table) -> pa.Table:
+        v = ray.get(vals_ref)  # plasma, zero-copy per node
+        u = v.astype(np.uint64)
+        counts = np.zeros(65, dtype=np.int64)
+        for lo, hi in zip(b.column("lo").to_pylist(),
+                          b.column("hi").to_pylist()):
+            for i in range(int(lo), int(hi)):
+                if i + 1 < n:
+                    d = _popcount64(np.bitwise_xor(u[i], u[i + 1:]))
+                    counts += np.bincount(d, minlength=65)[:65]
+        dist = np.flatnonzero(counts)
+        return pa.table({"dist": pa.array(dist.astype(np.int64)),
+                         "n_pairs": pa.array(counts[dist])})
+
+    partials = blocks.map_batches(block_hist, batch_format="pyarrow",
+                                  batch_size=1)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dist"]).aggregate([("n_pairs", "sum")])
+        g = g.rename_columns(["dist", "n_pairs"])
+        return g.sort_by("dist")
+
+    # O(blocks x 65) partial rows -> one tiny single-block merge
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)

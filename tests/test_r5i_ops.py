@@ -91,3 +91,60 @@ class TestRankBlend:
                 assert False, f"expected ValueError for cols={bad}"
             except ValueError:
                 pass
+
+
+class TestHammingHistogram:
+    def _brute(self, vals, fraction=1.0, seed=1):
+        from jsschema_ray.stages.sampling import sample_threshold
+
+        u = np.unique(np.asarray(vals, dtype=np.int64))
+        m = ((u & np.int64(0x7FFFFFFF)) + np.int64(seed)) \
+            * np.int64(2654435761) % np.int64(2**32)
+        u = np.sort(u[m < sample_threshold(fraction)])
+        counts = {}
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                d = bin((int(u[i]) ^ int(u[j])) & (2**64 - 1)).count("1")
+                counts[d] = counts.get(d, 0) + 1
+        return pd.DataFrame(
+            sorted(counts.items()),
+            columns=["dist", "n_pairs"]).astype("int64")
+
+    def test_vs_brute_force(self, ray_session):
+        from jsschema_ray.stages.dedup import hamming_histogram
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(-2**62, 2**62, 300, dtype=np.int64)
+        vals = np.concatenate([vals, vals[:50]])  # duplicates collapse
+        got = hamming_histogram(
+            _ds({"phash": vals}), "phash").to_pandas()
+        want = self._brute(vals)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_exact=True)
+
+    def test_fraction_sampling_matches_predicate(self, ray_session):
+        from jsschema_ray.stages.dedup import hamming_histogram
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 2**63 - 1, 400, dtype=np.int64)
+        got = hamming_histogram(
+            _ds({"phash": vals}), "phash", fraction=0.25,
+            seed=7).to_pandas()
+        want = self._brute(vals, fraction=0.25, seed=7)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_exact=True)
+
+    def test_cap_guard_and_degenerate(self, ray_session):
+        from jsschema_ray.stages.dedup import hamming_histogram
+
+        vals = np.arange(100, dtype=np.int64)
+        try:
+            hamming_histogram(_ds({"phash": vals}), "phash",
+                              max_sample=99)
+            assert False, "expected max_sample refusal"
+        except ValueError as e:
+            assert "max_sample" in str(e)
+        one = hamming_histogram(_ds({"phash": np.array([5] * 10,
+                                                       dtype=np.int64)}),
+                                "phash").to_pandas()
+        assert len(one) == 0  # single distinct value: no pairs

@@ -1952,15 +1952,19 @@ def hamming_histogram(ds, column: str = "phash", fraction: float = 1.0,
         local_unique, batch_format="pyarrow", batch_size=batch_size,
     ).groupby("vpart").map_groups(part_unique, batch_format="pandas")
 
-    vals_parts = uniq.take_all()  # O(sampled distinct), cap-guarded below
-    vals = np.sort(np.asarray([r["val"] for r in vals_parts],
-                              dtype=np.int64))
-    n = len(vals)
+    # refuse BEFORE anything reaches the driver: materialize the sampled
+    # distinct set in the object store, gate on its metadata count, and
+    # only then gather the O(max_sample) values
+    uniq = uniq.materialize()
+    n = uniq.count()
     if n > max_sample:
         raise ValueError(
             f"hamming_histogram: {n} sampled distinct values exceed "
             f"max_sample={max_sample} (C(n,2) = {n*(n-1)//2} pairs) — "
             "lower `fraction` or raise the cap deliberately")
+    vals_parts = uniq.take_all()
+    vals = np.sort(np.asarray([r["val"] for r in vals_parts],
+                              dtype=np.int64))
     import ray.data as rd
 
     if n < 2:

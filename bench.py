@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     "tfidf_terms",
     # composed curation chain (sample -> quality gate -> dedup -> cap)
     "curation_pipeline",
+    # second closing session: rank-blend scoring, inter-arrival profile,
+    # survivorship, Hamming radius calibration
+    "doc_quality_blend",
+    "event_gap_quantiles",
+    "canonical_docs",
+    "phash_distance_histogram",
 ]
 
 

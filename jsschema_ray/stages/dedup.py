@@ -2002,3 +2002,50 @@ def hamming_histogram(ds, column: str = "phash", fraction: float = 1.0,
     # O(blocks x 65) partial rows -> one tiny single-block merge
     return partials.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None)
+
+
+def lsh_band_plan(threshold: float, num_perm: int,
+                  fp_weight: float = 0.5, fn_weight: float = 0.5,
+                  integration_steps: int = 1000) -> dict:
+    """Optimal MinHash-LSH banding plan: pick (bands b, rows-per-band r)
+    with b*r = num_perm minimizing fp_weight * P(false positive) +
+    fn_weight * P(false negative) around ``threshold``, where a pair at
+    Jaccard s collides with probability 1 - (1 - s^r)^b (the standard
+    S-curve; Mining of Massive Datasets ch. 3 / datasketch's public
+    optimizer shape). The probabilities integrate the S-curve below /
+    above the threshold with a fixed-step midpoint rule, so the plan is
+    deterministic for given inputs. Driver-side pure math (O(divisors x
+    steps)); calibrate ``threshold`` itself from data with
+    :func:`hamming_histogram` / the exact jaccard_pairs sample.
+
+    Returns {"bands", "rows_per_band", "fp", "fn", "objective",
+    "s50"} where s50 = (1/b)^(1/r) is the S-curve midpoint — the
+    similarity at which collision probability crosses ~0.5. Used as the
+    advisory front-end of minhash_dedup(bands=..., num_perm=...); no
+    reference analogue (single-value validator,
+    /root/reference/validator/validator.go:57)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight == 0:
+        raise ValueError("weights must be >= 0 and not both zero")
+    # midpoints of a fixed grid: deterministic, endpoint-singularity-free
+    xs = (np.arange(integration_steps, dtype=np.float64) + 0.5) \
+        / integration_steps
+    best = None
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        collide = 1.0 - (1.0 - xs ** r) ** b
+        below = xs < threshold
+        # P(fp): collision mass below threshold; P(fn): miss mass above
+        fp = float(collide[below].sum()) / integration_steps
+        fn = float((1.0 - collide[~below]).sum()) / integration_steps
+        obj = fp_weight * fp + fn_weight * fn
+        if best is None or obj < best["objective"]:
+            best = {"bands": b, "rows_per_band": r, "fp": round(fp, 6),
+                    "fn": round(fn, 6), "objective": round(obj, 6),
+                    "s50": round((1.0 / b) ** (1.0 / r), 6)}
+    return best

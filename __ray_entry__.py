@@ -2187,6 +2187,24 @@ def q_jaccard_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def q_containment_pairs(sf_dir: str):
+    """Exact word-5-gram CONTAINMENT pairs (overlap coefficient,
+    |A∩B| / min(|A|,|B|) >= 0.9) — the asymmetric set-similarity measure
+    for "short doc wholly quoted inside a long one" (benchmark
+    decontamination, quote mining), where Jaccard dilutes toward zero as
+    the long side grows. Same inverted-index SSJoin machinery as
+    jaccard_pairs (stages/dedup.exact_jaccard_pairs measure="containment":
+    gram co-partition, output-size-bound emission, integer-exact
+    threshold); only the final denominator differs. DuckDB-oracled."""
+    from jsschema_ray.stages.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_jaccard_pairs(
+        ds, threshold=0.9, k=5, measure="containment",
+        num_parts=4 * _fanout(sf_dir, "documents", rows_per_task=2_000),
+    ).sort(["doc_a", "doc_b"])
+
+
 def q_dedup_components(sf_dir: str):
     """Near-dup CLUSTERS, fully distributed end-to-end: exact word-5-gram
     Jaccard pairs (stages/dedup.exact_jaccard_pairs, already oracled as
@@ -4291,6 +4309,180 @@ def q_tpch_q22a(sf_dir: str):
         "c_nationkey")
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-Neighborhood entity-resolution blocking over part names
+    (stages/dedup.sorted_neighborhood_pairs — Hernández & Stolfo SNM,
+    public literature): parts ordered by (p_name, p_partkey), every
+    pair within window 4 of each other in that order becomes a
+    candidate — O(n·window) candidates instead of O(n²), the classic
+    blocking scheme when near-duplicates sort near each other. One
+    range sort + O(blocks) driver fold for exact global row numbers +
+    tiled pair emission with (window-1)-row overlap so boundary pairs
+    are never lost. DuckDB-oracled (ROW_NUMBER self-join)."""
+    from jsschema_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(
+        ds, sort_col="p_name", id_col="p_partkey", window=4,
+        tile=4096).sort(["id_a", "id_b"])
+
+
+def q_cumulative_new_users(sf_dir: str):
+    """Daily new-user counts + the RUNNING DISTINCT-USER TOTAL — the
+    cumulative count-distinct shape (COUNT(DISTINCT) OVER is
+    inexpressible as a mergeable aggregate, but first-seen converts it
+    exactly: a user is new on the day of their MIN(ts), and the running
+    distinct total is the running SUM of new-user counts). Scale shape:
+    per-user MIN(ts) via aggregates.grouped_extrema (hash co-partition,
+    raw rows never shuffle), day-trunc + grouped count collapse to
+    O(days) rows, and ONLY that calendar-bounded table (independent of
+    corpus size) gathers to one block for the ordered cumsum.
+    DuckDB-oracled."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_extrema, grouped_sums
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def valid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("user_id")))
+
+    first = grouped_extrema(
+        ev.map_batches(valid, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], {"first_ts": ("ts", "min")},
+        num_parts=_fanout(sf_dir, "events"))
+
+    def day_of(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(b.column("first_ts"), unit="day")})
+
+    per_day = grouped_sums(
+        first.map_batches(day_of, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["day"], {}, count_alias="new_users")
+
+    def cumsum(b: pa.Table) -> pa.Table:
+        n = b.column("new_users").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cum_users", pa.array(np.cumsum(n).astype(np.int64)))
+
+    # O(days) rows — calendar-bounded, NOT data-bounded: one block
+    return per_day.sort("day").repartition(1).map_batches(
+        cumsum, batch_format="pyarrow", batch_size=None)
+
+
+def q_quantile_normalize(sf_dir: str):
+    """Exact empirical-CDF normalization of every document's length
+    score (stages/quantiles.quantile_normalize): doc_id, n_chars →
+    integer-exact (n_lt, n_le, n_total) + cdf (CUME_DIST) + pct_rank
+    (PERCENT_RANK) — the score→percentile step run before thresholding
+    or cross-scorer blending in a curation pipeline. One hash-partitioned
+    count merge + prefix-sum builds the O(distinct) CDF; rows join back
+    by ONE partitioned hash join; floats are two spelled divisions of
+    exact int64 counts. DuckDB-oracled."""
+    from jsschema_ray.stages.quantiles import quantile_normalize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quantile_normalize(
+        ds, "n_chars", keep=["doc_id"],
+        num_parts=_fanout(sf_dir, "documents", rows_per_task=20_000),
+    ).sort("doc_id")
+
+
+def q_tpch_q21a(sf_dir: str):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted to the
+    testdata schema (no l_commitdate/l_receiptdate: "late" becomes
+    l_shipdate > o_orderdate + 60 days — same double-EXISTS shape:
+    the supplier shipped LATE on a finished multi-supplier order where
+    EVERY OTHER supplier shipped on time). The reference's
+    EXISTS(other supplier) + NOT EXISTS(other LATE supplier) pair is
+    re-expressed shuffle-first instead of join-per-subquery: ONE
+    partitioned hash join tags each line late/on-time against its
+    order date, ONE grouped reduce collapses lines to distinct
+    (order, supplier, shipped_late) rows, ONE more grouped reduce per
+    order counts suppliers and late suppliers — the order qualifies
+    iff n_supp >= 2 and n_late == 1, and sum(suppkey*late) IS the
+    unique late supplier (no argmax needed). Supplier names broadcast
+    (O(suppliers) rows); final top-20 via the gather-free
+    stats.top_k_rows. All counts integer-exact; no floats anywhere.
+    Semantics ref: the multi-EXISTS waiting-supplier query family
+    (TPC-H spec, public)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.join import broadcast_join, hash_join
+    from jsschema_ray.stages.stats import top_k_rows
+
+    fo = _fanout(sf_dir, "lineitem")
+
+    def finished(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
+            ["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"]
+                   ).map_batches(finished, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = hash_join(li, orders, key="l_orderkey",
+                       right_key="o_orderkey", how="inner", num_buckets=fo)
+
+    SIXTY_DAYS_US = 60 * 86_400 * 1_000_000
+
+    def tag_late(b: pa.Table) -> pa.Table:
+        # exact int64 microsecond arithmetic on timestamp[us]; a NULL
+        # shipdate compares NULL -> not late (SQL CASE ELSE 0)
+        ship = b.column("l_shipdate").cast(pa.int64())
+        od = b.column("o_orderdate").cast(pa.int64())
+        late = pc.fill_null(
+            pc.greater(ship, pc.add(od, pa.scalar(SIXTY_DAYS_US,
+                                                  pa.int64()))), False)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "late": late.cast(pa.int64())})
+
+    tagged = joined.map_batches(tag_late, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # distinct (order, supplier) with shipped-late flag = MAX(late)
+    su = grouped_sums(tagged, ["l_orderkey", "l_suppkey"],
+                      {"late_lines": "late"}, count_alias=None)
+
+    def per_supplier(b: pa.Table) -> pa.Table:
+        is_late = pc.cast(pc.greater(b.column("late_lines"), 0), pa.int64())
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "is_late": is_late,
+            "late_supp": pc.multiply(b.column("l_suppkey"), is_late),
+        })
+
+    og = grouped_sums(
+        su.map_batches(per_supplier, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"],
+        {"n_supp": "one", "n_late": "is_late", "late_supp": "late_supp"},
+        count_alias=None)
+
+    def waiting(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b.column("n_supp"), 2),
+                       pc.equal(b.column("n_late"), 1))
+        return pa.table(
+            {"s_suppkey": b.filter(keep).column("late_supp")})
+
+    w = grouped_sums(
+        og.map_batches(waiting, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["s_suppkey"], {}, count_alias="numwait")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    named = broadcast_join(w, supp, key="s_suppkey", how="inner")
+    return top_k_rows(named.select_columns(["s_name", "numwait"]),
+                      value="numwait", tiebreak="s_name", k=20,
+                      descending=True)
+
+
 def q_top_quantity_ties(sf_dir: str):
     """Top-n-with-TIES selection (stages/aggregates.top_n_with_ties):
     every lineitem carrying one of its returnflag's 2 highest DISTINCT
@@ -5597,6 +5789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": q_tpch_q13,  # r5 tail: left-outer count distribution incl. the zero bucket
         "tpch_q17": q_tpch_q17,  # r5 tail: correlated scalar aggregate (per-part avg threshold broadcast back)
         "tpch_q22a": q_tpch_q22a,  # r5 tail: global scalar threshold + anti join
+        "tpch_q21a": q_tpch_q21a,  # r5 NEW: double-EXISTS waiting-supplier shape via two grouped reduces
+        "quantile_normalize": q_quantile_normalize,  # r5 NEW: exact CUME_DIST/PERCENT_RANK join-back normalization
+        "cumulative_new_users": q_cumulative_new_users,  # r5 NEW: running COUNT(DISTINCT) via first-seen conversion
+        "sorted_neighborhood": q_sorted_neighborhood,  # r5 NEW: SNM blocking (tiled overlap pair emission)
         "intersect_all_events": q_intersect_all_events,  # r5 tail: bag-semantics INTERSECT ALL
         "curation_pipeline": q_curation_pipeline,  # rotated out r5b: driver-green r4, quality/lang_id/token paths unchanged since; components pinned in-window via near_contamination/normalize_docs
         "decontam_pack_pipeline": q_decontam_pack_pipeline,  # rotated out r5b: driver-green r4; SSJoin pinned via near_contamination, packing via chunk_pack_pipeline (in-window)
@@ -5614,6 +5810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_event_users": q_intersect_event_users,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for cohort_retention
         "distinct_lang_source": q_distinct_lang_source,  # driver-green r4, uniqueness.py unchanged in r5 — rotated out for price_minmax
         "jaccard_pairs": q_jaccard_pairs,  # driver-green r4, exact_jaccard_pairs untouched in r5 (dedup.py hunks are minhash-side) — rotated out for doc_freq_score
+        "containment_pairs": q_containment_pairs,  # r5 NEW: overlap-coefficient SSJoin (measure="containment")
         "cube_revenue": q_cube_revenue,  # driver-green r4, cube_sums untouched in r5 (aggregates.py changes are additive) — rotated out for price_decile
         "exact_dedup": q_exact_dedup,
         "revenue_by_nation": q_revenue_by_nation,  # driver-green r4, unchanged (join+agg primitives all in-window)
@@ -6544,6 +6741,90 @@ def oracle_sql() -> dict[str, str]:
             FROM no_o
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # double-EXISTS waiting-supplier (Q21 adapted: "late" =
+        # shipdate > orderdate + 60 days); spelled as the same
+        # per-order supplier/late-supplier counting reduce the engine
+        # runs — the EXISTS pair IS (n_supp >= 2 AND n_late = 1), and
+        # SUM(suppkey*late) is the unique late supplier
+        "tpch_q21a": """
+            WITH f AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ), su AS (
+                SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+                FROM f GROUP BY 1, 2
+            ), og AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp,
+                       SUM(supp_late) AS n_late,
+                       SUM(l_suppkey * supp_late) AS late_supp
+                FROM su GROUP BY 1
+            ), w AS (
+                SELECT late_supp AS sk,
+                       CAST(COUNT(*) AS BIGINT) AS numwait
+                FROM og WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1
+            )
+            SELECT s.s_name, w.numwait
+            FROM w JOIN supplier s ON s.s_suppkey = w.sk
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        # SNM blocking: ROW_NUMBER over the total (name, key) order,
+        # self-join on rank distance in [1, window)
+        "sorted_neighborhood": """
+            WITH r AS (SELECT p_partkey, p_name,
+                              ROW_NUMBER() OVER (
+                                  ORDER BY p_name, p_partkey) AS rn
+                       FROM part)
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+            ORDER BY id_a, id_b
+        """,
+        # running COUNT(DISTINCT) via first-seen conversion: new on the
+        # day of MIN(ts); running SUM over the O(days) daily counts
+        "cumulative_new_users": """
+            WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+                       FROM events WHERE user_id IS NOT NULL
+                       GROUP BY 1),
+                 d AS (SELECT date_trunc('day', first_ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS new_users
+                       FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d ORDER BY day
+        """,
+        # exact CDF normalization: the window COUNT sums are spelled as
+        # grouped counts + running SUM so the floats are the same two
+        # int64 divisions the engine performs (CUME_DIST/PERCENT_RANK
+        # would compute identical values; the spelled form keeps the
+        # int components visible in the result for the exact compare)
+        "quantile_normalize": """
+            WITH c AS (SELECT n_chars AS v, COUNT(*) AS cnt
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY 1),
+                 k AS (SELECT v, cnt,
+                              SUM(cnt) OVER (ORDER BY v) AS n_le,
+                              SUM(cnt) OVER (ORDER BY v) - cnt AS n_lt,
+                              SUM(cnt) OVER () AS n_total
+                       FROM c)
+            SELECT d.doc_id, d.n_chars,
+                   CAST(k.n_lt AS BIGINT) AS n_lt,
+                   CAST(k.n_le AS BIGINT) AS n_le,
+                   CAST(k.n_total AS BIGINT) AS n_total,
+                   CAST(k.n_le AS DOUBLE) / CAST(k.n_total AS DOUBLE)
+                       AS cdf,
+                   CASE WHEN k.n_total > 1
+                        THEN CAST(k.n_lt AS DOUBLE)
+                             / CAST(k.n_total - 1 AS DOUBLE)
+                        ELSE 0.0 END AS pct_rank
+            FROM documents d JOIN k ON d.n_chars = k.v
+            ORDER BY d.doc_id
         """,
         # WITH-TIES top-n: DENSE_RANK <= n, null quantities filtered on
         # both sides (DuckDB sorts NULL/NaN highest on DESC)
@@ -7727,6 +8008,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON doc_a = sa.doc_id
             JOIN sz sb ON doc_b = sb.doc_id
             WHERE n_inter * 10000 >= 7000 * (sa.s + sb.s - n_inter)
+            ORDER BY doc_a, doc_b
+        """,
+        # containment_pairs: same gram CTEs, overlap-coefficient
+        # denominator (inter * 10000 >= 9000 * LEAST(|A|, |B|))
+        "containment_pairs": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(LOWER(text), '[a-z0-9_]+')
+                                  AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              LIST_DISTINCT(LIST_TRANSFORM(
+                                  RANGE(1, LEN(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                       w[i+2] || ' ' || w[i+3] || ' ' ||
+                                       w[i+4])) AS grams
+                       FROM t),
+                 sz AS (SELECT doc_id, LEN(grams) AS s FROM g),
+                 p AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+                 co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               COUNT(*) AS n_inter
+                        FROM p a JOIN p b
+                          ON a.gr = b.gr AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(LEAST(sa.s, sb.s) AS BIGINT) AS n_min
+            FROM co
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE n_inter * 10000 >= 9000 * LEAST(sa.s, sb.s)
             ORDER BY doc_a, doc_b
         """,
         # minhash_recall: the exact-pair set (same CTE as jaccard_pairs)

@@ -1025,11 +1025,22 @@ def simhash_dedup(ds, column: str = "text", key_column: str = "doc_id",
 def exact_jaccard_pairs(ds, threshold: float, column: str = "text",
                         id_column: str = "doc_id", k: int = 5,
                         num_parts: int = 64, batch_size: int = 4096,
-                        max_gram_df: int = 65536):
-    """EXACT word-k-gram Jaccard similarity pairs over the whole corpus —
+                        max_gram_df: int = 65536,
+                        measure: str = "jaccard"):
+    """EXACT word-k-gram set-similarity pairs over the whole corpus —
     the inverted-index set-similarity join (SSJoin/prefix-filter family,
     public literature) that grounds what MinHash approximates: every
     unordered doc pair with |A∩B| / |A∪B| >= threshold, no LSH recall loss.
+
+    ``measure`` picks the denominator of the per-pair score (everything
+    upstream of the final filter is measure-independent):
+      * ``"jaccard"`` (default): |A∩B| / |A∪B| — symmetric near-dup
+        mining. Output columns (doc_a, doc_b, n_inter, n_union).
+      * ``"containment"``: |A∩B| / min(|A|, |B|) — the overlap
+        coefficient; the right measure when a SHORT document may be
+        wholly contained in a long one (quote extraction, benchmark
+        decontamination), where Jaccard dilutes toward 0 as the long
+        side grows. Output columns (doc_a, doc_b, n_inter, n_min).
 
     Distribution (never all-pairs): one scan emits per-doc DISTINCT gram
     hashes with the doc's set size attached; grams co-partition by
@@ -1049,6 +1060,10 @@ def exact_jaccard_pairs(ds, threshold: float, column: str = "text",
 
     from jsschema_ray.stages.aggregates import grouped_sums
 
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(
+            f"exact_jaccard_pairs: unknown measure {measure!r} "
+            "(expected 'jaccard' or 'containment')")
     thr_x = int(threshold * 10000)
 
     def gram_rows(batch: pa.Table) -> pa.Table:
@@ -1131,14 +1146,22 @@ def exact_jaccard_pairs(ds, threshold: float, column: str = "text",
         inter = batch.column("n_inter").to_numpy(zero_copy_only=False)
         sa = batch.column("size_a").to_numpy(zero_copy_only=False)
         sb = batch.column("size_b").to_numpy(zero_copy_only=False)
-        union = sa + sb - inter
-        keep = inter * 10000 >= thr_x * union
+        if measure == "containment":
+            # overlap coefficient: denominator is the SMALLER set; an
+            # empty gram set never reaches here (docs with no full k-gram
+            # emit no gram rows), so denom >= 1
+            denom = np.minimum(sa, sb)
+            denom_col = "n_min"
+        else:
+            denom = sa + sb - inter
+            denom_col = "n_union"
+        keep = inter * 10000 >= thr_x * denom
         out = pa.table(
             {
                 "doc_a": batch.column("doc_a"),
                 "doc_b": batch.column("doc_b"),
                 "n_inter": batch.column("n_inter"),
-                "n_union": pa.array(union.astype(np.int64)),
+                denom_col: pa.array(denom.astype(np.int64)),
             }
         )
         return out.filter(pa.array(keep))
@@ -2049,3 +2072,111 @@ def lsh_band_plan(threshold: float, num_perm: int,
                     "fn": round(fn, 6), "objective": round(obj, 6),
                     "s50": round((1.0 / b) ** (1.0 / r), 6)}
     return best
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood blocking (entity-resolution candidate generation)
+# --------------------------------------------------------------------------
+
+def sorted_neighborhood_pairs(ds, sort_col: str, id_col: str,
+                              window: int = 4, tile: int = 65536):
+    """Sorted Neighborhood Method candidate pairs (Hernández & Stolfo,
+    SIGMOD'95 — public literature): order the corpus by ``sort_col``
+    (ties broken by ``id_col``, making the order total) and emit every
+    row pair whose positions differ by < ``window``. THE classic
+    entity-resolution blocking scheme when records have a fuzzy natural
+    order (names, addresses, timestamps): near-duplicates sort near each
+    other, so candidate volume is O(n·window) instead of O(n²).
+    Output: (id_a, id_b, dist) with id_a the earlier row and
+    dist = rank difference in [1, window).
+
+    Distribution: ONE Dataset range sort, then the packing/value_cdf
+    prefix-sum shape — per-BLOCK count partials fold on the driver
+    (O(blocks) rows, never data) into exact global row numbers; rows
+    then tile by rn // tile, each tile additionally receiving the
+    NEXT tile's first (window-1) rows (the overlap that makes
+    cross-boundary pairs visible), and each tile emits only the pairs
+    whose FIRST element it owns — every pair exactly once, no driver
+    gather, no all-pairs blowup. ``tile`` must be >= ``window``."""
+    import pandas as pd
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if tile < window:
+        raise ValueError(f"tile ({tile}) must be >= window ({window})")
+
+    base = ds.select_columns([sort_col, id_col]).sort(
+        [sort_col, id_col]).materialize()
+
+    # scan A: one (first sort key, count) row per block -> exact bases
+    def block_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                "fk": pa.array([], t.schema.field(sort_col).type),
+                "fi": pa.array([], t.schema.field(id_col).type),
+                "cnt": pa.array([], pa.int64())})
+        return pa.table({"fk": t.column(sort_col).slice(0, 1),
+                         "fi": t.column(id_col).slice(0, 1),
+                         "cnt": pa.array([t.num_rows], pa.int64())})
+
+    parts = base.map_batches(block_partial, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    parts.sort(key=lambda r: (r["fk"], r["fi"]))
+    sums = np.array([r["cnt"] for r in parts], dtype=np.int64)
+    bases = np.cumsum(sums) - sums
+    base_by_first = {(r["fk"], r["fi"]): int(b)
+                     for r, b in zip(parts, bases)}
+    if len(base_by_first) != len(parts):
+        raise ValueError(
+            "sorted_neighborhood_pairs: duplicate (sort_col, id_col) "
+            "block heads — id_col must be unique per sort key")
+
+    w = window
+
+    def explode_tiles(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"__part": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64()),
+                             id_col: t.column(id_col)})
+        b0 = base_by_first[(t.column(sort_col)[0].as_py(),
+                            t.column(id_col)[0].as_py())]
+        rn = b0 + np.arange(t.num_rows, dtype=np.int64)
+        own = rn // tile
+        ids = t.column(id_col).combine_chunks()
+        # rows in a tile's first (window-1) positions also feed tile-1
+        spill = (rn % tile < (w - 1)) & (own > 0)
+        part = np.concatenate([own, own[spill] - 1])
+        rn_all = np.concatenate([rn, rn[spill]])
+        id_all = pa.chunked_array(
+            [ids, ids.filter(pa.array(spill))]).combine_chunks()
+        return pa.table({"__part": pa.array(part), "rn": pa.array(rn_all),
+                         id_col: id_all})
+
+    exploded = base.map_batches(explode_tiles, batch_format="pyarrow",
+                                batch_size=None)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rn", kind="stable")
+        rn = g["rn"].to_numpy()
+        ids = g[id_col].to_numpy()
+        t_id = int(g["__part"].iloc[0])
+        a_out, b_out, d_out = [], [], []
+        for d in range(1, w):
+            if len(rn) <= d:
+                break
+            # rn is contiguous within the tile+overlap slice, but guard
+            # anyway; owned = pair's FIRST element lives in this tile
+            ok = (rn[d:] - rn[:-d] == d) & (rn[:-d] // tile == t_id)
+            a_out.append(ids[:-d][ok])
+            b_out.append(ids[d:][ok])
+            d_out.append(np.full(int(ok.sum()), d, dtype=np.int64))
+        if not a_out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                                 "id_b": pd.Series([], dtype=ids.dtype),
+                                 "dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out),
+                             "dist": np.concatenate(d_out)})
+
+    return exploded.groupby("__part").map_groups(
+        emit, batch_format="pandas")

@@ -419,6 +419,46 @@ def value_cdf(ds, col: str, batch_size: int = 262144,
                                      batch_size=None)
 
 
+def quantile_normalize(ds, col: str, keep: list | None = None,
+                       batch_size: int = 262144, num_parts: int = 32):
+    """Map every row's ``col`` value to its EXACT empirical CDF position —
+    the rank/quantile normalization step of a curation pipeline (score →
+    percentile before thresholding or blending across heterogeneous
+    scorers). Output: the ``keep`` id columns + ``col`` + integer-exact
+    (n_lt, n_le, n_total) + ``cdf`` = n_le/n_total (SQL CUME_DIST) +
+    ``pct_rank`` = n_lt/(n_total-1) (SQL PERCENT_RANK; 0.0 when
+    n_total = 1). NULL values drop (SQL window-over-non-null semantics
+    via the inner join back).
+
+    Scale shape: value_cdf builds the O(distinct)-row exact CDF (hash
+    co-partitioned count merge + range-partitioned prefix sum, no stage
+    holds more than a block); rows join back to it by ONE partitioned
+    hash join on the value — never a sort of the data, never a driver
+    gather. Floats appear only as two spelled divisions of exact int64
+    counts, bit-mirrorable in SQL."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.join import hash_join
+
+    cdf = value_cdf(ds, col, batch_size=batch_size, num_parts=num_parts)
+    cols = ([c for c in (keep or []) if c != col]) + [col]
+    joined = hash_join(ds.select_columns(cols), cdf, key=col,
+                       how="inner", num_buckets=num_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_lt = b.column("n_lt").cast(pa.float64())
+        n_le = b.column("n_le").cast(pa.float64())
+        n_tot = b.column("n_total").cast(pa.float64())
+        cdfv = pc.divide(n_le, n_tot)
+        denom = pc.subtract(n_tot, pa.scalar(1.0))
+        pr = pc.if_else(pc.greater(denom, 0.0),
+                        pc.divide(n_lt, denom), pa.scalar(0.0))
+        return b.append_column("cdf", cdfv).append_column("pct_rank", pr)
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def grouped_mad(ds, group_col: str, column: str, num_parts: int = 32,
                 batch_size: int = 262144):
     """Exact per-group median absolute deviation with QUANTILE_DISC rank

@@ -4309,6 +4309,38 @@ def q_tpch_q22a(sf_dir: str):
         "c_nationkey")
 
 
+def q_price_psi(sf_dir: str):
+    """Population Stability Index drift bins over lineitem price
+    (stages/drift.psi_bins): reference slice = lines shipped before
+    1997-01-01, current = the rest; 20 exact equi-width cent bins over
+    [0, 105000.00) plus under/overflow edge buckets. The third drift
+    metric next to KS (sketched) and TVD (categorical) — bins assign
+    by pure int64 arithmetic and the add-one-smoothed probabilities
+    are single spelled divisions of exact counts, so everything the
+    oracle sees hashes bit-exact; the ln-based psi_term column is
+    dropped here (ln is not correctly-rounded across libms) and
+    re-derivable from p_ref/p_cur. DuckDB-oracled."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.drift import psi_bins
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_shipdate"])
+    cut = pa.scalar(__import__("datetime").datetime(1997, 1, 1))
+
+    def mark(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        return pa.table({
+            "l_extendedprice": b.column("l_extendedprice"),
+            "is_ref": pc.less(d, cut.cast(d.type)),
+        })
+
+    marked = li.map_batches(mark, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return psi_bins(marked, "l_extendedprice", "is_ref", lo_cents=0,
+                    hi_cents=10_500_000, bins=20).select_columns(
+        ["bin", "n_ref", "n_cur", "p_ref", "p_cur"]).sort("bin")
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-Neighborhood entity-resolution blocking over part names
     (stages/dedup.sorted_neighborhood_pairs — Hernández & Stolfo SNM,
@@ -5682,7 +5714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_count_spikes": q_event_count_spikes,  # r5f NEW operator: per-group daily-count z-score spike detection — replaces weighted_discount in-window (grouped-sums + bit-mirrored float-finish shape stays pinned by tpch_q1 + event_value_share; weighted mean stays locally mirrored)
         "event_type_runs": q_event_type_runs,  # r5f NEW operator: run-length islands by value change — replaces quantity_stddev in-window (grouped-moments float-finish family keeps TWO reps in-window: quantity_skewness + quantity_price_moments; stddev stays locally mirrored)
         "tpch_q1": q_tpch_q1,  # r5 NEW: TPC-H Q1 pricing summary (bit-mirrored) — replaces approx_top_phash in-window
-        "price_minmax": q_price_minmax,  # r5 NEW: grouped min-max rescale (bit-mirrored division) — replaces distinct_lang_source in-window
+        "sorted_neighborhood": q_sorted_neighborhood,  # r5j NEW operator: SNM blocking — tiled overlap pair emission is brand-new machinery (prefix-sum row numbering pinned by value_cdf, the overlap tiles by nothing else); replaces price_minmax in-window (its float-finish family keeps 5 in-window reps: quantity_skewness, quantity_price_moments, revenue_gini, event_count_spikes, lang_source_chi2; local mirror verifies minmax)
         "revenue_gini": q_revenue_gini,  # r5d NEW operator: grouped Gini coefficient (rank-weighted exact sums) — replaces price_winsorized in-window (same _grouped_value_counts + sorted-segments machinery; winsorize stays locally mirrored)
         "event_cooccurrence": q_event_cooccurrence,  # r5 NEW: market-basket pair counts — displaces rolling_rows past the window
         "event_value_share": q_event_value_share,  # r5 NEW: ratio-to-report shares (bit-mirrored) — replaces incremental_dedup in-window
@@ -5708,7 +5740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_events": q_except_all_events,  # r5b NEW operator: bag-semantics EXCEPT ALL
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,  # r5 NEW: resumable hive sink round-trip — replaces sample_n_docs in-window
         "normalize_docs": q_normalize_docs,  # r5 NEW: canonical text normalization (per-row string oracle) — replaces chunk_documents in-window (chunk_pack_pipeline keeps the chunking path)
-        "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r4 NEW composed
+        "cumulative_new_users": q_cumulative_new_users,  # r5j NEW operator: running COUNT(DISTINCT) via first-seen conversion — gives grouped_extrema its FIRST driver row (user_first_seen/orders_upsert sit past the window); replaces chunk_pack_pipeline in-window (driver-green r4; the r5 packing bins_per_part fix changes partition WIDTHS only, values differential-tested identical; local mirror verifies)
         "pareto_parts": q_pareto_parts,  # r5h rotation: 2-D skyline, brand-new family; first driver row — replaces except_customers in-window (driver-green r2-r4; its r5b ArrowDtype finish stays pinned by the local mirror and the in-window set-op rep except_all_events)
         "fd_source_lang": q_fd_source_lang,  # r5e NEW operator: functional-dependency violations — replaces image_letterbox_plan in-window (integer-plan family stays represented by image_resize_plan + aspect_bucket_stats; letterbox stays locally mirrored)
         # --- driver-green representatives (one per family; families whose
@@ -5791,8 +5823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22a": q_tpch_q22a,  # r5 tail: global scalar threshold + anti join
         "tpch_q21a": q_tpch_q21a,  # r5 NEW: double-EXISTS waiting-supplier shape via two grouped reduces
         "quantile_normalize": q_quantile_normalize,  # r5 NEW: exact CUME_DIST/PERCENT_RANK join-back normalization
-        "cumulative_new_users": q_cumulative_new_users,  # r5 NEW: running COUNT(DISTINCT) via first-seen conversion
-        "sorted_neighborhood": q_sorted_neighborhood,  # r5 NEW: SNM blocking (tiled overlap pair emission)
+        "price_psi": q_price_psi,  # r5j NEW: PSI binned-numeric drift (int-exact bins, spelled smoothed probs)
+        "price_minmax": q_price_minmax,  # r5j: displaced past the window by sorted_neighborhood (float-finish family keeps 5 in-window reps; local mirror verifies)
+        "chunk_pack_pipeline": q_chunk_pack_pipeline,  # r5j: displaced past the window by cumulative_new_users (driver-green r4; r5 bins_per_part fix is width-only, differential-tested; local mirror verifies)
         "intersect_all_events": q_intersect_all_events,  # r5 tail: bag-semantics INTERSECT ALL
         "curation_pipeline": q_curation_pipeline,  # rotated out r5b: driver-green r4, quality/lang_id/token paths unchanged since; components pinned in-window via near_contamination/normalize_docs
         "decontam_pack_pipeline": q_decontam_pack_pipeline,  # rotated out r5b: driver-green r4; SSJoin pinned via near_contamination, packing via chunk_pack_pipeline (in-window)
@@ -6772,6 +6805,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_name, w.numwait
             FROM w JOIN supplier s ON s.s_suppkey = w.sk
             ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        # PSI drift bins: int64 bin arithmetic (floor division on
+        # non-negative offsets) + add-one-smoothed probabilities as
+        # spelled divisions; the ln psi_term column is engine-only
+        "price_psi": """
+            WITH s AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS cents,
+                       (l_shipdate < TIMESTAMP '1997-01-01') AS is_ref
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+            ), b AS (
+                SELECT CASE WHEN cents < 0 THEN -1
+                            WHEN cents >= 10500000 THEN 20
+                            ELSE cents * 20 // 10500000 END AS bin,
+                       CAST(is_ref AS BIGINT) AS r,
+                       CAST(NOT is_ref AS BIGINT) AS c
+                FROM s
+            ), g AS (
+                SELECT bin, CAST(SUM(r) AS BIGINT) AS n_ref,
+                       CAST(SUM(c) AS BIGINT) AS n_cur
+                FROM b GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                       CAST(SUM(n_cur) AS BIGINT) AS tc FROM g
+            )
+            SELECT bin, n_ref, n_cur,
+                   CAST(n_ref + 1 AS DOUBLE)
+                       / CAST(tr + 22 AS DOUBLE) AS p_ref,
+                   CAST(n_cur + 1 AS DOUBLE)
+                       / CAST(tc + 22 AS DOUBLE) AS p_cur
+            FROM g, t ORDER BY bin
         """,
         # SNM blocking: ROW_NUMBER over the total (name, key) order,
         # self-join on rank distance in [1, window)

@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "price_winsorized",
     "weighted_discount",
     "tpch_q1",
+    "tpch_q21a",
+    "price_psi",
+    "quantile_normalize",
+    "cumulative_new_users",
     "event_value_share",
     "acctbal_percentile_cont",
     "group_quantile_sketch",
@@ -158,6 +162,8 @@ BENCH_QUERIES = [
     "first_last_touch",
     # training-data ops
     "exact_dedup",
+    "sorted_neighborhood",
+    "containment_pairs",
     "name_typo_pairs",
     "fuzzy_name_join",
     "normalize_docs",

@@ -404,3 +404,92 @@ def exact_ks(ds, group_col: str, value_col: str, g1, g2,
 
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def psi_bins(ds, value_col: str, side_col: str, lo_cents: int,
+             hi_cents: int, bins: int, scale: int = 100,
+             batch_size: int = 262144):
+    """Population Stability Index drift over EXACT equi-width bins — the
+    third leg of the drift triad (KS for sketched numeric shape, TVD for
+    categorical, PSI for BINNED numeric — the metric credit/ML model
+    monitoring actually alarms on; public literature). ``side_col`` is a
+    boolean marking the REFERENCE slice (true) vs CURRENT (false).
+    Values scale to integers (round-half-away x``scale``) and bin by
+    pure INT arithmetic — bin = (cents - lo)*bins // (hi - lo), with
+    underflow bin -1 and overflow bin ``bins`` (edge buckets, industry
+    practice) — so bin assignment is bit-mirrorable in SQL. Output one
+    row per OBSERVED bin: (bin, n_ref, n_cur, p_ref, p_cur, psi_term)
+    where p = (n+1)/(N+B) is the add-one-smoothed probability over
+    B = bins + 2 buckets (PSI is undefined on empty bins; add-one is
+    the standard fix) and psi_term = (p_ref - p_cur) * ln(p_ref/p_cur);
+    PSI = sum(psi_term). The int counts and the two probabilities are
+    pure per-row functions of exact int64 aggregates (hash-exact vs a
+    SQL mirror); psi_term rides along for the caller but is NOT
+    hash-mirrorable (ln is not IEEE-correctly-rounded across libms) —
+    oracled queries should drop it and re-derive PSI from p_ref/p_cur.
+
+    Scale shape: identical to categorical_drift — per-batch (bin, side)
+    count partials through ONE map-side-combined grouped_sums shuffle,
+    then a single-task finish over the O(bins)-row table. NULL side or
+    NULL value rows drop."""
+    import pyarrow.compute as pc
+
+    from jsschema_ray.stages.aggregates import grouped_sums
+    from jsschema_ray.stages.windows import round_half_away
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if hi_cents <= lo_cents:
+        raise ValueError(f"need hi_cents > lo_cents, got "
+                         f"[{lo_cents}, {hi_cents})")
+    width_total = hi_cents - lo_cents
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(side_col)),
+                       pc.is_valid(batch.column(value_col)))
+        b = batch.select([value_col, side_col]).filter(keep)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        cents = round_half_away(v * scale).astype(np.int64)
+        off = cents - lo_cents
+        # guard the int64 product (exactness contract, not a clamp)
+        if len(off) and np.abs(off).max() > (1 << 62) // max(bins, 1):
+            raise ValueError("psi_bins: |cents - lo| * bins exceeds "
+                             "int64; widen scale/bounds")
+        binned = np.where(
+            off < 0, np.int64(-1),
+            np.where(off >= width_total, np.int64(bins),
+                     off * bins // width_total))
+        s = b.column(side_col)
+        return pa.table({
+            "bin": pa.array(binned.astype(np.int64)),
+            "__r": pc.cast(s, pa.int64()),
+            "__c": pc.cast(pc.invert(s), pa.int64()),
+        })
+
+    counts = grouped_sums(
+        ds.select_columns([value_col, side_col]).map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        ["bin"], {"n_ref": "__r", "n_cur": "__c"}, count_alias=None,
+        batch_size=batch_size,
+    ).repartition(1)
+
+    B = bins + 2
+
+    def finish(t: pa.Table) -> pa.Table:
+        nr = t.column("n_ref").to_numpy(zero_copy_only=False)
+        nc = t.column("n_cur").to_numpy(zero_copy_only=False)
+        tr, tc = int(nr.sum()), int(nc.sum())
+        p_ref = (nr + 1.0) / float(tr + B)
+        p_cur = (nc + 1.0) / float(tc + B)
+        term = (p_ref - p_cur) * np.log(p_ref / p_cur)
+        return pa.table({
+            "bin": t.column("bin"),
+            "n_ref": pa.array(nr), "n_cur": pa.array(nc),
+            "p_ref": pa.array(p_ref), "p_cur": pa.array(p_cur),
+            "psi_term": pa.array(term),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -124,3 +124,52 @@ def test_quantile_normalize_single_row(ray_session):
     got = quantile_normalize(ds, "v", keep=["id"]).take_all()
     assert got[0]["cdf"] == 1.0
     assert got[0]["pct_rank"] == 0.0  # n_total == 1 guard
+
+
+# ------------------------------------------------------------------
+# psi_bins
+# ------------------------------------------------------------------
+
+def test_psi_bins_edges_and_terms(ray_session):
+    from jsschema_ray.stages.drift import psi_bins
+
+    # values: one underflow (-5), one overflow (120), rest in [0, 100)
+    vals = np.array([-5.0, 120.0, 10.0, 10.0, 55.0, 99.0, 20.0, 80.0])
+    ref = pa.array([True, False, True, False, True, False, True, False])
+    ds = _ds(pa.table({"v": pa.array(vals), "is_ref": ref}), n_blocks=3)
+    got = pd.DataFrame(
+        psi_bins(ds, "v", "is_ref", lo_cents=0, hi_cents=10000,
+                 bins=4).take_all()).sort_values("bin")
+    # cents: -500(-1) 12000(4) 1000(0) 1000(0) 5500(2) 9900(3)
+    #        2000(0) 8000(3) — bin 1 ([2500,5000)) unobserved
+    assert got["bin"].tolist() == [-1, 0, 2, 3, 4]
+    tr, tc = 4, 4
+    B = 6
+    for _, r in got.iterrows():
+        p_ref = (r["n_ref"] + 1.0) / (tr + B)
+        p_cur = (r["n_cur"] + 1.0) / (tc + B)
+        assert r["p_ref"] == p_ref and r["p_cur"] == p_cur
+        assert r["psi_term"] == (p_ref - p_cur) * np.log(p_ref / p_cur)
+    # identical distributions -> PSI exactly 0 on every observed bin
+    ds2 = _ds(pa.table({
+        "v": pa.array(np.tile([10.0, 55.0], 4)),
+        "is_ref": pa.array([True, True, False, False] * 2)}), n_blocks=2)
+    got2 = pd.DataFrame(psi_bins(ds2, "v", "is_ref", 0, 10000,
+                                 4).take_all())
+    assert (got2["psi_term"] == 0.0).all()
+
+
+def test_psi_bins_null_drop_and_validation(ray_session):
+    from jsschema_ray.stages.drift import psi_bins
+
+    ds = _ds(pa.table({"v": pa.array([1.0, None, 3.0]),
+                       "is_ref": pa.array([True, False, None])}),
+             n_blocks=1)
+    got = pd.DataFrame(psi_bins(ds, "v", "is_ref", 0, 1000,
+                                2).take_all())
+    # only the (1.0, True) row survives
+    assert got["n_ref"].sum() == 1 and got["n_cur"].sum() == 0
+    with pytest.raises(ValueError, match="bins"):
+        psi_bins(ds, "v", "is_ref", 0, 1000, 0)
+    with pytest.raises(ValueError, match="hi_cents"):
+        psi_bins(ds, "v", "is_ref", 1000, 1000, 2)

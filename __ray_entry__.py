@@ -5356,6 +5356,29 @@ def q_events_join_fanout(sf_dir: str):
                             num_parts=_fanout(sf_dir, "events"))
 
 
+def q_balance_band_pairs(sf_dir: str):
+    """Numeric-tolerance pair mining (stages/join.band_join): every
+    (customer, supplier) pair whose account balances agree within
+    $5.00 — the band/epsilon THETA join of entity resolution ("match
+    records whose amounts agree within tolerance") that neither
+    hash_join (equality) nor range_join (point-in-interval)
+    expresses. Both sides bucket by floor(balance_cents/eps); rights
+    replicate to the 3 adjacent buckets (bounded 3x blow-up of a
+    width-2 int64 projection, never the raw rows), buckets
+    co-partition by hash, and each bucket answers its lefts with two
+    searchsorted range lookups against its sorted rights — work is
+    OUTPUT-bound plus one C sort, never the all-pairs product. Exact
+    int64 cents (round-half-away matches DuckDB ROUND)."""
+    from jsschema_ray.stages.join import band_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    return band_join(cust, supp, "c_custkey", "c_acctbal",
+                     "s_suppkey", "s_acctbal", eps_x=500,
+                     num_parts=_fanout(sf_dir, "customer")).sort(
+                         ["key_l", "key_r"])
+
+
 def q_dup_cluster_histogram(sf_dir: str):
     """Duplicate-CLUSTER size distribution over image captions: how many
     exact-duplicate clusters have exactly k copies — the dup-storm
@@ -5768,6 +5791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_reconcile": q_order_totals_reconcile,  # r5h NEW tail operator: cross-table aggregate reconciliation (referential.reconcile_sums) — local mirror verifies
         "orders_upsert": q_orders_upsert,  # r5h NEW tail operator: keyed MERGE apply (transform.upsert), the diff->apply completion — local mirror verifies per-row
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
+        "balance_band_pairs": q_balance_band_pairs,  # r5i NEW tail operator: numeric-tolerance band join (join.band_join) — local mirror verifies
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
         "fuzzy_name_join": q_fuzzy_name_join,  # r5h: displaced past the window by image_partition_verdicts (Levenshtein banding machinery in-window via name_typo_pairs; local mirror verifies)
@@ -7724,6 +7748,19 @@ def oracle_sql() -> dict[str, str]:
                        AS top_key,
                    CAST(MAX(p) AS BIGINT) AS top_key_rows
             FROM m
+        """,
+        # band (epsilon) join: |balance diff| <= 500 cents, exact
+        # int64 cents on both sides (ROUND = round-half-away)
+        "balance_band_pairs": """
+            SELECT c.c_custkey AS key_l, s.s_suppkey AS key_r,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                       - CAST(ROUND(s.s_acctbal * 100) AS BIGINT)
+                       AS diff_x
+            FROM customer c, supplier s
+            WHERE c.c_acctbal IS NOT NULL AND s.s_acctbal IS NOT NULL
+              AND ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                      - CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) <= 500
+            ORDER BY key_l, key_r
         """,
         # keyed MERGE apply: updates win, NOT-EXISTS survivors pass
         # through; the +1.0 is one IEEE add spelled on both sides

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q21a",
     "price_psi",
+    "balance_band_pairs",
     "quantile_normalize",
     "cumulative_new_users",
     "event_value_share",

@@ -5379,6 +5379,37 @@ def q_balance_band_pairs(sf_dir: str):
                          ["key_l", "key_r"])
 
 
+def q_click_purchase_pairs(sf_dir: str):
+    """Equi-key + time-band pair mining (stages/join.keyed_band_join):
+    every (click, purchase) event pair by the SAME user within ONE HOUR
+    of each other — the temporal-proximity matching shape of attribution
+    and session stitching. asof_join (in the repo) finds the nearest
+    single match; this emits ALL matches in the band. The bucket key
+    extends band_join's floor(ts/eps) with the user key, so rights
+    replicate only within their user, the co-partition mixes both, and
+    emission is searchsorted output-bound — never a per-user cross
+    product. diff_x is exact epoch-microsecond arithmetic."""
+    from jsschema_ray.stages.join import keyed_band_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def side(ev_type):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), ev_type))
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow",
+                            batch_size=65536, zero_copy_batch=True)
+    buys = ev.map_batches(side("purchase"), batch_format="pyarrow",
+                          batch_size=65536, zero_copy_batch=True)
+    return keyed_band_join(
+        clicks, buys, "user_id", "event_id", "ts",
+        "user_id", "event_id", "ts", eps_x=3_600_000_000,
+        num_parts=_fanout(sf_dir, "events")).sort(
+            ["eq", "key_l", "key_r"])
+
+
 def q_dup_cluster_histogram(sf_dir: str):
     """Duplicate-CLUSTER size distribution over image captions: how many
     exact-duplicate clusters have exactly k copies — the dup-storm
@@ -5792,6 +5823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert": q_orders_upsert,  # r5h NEW tail operator: keyed MERGE apply (transform.upsert), the diff->apply completion — local mirror verifies per-row
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
         "balance_band_pairs": q_balance_band_pairs,  # r5i NEW tail operator: numeric-tolerance band join (join.band_join) — local mirror verifies
+        "click_purchase_pairs": q_click_purchase_pairs,  # r5i NEW tail operator: equi-key + time-band pair mining (join.keyed_band_join) — local mirror verifies
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
         "fuzzy_name_join": q_fuzzy_name_join,  # r5h: displaced past the window by image_partition_verdicts (Levenshtein banding machinery in-window via name_typo_pairs; local mirror verifies)
@@ -7761,6 +7793,17 @@ def oracle_sql() -> dict[str, str]:
               AND ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
                       - CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) <= 500
             ORDER BY key_l, key_r
+        """,
+        # equi-key + time-band pair join: same user, |ts diff| <= 1 h,
+        # exact epoch-microsecond integer arithmetic
+        "click_purchase_pairs": """
+            SELECT l.user_id AS eq, l.event_id AS key_l,
+                   r.event_id AS key_r,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS diff_x
+            FROM events l JOIN events r ON l.user_id = r.user_id
+            WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+              AND ABS(epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
+            ORDER BY eq, key_l, key_r
         """,
         # keyed MERGE apply: updates win, NOT-EXISTS survivors pass
         # through; the +1.0 is one IEEE add spelled on both sides

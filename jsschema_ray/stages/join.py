@@ -978,3 +978,127 @@ def band_join(left, right, key: str, value: str, right_key: str,
 
     return l.union(r).groupby("__part").map_groups(
         emit, batch_format="pandas")
+
+
+def keyed_band_join(left, right, eq: str, key: str, value: str,
+                    right_eq: str, right_key: str, right_value: str,
+                    eps_x: int, num_parts: int = 64,
+                    batch_size: int = 65536):
+    """Equi-key + numeric-tolerance pair join: every (left, right) pair
+    with ``left.eq == right.eq AND |left.value - right.value| <= eps_x``
+    — the temporal-proximity matching shape ("same user, events within
+    an hour"; "same account, transactions within $eps") that composes
+    an equality predicate with band_join's THETA band. asof_join finds
+    the NEAREST single match; this emits ALL matches in the band.
+
+    ``value`` must cast losslessly to int64 (timestamps cast to their
+    epoch micros; integers pass through) — for float tolerance matching
+    scale with band_join instead. ``eq`` keys must be non-negative
+    int64-castable (they enter the partition mix). NULL eq/value rows
+    drop. Output: (eq, key_l, key_r, diff_x), diff_x = left - right.
+
+    Distribution: identical to band_join with the bucket key extended
+    to (eq, floor(value/eps)) — rights replicate to the 3 adjacent
+    value buckets WITHIN their eq key, partitions assign by a mixed
+    hash of both, and each (eq, bucket) segment answers its lefts with
+    two searchsorted lookups against its sorted rights. Work is
+    output-bound; a pair matches in exactly ONE bucket (the left's)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if eps_x < 1:
+        raise ValueError(f"eps_x must be >= 1 unit, got {eps_x}")
+
+    def _prep(b: pa.Table, eq_c, key_c, val_c, side_val):
+        mask = pc.and_(pc.is_valid(b.column(eq_c)),
+                       pc.is_valid(b.column(val_c)))
+        b = b.filter(mask)
+        eqv = b.column(eq_c).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(eqv) and eqv.min() < 0:
+            raise ValueError(
+                f"keyed_band_join needs non-negative {eq_c} keys")
+        vt = b.column(val_c)
+        if pa.types.is_timestamp(vt.type):
+            vt = vt.cast(pa.int64())  # epoch micros
+        else:
+            vt = vt.cast(pa.int64())
+        vx = vt.to_numpy(zero_copy_only=False)
+        ks = b.column(key_c).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bucket = vx // eps_x
+        if side_val == 0:
+            reps = 1
+        else:
+            reps = 3
+            bucket = np.concatenate([bucket - 1, bucket, bucket + 1])
+            eqv = np.tile(eqv, 3)
+            ks = np.tile(ks, 3)
+            vx = np.tile(vx, 3)
+        # Knuth multiplicative mix of (eq, bucket) -> partition; floor
+        # mod keeps bucket -1 (rights of bucket 0) non-negative
+        part = ((eqv * np.int64(1000003) + bucket)
+                % np.int64(num_parts)).astype(np.int32)
+        return pa.table({
+            "eq": pa.array(eqv), "__bucket": pa.array(bucket),
+            "__part": pa.array(part),
+            "side": pa.array(
+                np.full(len(vx), side_val, dtype=np.int8)),
+            "k": pa.array(ks), "vx": pa.array(vx),
+        })
+
+    l = left.select_columns([eq, key, value]).map_batches(
+        lambda b: _prep(b, eq, key, value, 0),
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    r = right.select_columns(
+        [right_eq, right_key, right_value]).map_batches(
+        lambda b: _prep(b, right_eq, right_key, right_value, 1),
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["eq", "__bucket", "side", "vx"],
+                          kind="stable")
+        eqv = g["eq"].to_numpy()
+        bk = g["__bucket"].to_numpy()
+        side = g["side"].to_numpy()
+        ks = g["k"].to_numpy()
+        vx = g["vx"].to_numpy()
+        chg = (bk[1:] != bk[:-1]) | (eqv[1:] != eqv[:-1])
+        seg = np.flatnonzero(np.concatenate([[True], chg]))
+        ends = np.concatenate([seg[1:], [len(bk)]])
+        e_o, a_k, b_k, d_x = [], [], [], []
+        for st, en in zip(seg, ends):
+            s = side[st:en]
+            nl = int((s == 0).sum())
+            if nl == 0 or nl == en - st:
+                continue
+            lv, lk = vx[st:st + nl], ks[st:st + nl]
+            rv, rk = vx[st + nl:en], ks[st + nl:en]  # sorted by vx
+            lo = np.searchsorted(rv, lv - eps_x, side="left")
+            hi = np.searchsorted(rv, lv + eps_x, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            li = np.repeat(np.arange(nl), cnt)
+            ri = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+            e_o.append(np.full(tot, eqv[st], dtype=np.int64))
+            a_k.append(lk[li])
+            b_k.append(rk[ri])
+            d_x.append(lv[li] - rv[ri])
+        if not a_k:
+            return pd.DataFrame(
+                {"eq": pd.Series([], dtype="int64"),
+                 "key_l": pd.Series([], dtype="int64"),
+                 "key_r": pd.Series([], dtype="int64"),
+                 "diff_x": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"eq": np.concatenate(e_o),
+                             "key_l": np.concatenate(a_k),
+                             "key_r": np.concatenate(b_k),
+                             "diff_x": np.concatenate(d_x)})
+
+    return l.union(r).groupby("__part").map_groups(
+        emit, batch_format="pandas")

@@ -87,3 +87,86 @@ def test_band_join_output_is_exactly_once_per_pair(ray_session):
     assert len(got) == 40 * 30
     assert len(set(got)) == 40 * 30
     assert all(d == 0 for (_, _, d) in got)
+
+
+# ------------------------------------------------------------------
+# keyed_band_join
+# ------------------------------------------------------------------
+
+def _kbrute(le, lk, lv, re_, rk, rv, eps_x):
+    out = []
+    for i in range(len(lk)):
+        for j in range(len(rk)):
+            if le[i] != re_[j]:
+                continue
+            d = int(lv[i]) - int(rv[j])
+            if abs(d) <= eps_x:
+                out.append((int(le[i]), int(lk[i]), int(rk[j]), d))
+    return sorted(out)
+
+
+def _krun(le, lk, lv, re_, rk, rv, eps_x, **kw):
+    from jsschema_ray.stages.join import keyed_band_join
+
+    left = _ds({"e": pa.array(le, pa.int64()),
+                "k": pa.array(lk, pa.int64()),
+                "v": pa.array(lv, pa.int64())})
+    right = _ds({"e": pa.array(re_, pa.int64()),
+                 "k": pa.array(rk, pa.int64()),
+                 "v": pa.array(rv, pa.int64())})
+    got = keyed_band_join(left, right, "e", "k", "v", "e", "k", "v",
+                          eps_x, **kw).take_all()
+    return sorted((r["eq"], r["key_l"], r["key_r"], r["diff_x"])
+                  for r in got)
+
+
+def test_keyed_band_join_matches_brute_force(ray_session):
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 250
+    le = rng.integers(0, 12, n_l)          # 12 eq keys, heavy reuse
+    re_ = rng.integers(0, 12, n_r)
+    lv = rng.integers(0, 5000, n_l)        # values straddle buckets
+    rv = rng.integers(0, 5000, n_r)
+    lk = np.arange(n_l, dtype=np.int64)
+    rk = np.arange(10_000, 10_000 + n_r, dtype=np.int64)
+    eps_x = 137
+    assert (_krun(le, lk, lv, re_, rk, rv, eps_x)
+            == _kbrute(le, lk, lv, re_, rk, rv, eps_x))
+
+
+def test_keyed_band_join_eq_isolation(ray_session):
+    # identical values, DIFFERENT eq keys: zero pairs (the band alone
+    # would match everything)
+    n = 20
+    got = _krun(np.arange(n), np.arange(n), np.full(n, 100),
+                np.arange(n) + 1000, np.arange(n), np.full(n, 100),
+                eps_x=10)
+    assert got == []
+
+
+def test_keyed_band_join_timestamp_cast_and_guards(ray_session):
+    import ray.data as rd
+    from jsschema_ray.stages.join import keyed_band_join
+
+    ts = pa.array([0, 30_000_000, 3_700_000_000],
+                  pa.timestamp("us"))
+    t = pa.table({"e": pa.array([1, 1, 1], pa.int64()),
+                  "k": pa.array([10, 11, 12], pa.int64()),
+                  "ts": ts})
+    ds = rd.from_arrow(t)
+    got = sorted((r["key_l"], r["key_r"], r["diff_x"]) for r in
+                 keyed_band_join(ds, ds, "e", "k", "ts", "e", "k",
+                                 "ts", eps_x=60_000_000).take_all())
+    # pairs within 60 s: (10,10) (10,11) (11,10) (11,11) (12,12)
+    assert got == [(10, 10, 0), (10, 11, -30_000_000),
+                   (11, 10, 30_000_000), (11, 11, 0), (12, 12, 0)]
+    neg = rd.from_arrow(pa.table({
+        "e": pa.array([-1], pa.int64()),
+        "k": pa.array([1], pa.int64()),
+        "v": pa.array([5], pa.int64())}))
+    with pytest.raises(Exception, match="non-negative"):
+        keyed_band_join(neg, neg, "e", "k", "v", "e", "k", "v",
+                        eps_x=1).take_all()
+    with pytest.raises(ValueError, match="eps_x"):
+        keyed_band_join(ds, ds, "e", "k", "ts", "e", "k", "ts",
+                        eps_x=0)

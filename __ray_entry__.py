@@ -5379,6 +5379,24 @@ def q_balance_band_pairs(sf_dir: str):
                          ["key_l", "key_r"])
 
 
+def q_unmatched_balances(sf_dir: str):
+    """Band ANTI join (stages/join.band_join how='anti'): suppliers
+    whose account balance has NO customer balance within $1.00 — the
+    unreconciled-transactions complement of balance_band_pairs (SQL
+    NOT EXISTS with the ABS predicate). Same bucketed distribution; a
+    left row matches-or-not entirely within its own bucket, so the
+    anti verdict needs no cross-bucket reconciliation and emission is
+    one searchsorted count per left."""
+    from jsschema_ray.stages.join import band_join
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return band_join(supp, cust, "s_suppkey", "s_acctbal",
+                     "c_custkey", "c_acctbal", eps_x=100,
+                     num_parts=_fanout(sf_dir, "customer"),
+                     how="anti").sort("key_l")
+
+
 def q_click_purchase_pairs(sf_dir: str):
     """Equi-key + time-band pair mining (stages/join.keyed_band_join):
     every (click, purchase) event pair by the SAME user within ONE HOUR
@@ -5824,6 +5842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_join_fanout": q_events_join_fanout,  # r5h NEW tail operator: exact pre-join fan-out/skew audit (join.join_cardinality) — local mirror verifies
         "balance_band_pairs": q_balance_band_pairs,  # r5i NEW tail operator: numeric-tolerance band join (join.band_join) — local mirror verifies
         "click_purchase_pairs": q_click_purchase_pairs,  # r5i NEW tail operator: equi-key + time-band pair mining (join.keyed_band_join) — local mirror verifies
+        "unmatched_balances": q_unmatched_balances,  # r5i NEW tail operator: band ANTI join (NOT EXISTS within tolerance) — local mirror verifies
         "dup_cluster_histogram": q_dup_cluster_histogram,  # r5h NEW tail composition: duplicate-cluster size distribution (partitioned stage-1 merge) — local mirror verifies
         "image_magic_audit": q_image_magic_audit,  # r5h NEW tail operator: declared-vs-detected format audit over raw payload magic bytes — local mirror verifies
         "fuzzy_name_join": q_fuzzy_name_join,  # r5h: displaced past the window by image_partition_verdicts (Levenshtein banding machinery in-window via name_typo_pairs; local mirror verifies)
@@ -7793,6 +7812,20 @@ def oracle_sql() -> dict[str, str]:
               AND ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
                       - CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) <= 500
             ORDER BY key_l, key_r
+        """,
+        # band ANTI join: suppliers with NO customer balance within
+        # 100 cents (NOT EXISTS over exact int64 cents)
+        "unmatched_balances": """
+            SELECT s.s_suppkey AS key_l,
+                   CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS value_x
+            FROM supplier s
+            WHERE s.s_acctbal IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_acctbal IS NOT NULL
+                  AND ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)
+                          - CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                      <= 100)
+            ORDER BY key_l
         """,
         # equi-key + time-band pair join: same user, |ts diff| <= 1 h,
         # exact epoch-microsecond integer arithmetic

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "tpch_q21a",
     "price_psi",
     "balance_band_pairs",
+    "unmatched_balances",
     "click_purchase_pairs",
     "quantile_normalize",
     "cumulative_new_users",

@@ -872,7 +872,8 @@ def join_cardinality(left, right, key, right_key=None,
 
 def band_join(left, right, key: str, value: str, right_key: str,
               right_value: str, eps_x: int, scale: int = 100,
-              num_parts: int = 64, batch_size: int = 65536):
+              num_parts: int = 64, batch_size: int = 65536,
+              how: str = "inner"):
     """Numeric-tolerance pair join: every (left, right) row pair with
     ``|left.value - right.value| <= eps`` — the band/epsilon join of
     entity resolution and sensor alignment (match records whose amounts
@@ -891,12 +892,21 @@ def band_join(left, right, key: str, value: str, right_key: str,
     by hash, and each bucket pairs its lefts against its sorted rights
     with two np.searchsorted range lookups per left block — work is
     OUTPUT-size bound plus a sort. A pair matches in exactly ONE
-    bucket (the left's), so no dedup pass is needed."""
+    bucket (the left's), so no dedup pass is needed.
+
+    ``how='anti'`` inverts the predicate: emit each LEFT row with NO
+    right within the band — the unreconciled-transactions complement
+    (SQL ``NOT EXISTS`` with the ABS predicate). Output: (key_l,
+    value_x); a left matches-or-not entirely within its own bucket,
+    so anti needs no cross-bucket reconciliation either."""
     import pandas as pd
     import pyarrow.compute as pc
 
     if eps_x < 1:
         raise ValueError(f"eps_x must be >= 1 scaled unit, got {eps_x}")
+    if how not in ("inner", "anti"):
+        raise ValueError(f"band_join supports how in ('inner','anti'), "
+                         f"got {how!r}")
 
     from jsschema_ray.stages.windows import round_half_away
 
@@ -952,13 +962,24 @@ def band_join(left, right, key: str, value: str, right_key: str,
         for st, en in zip(seg, ends):
             s = side[st:en]
             nl = int((s == 0).sum())
-            if nl == 0 or nl == en - st:
+            if nl == 0:
+                continue
+            if nl == en - st:  # bucket holds lefts only
+                if how == "anti":
+                    a_k.append(ks[st:en])
+                    b_k.append(vx[st:en])
                 continue
             lv, lk = vx[st:st + nl], ks[st:st + nl]
             rv, rk = vx[st + nl:en], ks[st + nl:en]  # sorted by vx
             lo = np.searchsorted(rv, lv - eps_x, side="left")
             hi = np.searchsorted(rv, lv + eps_x, side="right")
             cnt = hi - lo
+            if how == "anti":
+                miss = cnt == 0
+                if miss.any():
+                    a_k.append(lk[miss])
+                    b_k.append(lv[miss])
+                continue
             tot = int(cnt.sum())
             if tot == 0:
                 continue
@@ -968,6 +989,13 @@ def band_join(left, right, key: str, value: str, right_key: str,
             a_k.append(lk[li])
             b_k.append(rk[ri])
             d_x.append(lv[li] - rv[ri])
+        if how == "anti":
+            if not a_k:
+                return pd.DataFrame(
+                    {"key_l": pd.Series([], dtype="int64"),
+                     "value_x": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"key_l": np.concatenate(a_k),
+                                 "value_x": np.concatenate(b_k)})
         if not a_k:
             return pd.DataFrame({"key_l": pd.Series([], dtype="int64"),
                                  "key_r": pd.Series([], dtype="int64"),

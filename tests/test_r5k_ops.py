@@ -170,3 +170,53 @@ def test_keyed_band_join_timestamp_cast_and_guards(ray_session):
     with pytest.raises(ValueError, match="eps_x"):
         keyed_band_join(ds, ds, "e", "k", "ts", "e", "k", "ts",
                         eps_x=0)
+
+
+# ------------------------------------------------------------------
+# band_join how='anti'
+# ------------------------------------------------------------------
+
+def _arun(lk, lv, rk, rv, eps_x, **kw):
+    left = _ds({"k": pa.array(lk, pa.int64()),
+                "v": pa.array(lv, pa.float64())})
+    right = _ds({"k": pa.array(rk, pa.int64()),
+                 "v": pa.array(rv, pa.float64())})
+    got = band_join(left, right, "k", "v", "k", "v", eps_x,
+                    how="anti", **kw).take_all()
+    return sorted((r["key_l"], r["value_x"]) for r in got)
+
+
+def test_band_anti_join_matches_brute_force(ray_session):
+    rng = np.random.default_rng(23)
+    lv = np.round(rng.uniform(-30, 30, 200), 2)
+    rv = np.round(rng.uniform(-30, 30, 40), 2)  # sparse rights
+    lk = np.arange(200, dtype=np.int64)
+    rk = np.arange(900, 940, dtype=np.int64)
+    eps_x = 41
+    inner = _brute(lk, lv, rk, rv, eps_x)
+    matched = {a for (a, _, _) in inner}
+    lx = (np.sign(lv * 100) * np.floor(np.abs(lv * 100) + 0.5))
+    expect = sorted((int(k), int(x)) for k, x in zip(lk, lx)
+                    if int(k) not in matched)
+    assert _arun(lk, lv, rk, rv, eps_x) == expect
+    # inner ∪ anti partitions the non-null left keys exactly
+    got_inner = _run(lk, lv, rk, rv, eps_x)
+    assert (matched | {k for (k, _) in _arun(lk, lv, rk, rv, eps_x)}
+            == set(lk.tolist()))
+    assert matched.isdisjoint(
+        {k for (k, _) in _arun(lk, lv, rk, rv, eps_x)})
+
+
+def test_band_anti_join_left_only_buckets_and_empty_right(ray_session):
+    # empty right side: EVERY non-null left is unmatched (the all-left
+    # bucket path must emit, not skip)
+    left = _ds({"k": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([10.0, None, -7.5], pa.float64())})
+    right = _ds({"k": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.float64())})
+    got = sorted((r["key_l"], r["value_x"]) for r in
+                 band_join(left, right, "k", "v", "k", "v", 100,
+                           how="anti").take_all())
+    assert got == [(1, 1000), (3, -750)]
+    with pytest.raises(ValueError, match="how"):
+        band_join(left, right, "k", "v", "k", "v", 100, how="left")
